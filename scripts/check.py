@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local correctness harness mimicking the driver's t2 gate:
+run graft.Verify (Spark) into OUT_DIR, then execute each oracle SQL in
+DuckDB over the same parquet tables and compare results (columns sorted
+by name, rows sorted, exact value equality).
+
+Usage: python3 scripts/check.py [sfdir] [outdir] [--skip-verify] [query...]
+"""
+import json, math, sys, subprocess, os
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+flags = [a for a in sys.argv[3:]]
+skip_verify = "--skip-verify" in flags
+only = [a for a in flags if not a.startswith("--")]
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+if not skip_verify:
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        ["sbt", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", env=env, capture_output=True, text=True, timeout=1800)
+    if "[success]" not in r.stdout:
+        print(r.stdout[-4000:]); print(r.stderr[-2000:])
+        sys.exit("verify run failed")
+
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+names = only or sorted(oracle.keys())
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        out.append(tuple(r[i] for i in order))
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+fails = 0
+for name in names:
+    sql = oracle.get(name)
+    pdir = f"{OUT}/{name}"
+    if not os.path.isdir(pdir):
+        print(f"MISSING  {name} (no spark output)"); fails += 1; continue
+    try:
+        sp_rel = con.execute(f"SELECT * FROM '{pdir}/*.parquet'")
+        sp_cols = [d[0] for d in sp_rel.description]
+        sp_rows = sp_rel.fetchall()
+    except Exception as e:
+        print(f"READFAIL {name}: {e}"); fails += 1; continue
+    if sql is None:
+        print(f"NOORACLE {name}: rows={len(sp_rows)}"); continue
+    try:
+        du_rel = con.execute(sql)
+        du_cols = [d[0] for d in du_rel.description]
+        du_rows = du_rel.fetchall()
+    except Exception as e:
+        print(f"SQLFAIL  {name}: {str(e)[:300]}"); fails += 1; continue
+    sc, sr = canon(sp_rows, sp_cols)
+    dc, dr = canon(du_rows, du_cols)
+    if sc != dc:
+        print(f"SCHEMA   {name}: spark={sc} duck={dc}"); fails += 1; continue
+    if len(sr) != len(dr):
+        print(f"ROWCOUNT {name}: spark={len(sr)} duck={len(dr)}"); fails += 1; continue
+    bad = None
+    for i, (a, b) in enumerate(zip(sr, dr)):
+        if a != b:
+            # tolerate float repr equality
+            same = all(
+                (x == y) or (isinstance(x, float) and isinstance(y, float)
+                             and (math.isnan(x) and math.isnan(y) or x == y))
+                for x, y in zip(a, b))
+            if not same:
+                bad = (i, a, b); break
+    if bad:
+        print(f"VALUES   {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}")
+        fails += 1
+    else:
+        print(f"OK       {name}: {len(sr)} rows")
+
+sys.exit(1 if fails else 0)

@@ -1,0 +1,138 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** JVM-side text normalization used by [[NormalizeTextExpr]] and tests. */
+object TextNorm {
+  /** NFD-decompose, drop combining marks (category Mn), lowercase —
+    * accent-insensitive comparison key (reference:
+    * src/ETL_POIS/process_pois.py:159-165). */
+  def normalize(s: String): String = {
+    val nfd = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    sb.toString.toLowerCase(java.util.Locale.ROOT)
+  }
+}
+
+/** Native Catalyst expression for diacritic-stripping lowercase
+  * normalization. A real `Expression` with `doGenCode` (static call into
+  * [[TextNorm]]) rather than a Scala UDF, so it stays inside
+  * whole-stage codegen and costs one virtual call per row. */
+case class NormalizeTextExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(TextNorm.normalize(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.functions.TextNorm.normalize($c.toString()))")
+  override protected def withNewChildInternal(newChild: Expression): NormalizeTextExpr =
+    copy(child = newChild)
+}
+
+/** Text-analysis column combinators for the training-data pipeline
+  * surface (tokenization, quality scoring, language ID, shingling).
+  * Everything except NFD normalization is pure built-in expressions.
+  */
+object TextFns {
+
+  def normalizeText(c: Column): Column =
+    ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expression(c)))
+
+  /** Whitespace tokenization; empty string → empty array. */
+  def tokens(text: Column): Column = {
+    val t = trim(text)
+    when(t === "", array().cast("array<string>"))
+      .otherwise(split(t, "\\s+"))
+  }
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles: contiguous n-token windows joined by a
+    * single space. Fewer than n tokens → empty array. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+  }
+
+  /** Punctuation-character ratio (over total characters). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0d)).otherwise(
+      length(regexp_replace(text, "[^.,;:!?'\"()-]", "")).cast(DoubleType) /
+        n.cast(DoubleType))
+  }
+
+  /** Share of tokens that appear in `stopwords`. */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(text)
+    val hits = size(filter(toks, t => t.isin(stopwords: _*)))
+    when(size(toks) === 0, lit(0d))
+      .otherwise(hits.cast(DoubleType) / size(toks).cast(DoubleType))
+  }
+
+  /** Mean token length — a cheap fluency signal. */
+  def meanTokenLen(text: Column): Column = {
+    val toks = tokens(text)
+    when(size(toks) === 0, lit(0d))
+      .otherwise(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast(DoubleType) /
+          size(toks).cast(DoubleType))
+  }
+
+  /** Per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny and deterministic. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "y", "que", "en", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "dans"))
+
+  /** Argmax-stopword-hits language ID; ties break by list order above,
+    * zero hits ⇒ "und" (undetermined). */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    def hits(words: Seq[String]): Column =
+      size(filter(toks, t => t.isin(words: _*)))
+    val scored = langStopwords.map { case (lang, words) => (lang, hits(words)) }
+    val best = scored.map(_._2).reduce((a, b) => greatest(a, b))
+    val pick = scored.reverse.foldLeft(lit("und")) { case (acc, (lang, h)) =>
+      when(h === best && best > 0, lit(lang)).otherwise(acc)
+    }
+    pick
+  }
+
+  /** Composite document quality score in [0,1]: penalize too-short /
+    * too-long docs, reward moderate stopword density and 3-8 char mean
+    * token length. Weights are engine-defined (the reference has no
+    * text-quality scoring; this is the north-star training-data op). */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val nTok = tokenCount(text).cast(DoubleType)
+    val lenScore =
+      when(nTok < 5, nTok / 5d)
+        .when(nTok > 500, lit(500d) / nTok)
+        .otherwise(lit(1d))
+    val swr = stopwordRatio(text, stopwords)
+    val swScore = when(swr > 0.5, lit(1d) - swr).otherwise(swr * 2d)
+    val mtl = meanTokenLen(text)
+    val mtlScore = when(mtl >= 3 && mtl <= 8, lit(1d))
+      .when(mtl < 3, mtl / 3d)
+      .otherwise(lit(8d) / mtl)
+    round(lenScore * 0.4 + least(swScore, lit(1d)) * 0.3 + mtlScore * 0.3, 6)
+  }
+}

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Embedding-vector column combinators over ARRAY<FLOAT> columns
+  * (the reference stores vector(3072) in pgvector, reference:
+  * src/shared/vector_store.py:85,177-181; our test `embeddings` table
+  * is dim-64).
+  *
+  * Determinism note: dot products are accumulated as SCALED LONGS
+  * (round(x*y*1e10)) rather than doubles — long addition is exact and
+  * order-independent, so results are bit-identical regardless of Spark
+  * partitioning AND reproducible by the DuckDB oracle, while costing
+  * <1e-10 relative precision. Cosines derived from those longs are then
+  * pure deterministic IEEE double ops.
+  */
+object VectorFns {
+
+  /** Sum of round(x*y*1e10) as long — exact, order-independent. */
+  def dotScaled(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        round(x.cast(DoubleType) * y.cast(DoubleType) * lit(1e10), 0).cast(LongType)),
+      lit(0L),
+      (acc, e) => acc + e)
+
+  /** Squared L2 norm, same scaled-long encoding. */
+  def normSqScaled(a: Column): Column = dotScaled(a, a)
+
+  /** Cosine similarity from scaled-long dot/norms; NULL when either
+    * vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = dotScaled(a, b).cast(DoubleType)
+    val na = normSqScaled(a).cast(DoubleType)
+    val nb = normSqScaled(b).cast(DoubleType)
+    when(na === 0 || nb === 0, lit(null).cast(DoubleType))
+      .otherwise(dot / sqrt(na * nb))
+  }
+
+  /** Exact euclidean-squared in the scaled domain (for IVF-style
+    * assignment where monotonicity is all that matters). */
+  def l2SqScaled(a: Column, b: Column): Column =
+    normSqScaled(a) - lit(2L) * dotScaled(a, b) + normSqScaled(b)
+
+  /** SimHash of a token array under a d-bit hypercube: sign-aggregate
+    * of per-token md5-derived bit vectors. Returns a long bitmask.
+    * Base hash = first 15 hex chars of md5(token || '#' || bit) —
+    * reproducible in any SQL engine with md5. */
+  def simhash(tokens: Column, bits: Int = 16): Column = {
+    // Per-bit vote: for each bit b, sum over tokens of (+1 if the last
+    // md5(token#b) hex nibble is odd else -1); bit set when sum > 0.
+    (0 until bits).map { b =>
+      val vote = aggregate(tokens, lit(0L), (acc, t) => {
+        val h = conv(substring(md5(concat(t, lit("#" + b))), 16, 1), 16, 10).cast(LongType)
+        acc + when(h % 2 === 1, 1L).otherwise(-1L)
+      })
+      when(vote > 0, lit(1L) * (1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+}

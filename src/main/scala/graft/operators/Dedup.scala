@@ -1,0 +1,119 @@
+package graft.operators
+
+import graft.functions.{TextFns, VectorFns}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deduplication operators for the training-data pipeline surface:
+  * exact, MinHash-LSH, SimHash, and n-gram-Jaccard near-dup.
+  *
+  * Scale design: every variant is shuffle-on-key only — no cross
+  * joins. MinHash candidates come from banding (shingle → minhash →
+  * band signature → bucket equi-join); exact Jaccard verification runs
+  * only on candidate pairs. All base hashes are md5-derived so any SQL
+  * engine (the DuckDB oracle included) reproduces them bit-for-bit.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the min-id row per identical key (e.g. text or
+    * content hash) — the distributed form of the reference's
+    * keep-last-per-hash dict trick (reference:
+    * src/ETL_POIS/process_pois.py:495). */
+  def exact(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** First 15 md5 hex chars as a non-negative long (60 bits) —
+    * reproducible in DuckDB via the same md5/substr/from-hex steps. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  /** 32-bit md5-derived hash for universal-hash families (fits a*h+b
+    * in exact int64 arithmetic). */
+  def md5Int32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** Prime just above 2^32 for the (a*h+b) mod p family. */
+  val HashPrime = 4294967311L
+
+  /** Deterministic universal-hash parameters. Multipliers are kept
+    * below 2^31 so a*h (h < 2^32) stays within exact int64 range —
+    * both in Spark and in the DuckDB oracle. */
+  def hashParams(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map { i =>
+      val a = ((2L * i + 1L) * 2654435761L) % 2147483629L + 1L
+      val b = (i * 40503L + 17L) % HashPrime
+      (a, b)
+    }
+
+  /** MinHash signature over word n-gram shingles: for each hash j,
+    * min over shingles of (a_j * md5_32(shingle) + b_j) mod p. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Seq[Column] =
+    hashParams(numHashes).map { case (a, b) =>
+      array_min(transform(TextFns.shingles(text, n), s =>
+        (md5Int32(s) * a + b) % HashPrime))
+    }
+
+  /** MinHash-LSH candidate pairs: band the signature, bucket-join on
+    * (band, band-signature), emit unordered (idA < idB) pairs with the
+    * estimated Jaccard (fraction of matching minhashes).
+    *
+    * numHashes = bands * rowsPerBand. The only shuffle is the groupBy
+    * on band signatures; bucket sizes stay small because signatures are
+    * near-uniform. */
+  def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val sig = minhashSignature(col(textCol), n, numHashes)
+    val withSig = df
+      .filter(size(TextFns.shingles(col(textCol), n)) > 0)
+      .select(col(idCol).as("id"),
+        array(sig: _*).as("sig"))
+    val banded = withSig.select(
+      col("id"), col("sig"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          array_join(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand), "_")
+            .as("bsig"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("sig"), col("bk.band"), col("bk.bsig"))
+    val a = banded.select(col("band"), col("bsig"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bsig"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bsig"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
+          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
+          lit((bands * rowsPerBand).toDouble)).as("est_jaccard"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Exact n-gram Jaccard on candidate pairs (post-LSH verification).
+    * `pairs` must carry id_a/id_b; docs joined back by id. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, n: Int): DataFrame = {
+    val sh = docs.select(col(idCol).as("_jid"),
+      array_distinct(TextFns.shingles(col(textCol), n)).as("_sh"))
+    pairs
+      .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0d).otherwise(col("inter").cast("double") / col("uni")))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** SimHash bucket dedup: documents sharing a simhash value are
+    * near-dup candidates (cheap, single groupBy). */
+  def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
+                     bits: Int = 16): DataFrame =
+    df.select(col(idCol), VectorFns.simhash(TextFns.tokens(col(textCol)), bits)
+      .as("simhash"))
+}

@@ -1,0 +1,31 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** One verifiable engine query: a Spark implementation over the test
+  * tables plus (when SQL-expressible) an equivalent DuckDB oracle.
+  * Column names/aliases MUST match between the two — the driver's
+  * compare sorts columns by name and hash-compares values.
+  *
+  * Determinism rules applied across the registry (see SURVEY §7.4):
+  *  - every query ends in a total ORDER BY over a unique key set;
+  *  - double aggregates go through exact decimal (or scaled-long)
+  *    accumulation so partial-aggregation order can't change results;
+  *  - rounding always uses round() (HALF_UP, matches DuckDB for the
+  *    positive/negative away-from-zero cases) — never double→decimal
+  *    casts at scale 0 and never bare double→int casts in the oracle
+  *    (DuckDB casts are half-even).
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    headline: Boolean = false)
+
+object Registry {
+  lazy val all: Seq[Q] =
+    CoreQueries.all ++ EventQueries.all ++ TextQueries.all ++
+      VectorQueries.all ++ GeoQueries.all ++ MergeQueries.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+}

@@ -1,0 +1,221 @@
+package graft.queries
+
+import graft.functions.TextFns
+import graft.operators.Dedup
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis / dedup surface over `documents` — the training-data
+  * pipeline operators (exact dedup, MinHash-LSH, SimHash, n-gram
+  * Jaccard, quality scoring, language ID, token stats).
+  *
+  * The MinHash/SimHash oracles are generated from the SAME hash
+  * parameters as the Spark implementation (md5-based universal hashes,
+  * exact int64 arithmetic), so the LSH pipeline is bit-reproducible in
+  * DuckDB — the oracle checks the real operator, not an approximation.
+  */
+object TextQueries {
+
+  private val Bands = 4
+  private val RowsPerBand = 4
+  private val ShingleN = 3
+
+  /** DuckDB CTEs mirroring TextFns.shingles + Dedup.minhashSignature. */
+  private def minhashSigSql: String = {
+    val params = Dedup.hashParams(Bands * RowsPerBand)
+    val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
+      s"CAST(MIN((hv * CAST($a AS BIGINT) + CAST($b AS BIGINT)) % ${Dedup.HashPrime}) AS BIGINT) AS s$i"
+    }.mkString(",\n    ")
+    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |sh AS (SELECT doc_id, array_to_string(list_slice(t, i, i + ${ShingleN - 1}), ' ') AS s
+       |  FROM toks, unnest(generate_series(1, len(t) - ${ShingleN - 1})) AS u(i)
+       |  WHERE len(t) >= $ShingleN),
+       |h AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS hv FROM sh),
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM h GROUP BY doc_id)""".stripMargin
+  }
+
+  private def bandsSql: String =
+    (0 until Bands).map { bnd =>
+      val cols = (0 until RowsPerBand).map(r => s"CAST(s${bnd * RowsPerBand + r} AS VARCHAR)")
+        .mkString(" || '_' || ")
+      s"SELECT doc_id, $bnd AS band, $cols AS bsig FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+
+  private val matchCount = (0 until Bands * RowsPerBand)
+    .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
+
+  val all: Seq[Q] = Seq(
+
+    // Token/char statistics per document (quality-signal components).
+    Q("q18_doc_stats",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.tokenCount(col("text")).as("n_tokens"),
+          length(col("text")).as("len_chars"),
+          size(filter(TextFns.tokens(col("text")),
+            t => t.isin(TextFns.langStopwords.head._2: _*))).as("stop_hits"),
+          round(TextFns.meanTokenLen(col("text")), 6).as("mean_token_len"))
+        .orderBy(col("doc_id")),
+      Some(s"""WITH toks AS (SELECT doc_id, length(text) AS len_chars,
+             |  string_split_regex(trim(text), '\\s+') AS t FROM documents)
+             |SELECT doc_id, len(t) AS n_tokens, len_chars,
+             |  len(list_filter(t, x -> x IN (${TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")}))) AS stop_hits,
+             |  round(CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(t), 6) AS mean_token_len
+             |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // Stopword-argmax language ID (engine-defined heuristic, same
+    // CASE logic on both sides; ties prefer list order en>es>de>fr).
+    Q("q19_lang_id",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFns.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id")),
+      Some {
+        val hitsCols = TextFns.langStopwords.map { case (lang, words) =>
+          s"len(list_filter(t, x -> x IN (${words.map("'" + _ + "'").mkString(",")}))) AS h_$lang"
+        }.mkString(",\n  ")
+        val best = "greatest(" + TextFns.langStopwords.map("h_" + _._1).mkString(", ") + ")"
+        val pick = TextFns.langStopwords.map { case (lang, _) =>
+          s"WHEN h_$lang = best AND best > 0 THEN '$lang'"
+        }.mkString(" ")
+        s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+           |hits AS (SELECT doc_id,
+           |  $hitsCols
+           |FROM toks),
+           |scored AS (SELECT doc_id, h_en, h_es, h_de, h_fr, $best AS best FROM hits)
+           |SELECT doc_id, CASE $pick ELSE 'und' END AS lang_pred
+           |FROM scored ORDER BY doc_id""".stripMargin
+      }),
+
+    // Word-frequency top-k (global sort + limit with total tiebreak).
+    Q("q20_word_freq",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(explode(TextFns.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(50),
+      Some("""SELECT word, COUNT(*) AS n
+             |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+             |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin)),
+
+    // Exact dedup on a derived key (first-3-token prefix): keep the
+    // min-id representative per key (process_pois.py:495 semantics,
+    // distributed via window, no driver-side dict).
+    Q("q21_dedup_exact",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .withColumn("prefix",
+            array_join(slice(TextFns.tokens(col("text")), 1, 3), " "))
+        Dedup.exact(docs, "prefix", "doc_id")
+          .select(col("doc_id"), col("prefix"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH k AS (SELECT doc_id,
+             |  array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 3), ' ') AS prefix
+             |  FROM documents)
+             |SELECT MIN(doc_id) AS doc_id, prefix FROM k GROUP BY prefix
+             |ORDER BY doc_id""".stripMargin)),
+
+    // MinHash-LSH near-dup candidate pairs: shingle → 16 minhashes →
+    // 4 bands → bucket join. Oracle reproduces the identical signature
+    // pipeline in SQL (no approximation gap).
+    Q("q22_minhash_lsh",
+      (s, dir) => Dedup.minhashCandidates(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        n = ShingleN, bands = Bands, rowsPerBand = RowsPerBand)
+        .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $minhashSigSql,
+             |banded AS (
+             |  $bandsSql),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+             |  WHERE a.doc_id < b.doc_id)
+             |SELECT doc_a, doc_b,
+             |  CAST($matchCount AS DOUBLE) / ${Bands * RowsPerBand} AS est_jaccard
+             |FROM cand
+             |JOIN sig sa ON sa.doc_id = doc_a
+             |JOIN sig sb ON sb.doc_id = doc_b
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Exact n-gram Jaccard verification of the LSH candidates.
+    Q("q23_jaccard_verify",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+          n = ShingleN, bands = Bands, rowsPerBand = RowsPerBand)
+        Dedup.jaccardVerify(cand, docs, "doc_id", "text", ShingleN)
+          .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+            round(col("jaccard"), 6).as("jaccard"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some(s"""WITH $minhashSigSql,
+             |banded AS (
+             |  $bandsSql),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+             |  WHERE a.doc_id < b.doc_id),
+             |cnt AS (SELECT doc_id, COUNT(DISTINCT s) AS nsh FROM sh GROUP BY doc_id),
+             |inters AS (SELECT c.doc_a, c.doc_b, COUNT(DISTINCT sa.s) AS inter
+             |  FROM cand c
+             |  JOIN sh sa ON sa.doc_id = c.doc_a
+             |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+             |  GROUP BY c.doc_a, c.doc_b)
+             |SELECT c.doc_a, c.doc_b,
+             |  round(CASE WHEN ca.nsh + cb.nsh - COALESCE(i.inter, 0) = 0 THEN 0.0
+             |    ELSE CAST(COALESCE(i.inter, 0) AS DOUBLE) / (ca.nsh + cb.nsh - COALESCE(i.inter, 0)) END, 6) AS jaccard
+             |FROM cand c
+             |LEFT JOIN inters i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+             |JOIN cnt ca ON ca.doc_id = c.doc_a
+             |JOIN cnt cb ON cb.doc_id = c.doc_b
+             |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
+
+    // SimHash fingerprint per document (md5-vote construction).
+    Q("q24_simhash",
+      (s, dir) => graft.operators.Dedup.simhashBuckets(
+        Tables(s, dir, "documents"), "doc_id", "text", bits = 16)
+        .orderBy(col("doc_id")),
+      Some {
+        val bitTerms = (0 until 16).map { b =>
+          s"""CASE WHEN CAST(list_sum(list_transform(t, x ->
+             |    CASE WHEN ('0x' || substr(md5(x || '#$b'), 16, 1))::BIGINT % 2 = 1
+             |      THEN 1 ELSE -1 END)) AS BIGINT) > 0 THEN ${1L << b} ELSE 0 END""".stripMargin
+        }.mkString(" +\n  ")
+        s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+           |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
+           |FROM toks ORDER BY doc_id""".stripMargin
+      }),
+
+    // Composite quality score (north-star text op; identical IEEE
+    // double expression tree on both sides).
+    Q("q25_quality_score",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFns.qualityScore(col("text"), TextFns.langStopwords.head._2)
+            .as("quality"))
+        .orderBy(col("doc_id")),
+      Some {
+        val sw = TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+           |m AS (SELECT doc_id,
+           |  CAST(len(t) AS DOUBLE) AS nt,
+           |  CAST(len(list_filter(t, x -> x IN ($sw))) AS DOUBLE) AS hits,
+           |  CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) AS sumlen
+           |FROM toks),
+           |sc AS (SELECT doc_id,
+           |  CASE WHEN nt < 5 THEN nt / 5.0 WHEN nt > 500 THEN 500.0 / nt ELSE 1.0 END AS len_score,
+           |  CASE WHEN nt = 0 THEN 0.0 ELSE hits / nt END AS swr,
+           |  CASE WHEN nt = 0 THEN 0.0 ELSE sumlen / nt END AS mtl
+           |FROM m),
+           |sc2 AS (SELECT doc_id, len_score,
+           |  CASE WHEN swr > 0.5 THEN 1.0 - swr ELSE swr * 2.0 END AS sw_score,
+           |  CASE WHEN mtl >= 3 AND mtl <= 8 THEN 1.0 WHEN mtl < 3 THEN mtl / 3.0 ELSE 8.0 / mtl END AS mtl_score
+           |FROM sc)
+           |SELECT doc_id,
+           |  round(len_score * 0.4 + least(sw_score, 1.0) * 0.3 + mtl_score * 0.3, 6) AS quality
+           |FROM sc2 ORDER BY doc_id""".stripMargin
+      })
+  )
+}

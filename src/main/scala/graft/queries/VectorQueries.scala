@@ -1,0 +1,100 @@
+package graft.queries
+
+import graft.operators.SimilaritySearch
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+/** Similarity-search surface over `embeddings` — the RAG top-k the
+  * reference declares against pgvector (schemas.py:88-108). Brute-force
+  * exact cosine as the correctness baseline; IVF-style probing as the
+  * 100 TB scale path. Both oracles reproduce the scaled-long dot
+  * products exactly (see VectorFns determinism note).
+  */
+object VectorQueries {
+
+  /** DuckDB scaled-long dot product between two FLOAT lists. */
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"s -> CAST(round(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) * 1e10, 0) AS BIGINT))) AS BIGINT)"
+
+  private def normSql(a: String): String =
+    s"CAST(list_sum(list_transform($a, " +
+      s"x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e10, 0) AS BIGINT))) AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+
+    // Exact cosine top-k (RAG top_k=5 default, schemas.py:92).
+    Q("q26_cosine_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val corpus = emb.select(col("vec_id").as("n_id"), col("embedding"))
+        SimilaritySearch.bruteForceTopK(queries, corpus,
+          "q_id", "q_vec", "n_id", "embedding", k = 5)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS n_id, embedding AS cv FROM embeddings),
+             |dots AS (SELECT q_id, n_id,
+             |    ${dotSql("qv", "cv")} AS dot,
+             |    ${normSql("qv")} AS na,
+             |    ${normSql("cv")} AS nb
+             |  FROM q, c WHERE q_id <> n_id),
+             |cos AS (SELECT q_id, n_id,
+             |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |      ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS cosine
+             |  FROM dots)
+             |SELECT q_id, n_id, cosine, rnk FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+             |  FROM cos) t
+             |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin),
+      headline = true),
+
+    // IVF two-stage ANN: 10 seed centroids (every 50th vector), probe
+    // the 3 nearest cells per query. The oracle replays the identical
+    // assignment/probe/rank pipeline.
+    Q("q27_ivf_topk",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val corpus = emb.select(col("vec_id").as("n_id"), col("embedding"))
+        SimilaritySearch.ivfTopK(queries, corpus, centroids,
+          "q_id", "q_vec", "n_id", "embedding", k = 5, nProbe = 3)
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some {
+        def l2(a: String, b: String) =
+          s"(${normSql(a)} - 2 * ${dotSql(a, b)} + ${normSql(b)})"
+        s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS cell_vec
+           |    FROM embeddings WHERE vec_id % 50 = 0),
+           |corp AS (SELECT vec_id AS n_id, embedding AS cv FROM embeddings),
+           |assigned AS (SELECT n_id, cv, cell_id,
+           |    ROW_NUMBER() OVER (PARTITION BY n_id
+           |      ORDER BY ${l2("cv", "cell_vec")}, cell_id) AS arn
+           |  FROM corp, cent),
+           |idx AS (SELECT n_id, cv, cell_id AS cell FROM assigned WHERE arn = 1),
+           |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           |qcell AS (SELECT q_id, qv, cell_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY ${l2("qv", "cell_vec")}, cell_id) AS prn
+           |  FROM q, cent),
+           |probes AS (SELECT q_id, qv, cell_id AS cell FROM qcell WHERE prn <= 3),
+           |cand AS (SELECT p.q_id, i.n_id, p.qv, i.cv
+           |  FROM probes p JOIN idx i ON p.cell = i.cell
+           |  WHERE p.q_id <> i.n_id),
+           |cos AS (SELECT q_id, n_id,
+           |    CASE WHEN ${normSql("qv")} = 0 OR ${normSql("cv")} = 0 THEN NULL
+           |      ELSE CAST(${dotSql("qv", "cv")} AS DOUBLE) /
+           |        sqrt(CAST(${normSql("qv")} AS DOUBLE) * CAST(${normSql("cv")} AS DOUBLE)) END AS cosine
+           |  FROM cand)
+           |SELECT q_id, n_id, cosine, rnk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+           |  FROM cos) t
+           |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+      })
+  )
+}

@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface (SURVEY §2.9): the reference's
+  * poll-until-empty loops / RQ queues (properties_poi_matcher.py:156-163,
+  * docs.py:26-113) become declarative streams; its 60 s clock-skew
+  * tolerance (base_provider.py:146-149) becomes a watermark.
+  *
+  * Batch/stream parity: these transforms take a DataFrame (batch or
+  * streaming) and compose identically — `readStream` + Trigger
+  * .AvailableNow for incremental catch-up runs, `read` for backfills.
+  * State stores keep the windowed aggregations bounded at 100 TB/day
+  * ingest; the watermark bounds state size.
+  */
+object EventStreams {
+
+  /** Schema of the events stream (ts pre-converted to µs). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Tumbling event-time window aggregation with late-data tolerance.
+    * Works on batch and streaming inputs alike. */
+  def hourlyByType(events: DataFrame, watermark: String = "60 seconds"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
+  /** Event-time session windows (gap-close semantics — streaming twin
+    * of operators.Sessionize). */
+  def sessionized(events: DataFrame, gap: String = "30 minutes",
+                  watermark: String = "60 seconds"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+  }
+
+  /** Stateful dedup on a content hash within the watermark horizon —
+    * the streaming form of the loader's hash-gated skip (ST3,
+    * loader_v2.py:204). */
+  def dedupByHash(events: DataFrame, hashCol: String,
+                  watermark: String = "1 hour"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm.dropDuplicates(hashCol, "ts")
+  }
+
+  /** Run a streaming DataFrame to completion against a memory sink and
+    * return the materialized result (AvailableNow = process whatever
+    * is in the source, then stop — the reference's drain-the-queue
+    * batch loop ST1). */
+  def runAvailableNow(spark: SparkSession, streamed: DataFrame,
+                      queryName: String, outputMode: String = "complete"): DataFrame = {
+    val q = streamed.writeStream
+      .format("memory").queryName(queryName).outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+}

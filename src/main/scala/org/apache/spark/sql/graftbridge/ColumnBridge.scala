@@ -1,0 +1,16 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` Column ↔ Expression conversions
+  * (Spark 4 moved them behind `org.apache.spark.sql.classic`). Lives in
+  * the `org.apache.spark.sql` namespace solely to satisfy the access
+  * modifier — the one sanctioned way to attach custom Catalyst
+  * expressions to the public Column API without a FunctionRegistry
+  * round-trip. */
+object ColumnBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}

@@ -1,0 +1,77 @@
+package graft
+
+import graft.operators.{CdcDelta, MergeUpsert, Sessionize, SimilaritySearch}
+import graft.functions.VectorFns
+import org.apache.spark.sql.functions._
+
+class OperatorSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("merge upsert resolves insert/update/keep/delete") {
+    val target = Seq(
+      (1L, "active", "h1"), (2L, "active", "h2"), (3L, "active", "h3")
+    ).toDF("k", "status", "hash")
+    val batch = Seq(
+      (2L, "active", "h2"),      // same hash → keep
+      (3L, "active", "h3b"),     // changed → update
+      (4L, "active", "h4")       // new → insert
+    ).toDF("k", "status", "hash")
+    val out = MergeUpsert(target, batch, Seq("k"), "hash")
+      .select("k", "status", "merge_action").as[(Long, String, String)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L) == ("deleted", "delete"))
+    assert(out(2L) == ("active", "keep"))
+    assert(out(3L) == ("active", "update"))
+    assert(out(4L) == ("active", "insert"))
+  }
+
+  test("cdc delta honors tolerance and new keys") {
+    val src = Seq(
+      (1L, "u1", java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      (2L, "u2", java.sql.Timestamp.valueOf("2024-01-01 00:10:00")),
+      (3L, "u3", java.sql.Timestamp.valueOf("2024-01-01 00:10:00"))
+    ).toDF("id", "user", "ts")
+    val known = Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 00:09:30")), // within 60s → unchanged
+      ("u2", java.sql.Timestamp.valueOf("2024-01-01 00:05:00"))  // stale → updated
+    ).toDF("user", "last_ts")
+    val out = CdcDelta(src, known, Seq("user"), "ts", "last_ts", 60L)
+      .select("id", "change_type").as[(Long, String)].collect().toMap
+    assert(!out.contains(1L))
+    assert(out(2L) == "updated")
+    assert(out(3L) == "new")
+  }
+
+  test("sessionize splits on gap with deterministic ordering") {
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val ev = Seq(
+      (1L, 10L, t(0)), (2L, 10L, t(10)), (3L, 10L, t(50)), (4L, 11L, t(5))
+    ).toDF("event_id", "user_id", "ts")
+    val out = Sessionize(ev, "user_id", "ts", "event_id", 1200L)
+      .select("user_id", "session_seq", "n_events")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(out == Set((10L, 1L, 2L), (10L, 2L, 1L), (11L, 1L, 1L)))
+  }
+
+  test("cosine of identical unit vectors is 1, orthogonal is 0") {
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f))
+    ).toDF("a", "b").select(VectorFns.cosine(col("a"), col("b")).as("c"))
+    val cs = df.collect().map(_.getDouble(0))
+    assert(math.abs(cs(0) - 1.0) < 1e-9 && math.abs(cs(1)) < 1e-9)
+  }
+
+  test("brute-force topk ranks by cosine desc with id tiebreak") {
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(1f, 0.01f, 0f))
+    ).toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0).select(
+      col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = SimilaritySearch.bruteForceTopK(
+      q, vecs.withColumnRenamed("vec_id", "n_id"), "q_id", "q_vec", "n_id", "embedding", 2)
+      .select("n_id", "rnk").as[(Long, Int)].collect().toMap
+    assert(out.keySet == Set(3L, 1L) && out(3L) == 1)
+  }
+}

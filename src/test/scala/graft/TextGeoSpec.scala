@@ -1,0 +1,77 @@
+package graft
+
+import graft.functions.{GeoFns, TextFns}
+import graft.operators.{Dedup, GeoRadiusJoin}
+import org.apache.spark.sql.functions._
+
+class TextGeoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("normalizeText strips diacritics and lowercases (NFD)") {
+    val out = Seq("Cañón José ÀÉÎÕÜ", "plain").toDF("s")
+      .select(TextFns.normalizeText(col("s")).as("n"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "canon jose aeiou")
+    assert(out(1) == "plain")
+  }
+
+  test("shingles produce token n-grams; short docs → empty") {
+    val out = Seq("a b c d", "a b").toDF("s")
+      .select(TextFns.shingles(col("s"), 3).as("sh"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("a b c", "b c d"))
+    assert(out(1).isEmpty)
+  }
+
+  test("langId picks the dominant stopword list deterministically") {
+    val out = Seq("the cat is in the bag", "el perro de la casa", "xyz qqq")
+      .toDF("s").select(TextFns.langId(col("s")).as("l"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "es", "und"))
+  }
+
+  test("haversine matches reference formula on a known pair") {
+    // San José (9.9281,-84.0907) → Alajuela (10.0162,-84.2117): ~16.3 km
+    val d = Seq((1)).toDF("x").select(
+      GeoFns.haversineKm(lit(9.9281), lit(-84.0907), lit(10.0162), lit(-84.2117))
+        .as("d")).head().getDouble(0)
+    assert(math.abs(d - 16.3) < 0.3)
+  }
+
+  test("grid radius join equals brute force including cell-boundary pairs") {
+    // points straddling cell boundaries at ~radius distance
+    val left = (0 until 200).map(i => (i.toLong, 9.6 + i * 0.0017, -84.3 + (i % 7) * 0.013))
+      .toDF("lid", "llat", "llon")
+    val right = (0 until 100).map(j => (j.toLong, 9.6 + j * 0.0033, -84.3 + (j % 5) * 0.017))
+      .toDF("rid", "rlat", "rlon")
+    val fast = GeoRadiusJoin(left, right, "llat", "llon", "rlat", "rlon", 2.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val brute = left.crossJoin(right)
+      .withColumn("d", GeoFns.haversineKm(col("llat"), col("llon"), col("rlat"), col("rlon")))
+      .filter(col("d") <= 2.0)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(fast == brute && brute.nonEmpty)
+  }
+
+  test("minhash estimate correlates with exact jaccard on constructed dups") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),  // near-dup of 1
+      (3L, "one two three four five six seven eight")        // unrelated
+    ).toDF("doc_id", "text")
+    val cand = Dedup.minhashCandidates(docs, "doc_id", "text", n = 2, bands = 8, rowsPerBand = 2)
+    val pairs = cand.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) || !pairs.contains((2L, 3L)))
+    val verified = Dedup.jaccardVerify(cand, docs, "doc_id", "text", 2)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+    val j12 = verified.find(v => v._1 == 1L && v._2 == 2L).map(_._3)
+    assert(j12.exists(j => j > 0.4 && j < 1.0))
+  }
+
+  test("exact dedup keeps min-id per key") {
+    val df = Seq((5L, "k1"), (2L, "k1"), (7L, "k2")).toDF("id", "k")
+    val out = Dedup.exact(df, "k", "id").select("id").as[Long].collect().toSet
+    assert(out == Set(2L, 7L))
+  }
+}
