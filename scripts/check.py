@@ -31,7 +31,8 @@ for t in TABLES:
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-names = only or sorted(oracle.keys())
+outdirs = sorted(d for d in os.listdir(OUT) if os.path.isdir(f"{OUT}/{d}"))
+names = only or sorted(set(oracle) | set(outdirs))
 
 def canon(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])

@@ -51,12 +51,20 @@ object Dedup {
     }
 
   /** MinHash signature over word n-gram shingles: for each hash j,
-    * min over shingles of (a_j * md5_32(shingle) + b_j) mod p. */
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Seq[Column] =
+    * min over shingles of (a_j * md5_32(shingle) + b_j) mod p.
+    *
+    * Takes a PRE-HASHED shingle array (`hv`, from [[shingleHashes]])
+    * so the md5 pass runs once per document, not once per hash
+    * function — the naive per-hash recompute blows the generated code
+    * up 16× and costs two orders of magnitude at bench scale. */
+  def minhashSignature(hv: Column, numHashes: Int): Seq[Column] =
     hashParams(numHashes).map { case (a, b) =>
-      array_min(transform(TextFns.shingles(text, n), s =>
-        (md5Int32(s) * a + b) % HashPrime))
+      array_min(transform(hv, h => (h * a + b) % HashPrime))
     }
+
+  /** md5-int32 hash of each word n-gram shingle (one md5 pass). */
+  def shingleHashes(text: Column, n: Int): Column =
+    transform(TextFns.shingles(text, n), s => md5Int32(s))
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
     * (band, band-signature), emit unordered (idA < idB) pairs with the
@@ -68,11 +76,11 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val sig = minhashSignature(col(textCol), n, numHashes)
-    val withSig = df
-      .filter(size(TextFns.shingles(col(textCol), n)) > 0)
-      .select(col(idCol).as("id"),
-        array(sig: _*).as("sig"))
+    val withHv = df
+      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hv"))
+      .filter(size(col("hv")) > 0)
+    val withSig = withHv
+      .select(col("id"), array(minhashSignature(col("hv"), numHashes): _*).as("sig"))
     val banded = withSig.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>

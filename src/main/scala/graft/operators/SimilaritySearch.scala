@@ -4,6 +4,7 @@ import graft.functions.VectorFns
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
 
 /** Approximate-nearest-neighbor search over an embedding column —
   * the RAG/top-k surface the reference declares against pgvector
@@ -14,13 +15,23 @@ import org.apache.spark.sql.functions._
   *    query set, exact cosine, per-query window top-k. Correct
   *    baseline; cost O(|Q|·|C|) but fully parallel and |Q| is small in
   *    the RAG pattern.
-  *  - `ivfTopK`: IVF-style two-stage search — k-means-ish centroid
-  *    assignment via deterministic seed centroids, probe the nProbe
-  *    nearest cells only. Cuts the scan to nProbe/nCells of the corpus;
-  *    the scale path for 100 TB corpora (cell id becomes a partition
-  *    key so a probe touches only matching partitions).
+  *  - `ivfTopK`: IVF-style two-stage search — centroid assignment +
+  *    probing the nProbe nearest cells only. Cuts the scan to
+  *    nProbe/nCells of the corpus; the scale path for 100 TB corpora
+  *    (the cell id becomes a partition key so a probe touches only
+  *    matching partitions).
+  *
+  * Norms are precomputed once per side (exact scaled-long encoding, so
+  * this is a pure evaluation-count optimization — results are
+  * bit-identical to recomputing per pair).
   */
 object SimilaritySearch {
+
+  private def cosineFromParts(dot: org.apache.spark.sql.Column,
+                              na: org.apache.spark.sql.Column,
+                              nb: org.apache.spark.sql.Column) =
+    when(na === 0 || nb === 0, lit(null).cast(DoubleType))
+      .otherwise(dot.cast(DoubleType) / sqrt(na.cast(DoubleType) * nb.cast(DoubleType)))
 
   /** Exact cosine top-k per query. `queries` is expected to be small
     * (broadcast); corpus arbitrary. Deterministic tie-break on corpus
@@ -28,10 +39,14 @@ object SimilaritySearch {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      qId: String, qVec: String, cId: String, cVec: String,
                      k: Int): DataFrame = {
-    val joined = broadcast(queries.select(col(qId), col(qVec)))
-      .crossJoin(corpus.select(col(cId), col(cVec)))
+    val q = queries.select(col(qId), col(qVec))
+      .withColumn("_qn", VectorFns.normSqScaled(col(qVec)))
+    val c = corpus.select(col(cId), col(cVec))
+      .withColumn("_cn", VectorFns.normSqScaled(col(cVec)))
+    val joined = broadcast(q).crossJoin(c)
       .filter(col(qId) =!= col(cId))
-      .withColumn("cosine", VectorFns.cosine(col(qVec), col(cVec)))
+      .withColumn("cosine", cosineFromParts(
+        VectorFns.dotScaled(col(qVec), col(cVec)), col("_qn"), col("_cn")))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("cosine").desc, col(cId))
     joined.withColumn("rnk", row_number().over(w))
@@ -40,17 +55,21 @@ object SimilaritySearch {
   }
 
   /** Assign every corpus vector to its nearest of `centroids` (small,
-    * broadcast); returns corpus + `cell` column. Centroids: (cellId,
-    * vector). Used both at index build and at query time. */
+    * broadcast); returns corpus + `cell` column. Centroids: (cell_id,
+    * cell_vec). Used both at index build and at query time. */
   def assignCells(vectors: DataFrame, centroids: DataFrame,
                   vId: String, vVec: String): DataFrame = {
+    val cent = centroids
+      .withColumn("_centn", VectorFns.normSqScaled(col("cell_vec")))
     val assigned = vectors
-      .crossJoin(broadcast(centroids.select(col("cell_id"), col("cell_vec"))))
-      .withColumn("_d", VectorFns.l2SqScaled(col(vVec), col("cell_vec")))
+      .withColumn("_vn", VectorFns.normSqScaled(col(vVec)))
+      .crossJoin(broadcast(cent))
+      .withColumn("_d",
+        col("_vn") - lit(2L) * VectorFns.dotScaled(col(vVec), col("cell_vec")) + col("_centn"))
     val w = Window.partitionBy(col(vId)).orderBy(col("_d"), col("cell_id"))
     assigned.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1)
-      .drop("_d", "_rn", "cell_vec")
+      .drop("_d", "_rn", "_vn", "_centn", "cell_vec")
   }
 
   /** IVF top-k: probe only the `nProbe` cells nearest each query. */
@@ -59,16 +78,22 @@ object SimilaritySearch {
               k: Int, nProbe: Int): DataFrame = {
     val indexed = assignCells(corpus, centroids, cId, cVec)
       .withColumnRenamed("cell_id", "cell")
+      .withColumn("_cn", VectorFns.normSqScaled(col(cVec)))
+    val cent = centroids
+      .withColumn("_centn", VectorFns.normSqScaled(col("cell_vec")))
     val qCells = queries
-      .crossJoin(broadcast(centroids))
-      .withColumn("_d", VectorFns.l2SqScaled(col(qVec), col("cell_vec")))
+      .withColumn("_qn", VectorFns.normSqScaled(col(qVec)))
+      .crossJoin(broadcast(cent))
+      .withColumn("_d",
+        col("_qn") - lit(2L) * VectorFns.dotScaled(col(qVec), col("cell_vec")) + col("_centn"))
     val wq = Window.partitionBy(col(qId)).orderBy(col("_d"), col("cell_id"))
     val probes = qCells.withColumn("_rn", row_number().over(wq))
       .filter(col("_rn") <= nProbe)
-      .select(col(qId), col(qVec), col("cell_id").as("cell"))
+      .select(col(qId), col(qVec), col("_qn"), col("cell_id").as("cell"))
     val cand = probes.join(indexed, "cell")
       .filter(col(qId) =!= col(cId))
-      .withColumn("cosine", VectorFns.cosine(col(qVec), col(cVec)))
+      .withColumn("cosine", cosineFromParts(
+        VectorFns.dotScaled(col(qVec), col(cVec)), col("_qn"), col("_cn")))
     val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId))
     cand.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)

@@ -1,0 +1,189 @@
+package graft.queries
+
+import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Relational surface widening: distinct aggregates, pivot, set ops,
+  * the full ranking/analytic window family, cube, string/date scalar
+  * functions, exact percentiles — engine surface the reference gets
+  * for free from Postgres and a 100 TB engine must provide natively
+  * (SURVEY §2.5 note, §2.7, §2.8).
+  */
+object ExtraQueries {
+
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  val all: Seq[Q] = Seq(
+
+    Q("q32_distinct_aggs",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("nd_parts"),
+          countDistinct(col("l_suppkey")).as("nd_supps"),
+          countDistinct(col("l_partkey"), col("l_suppkey")).as("nd_pairs"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  COUNT(DISTINCT l_partkey) AS nd_parts,
+             |  COUNT(DISTINCT l_suppkey) AS nd_supps,
+             |  COUNT(DISTINCT (l_partkey, l_suppkey)) AS nd_pairs,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    Q("q33_pivot",
+      (s, dir) => Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("cnt_f"),
+          coalesce(col("O"), lit(0L)).as("cnt_o"),
+          coalesce(col("P"), lit(0L)).as("cnt_p"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_f,
+             |  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_o,
+             |  SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_p
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    Q("q34_set_ops",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        def keys(st: String) = o.filter(col("o_orderstatus") === st)
+          .select(col("o_custkey"))
+        val both = keys("O").intersect(keys("F"))
+          .select(col("o_custkey"), lit("both_o_f").as("set_tag"))
+        val onlyO = keys("O").except(keys("P"))
+          .select(col("o_custkey"), lit("o_minus_p").as("set_tag"))
+        both.unionByName(onlyO).orderBy(col("set_tag"), col("o_custkey"))
+      },
+      Some("""(SELECT o_custkey, 'both_o_f' AS set_tag FROM
+             |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |   INTERSECT
+             |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t1)
+             |UNION ALL
+             |(SELECT o_custkey, 'o_minus_p' AS set_tag FROM
+             |  (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+             |   EXCEPT
+             |   SELECT o_custkey FROM orders WHERE o_orderstatus = 'P') t2)
+             |ORDER BY set_tag, o_custkey""".stripMargin)),
+
+    // Ranking + analytic window family: rank/dense_rank/lag/lead/
+    // ntile/first_value-ignore-nulls (needed for A5-style
+    // best-of-cluster reduction).
+    Q("q35_window_suite",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders").filter(col("o_custkey") <= 100)
+        val byPrice = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        val byDate = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val byDateRows = byDate.rowsBetween(Window.unboundedPreceding, 0)
+        o.select(col("o_custkey"), col("o_orderkey"),
+            rank().over(byPrice).as("rnk"),
+            dense_rank().over(byPrice).as("drnk"),
+            lag(col("o_totalprice"), 1).over(byDate).as("prev_price"),
+            lead(col("o_totalprice"), 1).over(byDate).as("next_price"),
+            ntile(4).over(byDate).as("quartile"),
+            first(nullif(col("o_orderpriority"), lit("3-MEDIUM")), ignoreNulls = true)
+              .over(byDateRows).as("first_prio"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |  RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+             |  DENSE_RANK() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS drnk,
+             |  LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+             |  LEAD(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+             |  NTILE(4) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS quartile,
+             |  FIRST_VALUE(nullif(o_orderpriority, '3-MEDIUM') IGNORE NULLS) OVER (
+             |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_prio
+             |FROM orders WHERE o_custkey <= 100
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    Q("q36_cube",
+      (s, dir) => Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("revenue"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("revenue"))
+        .orderBy(col("status"), col("priority")),
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY status, priority""".stripMargin)),
+
+    // F17/F18 string scalar suite.
+    Q("q37_string_fns",
+      (s, dir) => Tables(s, dir, "part").filter(col("p_partkey") <= 2000)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("name_upper"),
+          regexp_extract(col("p_brand"), "([0-9]+)", 1).as("brand_num"),
+          substring(col("p_type"), 1, 5).as("type_abbrev"),
+          lpad(col("p_partkey").cast(StringType), 8, "0").as("key_padded"),
+          size(split(col("p_name"), " ")).as("n_words"),
+          reverse(col("p_brand")).as("brand_rev"),
+          translate(col("p_brand"), "#", "-").as("brand_dash"))
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey,
+             |  upper(p_name) AS name_upper,
+             |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+             |  substr(p_type, 1, 5) AS type_abbrev,
+             |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+             |  len(string_split(p_name, ' ')) AS n_words,
+             |  reverse(p_brand) AS brand_rev,
+             |  replace(p_brand, '#', '-') AS brand_dash
+             |FROM part WHERE p_partkey <= 2000 ORDER BY p_partkey""".stripMargin)),
+
+    // F11-adjacent date/time scalar suite (timestamp compare semantics
+    // live in q17_cdc_delta; this covers truncation/extraction).
+    Q("q38_date_fns",
+      (s, dir) => Tables(s, dir, "orders")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          datediff(lit(java.sql.Timestamp.valueOf("2002-01-01 00:00:00")),
+            col("o_orderdate")).as("days_left"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy(col("o_orderkey")),
+      Some("""SELECT o_orderkey,
+             |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+             |  CAST(year(o_orderdate) AS INT) AS yr,
+             |  CAST(month(o_orderdate) AS INT) AS mo,
+             |  CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow,
+             |  CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INT) AS days_left,
+             |  CAST(quarter(o_orderdate) AS INT) AS qtr
+             |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // Exact interpolated percentiles (distribution surface; identical
+    // (n-1)·q linear-interpolation definition on both engines).
+    Q("q39_percentiles",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90"),
+          round(min(col("l_quantity")), 6).as("qmin"),
+          round(max(col("l_quantity")), 6).as("qmax"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.25), 6) AS p25,
+             |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.5), 6) AS p50,
+             |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.75), 6) AS p75,
+             |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90,
+             |  round(MIN(l_quantity), 6) AS qmin,
+             |  round(MAX(l_quantity), 6) AS qmax
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+  )
+}

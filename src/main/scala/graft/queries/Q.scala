@@ -25,7 +25,8 @@ final case class Q(
 object Registry {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ EventQueries.all ++ TextQueries.all ++
-      VectorQueries.all ++ GeoQueries.all ++ MergeQueries.all
+      VectorQueries.all ++ GeoQueries.all ++ MergeQueries.all ++
+      ExtraQueries.all ++ DomainQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

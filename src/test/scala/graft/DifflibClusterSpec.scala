@@ -1,0 +1,45 @@
+package graft
+
+import graft.functions.SequenceMatcherRatio
+import graft.operators.ClusterUnify
+import org.apache.spark.sql.functions._
+
+class DifflibClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SequenceMatcher ratio matches Python difflib on reference pairs") {
+    // expected values computed with CPython difflib.SequenceMatcher
+    val cases = Seq(
+      ("Brand-13", "Brand#13", 0.875),
+      ("starbucks", "Starbucks Coffee", 0.64),
+      ("mcdonalds", "McDonald's", 0.7368421052631579),
+      ("aabbccdd", "abcd", 0.6666666666666666),
+      ("Automercado", "automercado ", 0.8695652173913043),
+      ("", "", 1.0),
+      ("abc", "", 0.0))
+    cases.foreach { case (a, b, exp) =>
+      val got = SequenceMatcherRatio.ratio(a, b)
+      assert(math.abs(got - exp) < 1e-12, s"ratio($a, $b) = $got, expected $exp")
+    }
+  }
+
+  test("ratio is reproduced through the Catalyst expression with codegen") {
+    val out = Seq(("Brand-13", "Brand#13")).toDF("a", "b")
+      .select(graft.functions.DifflibRatio(col("a"), col("b")).as("r"))
+      .head().getDouble(0)
+    assert(out == 0.875)
+  }
+
+  test("cluster unify merges transitive chains but not separated groups") {
+    // chain: 1-2-3 each ~16m apart (transitively one cluster even
+    // though 1-3 > 25m); 4 isolated ~1km away
+    val pts = Seq(
+      (1L, 9.6000, -84.3), (2L, 9.60015, -84.3), (3L, 9.6003, -84.3),
+      (4L, 9.61, -84.3)
+    ).toDF("id", "lat", "lon")
+    val out = ClusterUnify(pts, "id", "lat", "lon", 0.025)
+      .select("id", "cluster_id").as[(Long, Long)].collect().toMap
+    assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
+    assert(out(4L) == 4L)
+  }
+}
