@@ -13,52 +13,55 @@ import org.apache.spark.sql.functions._
   * Distributed form:
   *  1. build the within-radius edge set with [[GeoRadiusJoin]] (grid
   *     cell prefilter — no cross join);
-  *  2. iterative min-label propagation over the edges until fixpoint
-  *     (labels only decrease; converges in ≤ graph-diameter rounds,
-  *     each round one shuffle). Cluster id = min member id — the
-  *     deterministic tie-breaker SURVEY §7.4 calls for.
-  *
-  * At 100 TB scale swap step 2 for the alternating large-star/
-  * small-star algorithm (Kiveris et al., "Connected Components in
-  * MapReduce") — same join shape, O(log n) rounds; the simple
-  * propagation is kept here because POI clusters are metres wide and
-  * the graph diameter is tiny.
+  *  2. min-label propagation with POINTER JUMPING: each round a node
+  *     takes min(own label, neighbors' labels, label-of-its-label).
+  *     The jump step doubles the propagation horizon, so rounds are
+  *     O(log diameter) — the hash-join formulation of the
+  *     large-star/small-star MapReduce algorithm. One shuffle set and
+  *     ONE driver action (the combined materialize+changed count) per
+  *     round. Cluster id = min member id — the deterministic
+  *     tie-breaker SURVEY §7.4 calls for.
   */
 object ClusterUnify {
 
   /** @return input rows + `cluster_id` (min id reachable via chains of
     *         pairwise distance ≤ radiusKm). */
   def apply(points: DataFrame, idCol: String, latCol: String, lonCol: String,
-            radiusKm: Double, maxIters: Int = 50): DataFrame = {
+            radiusKm: Double, maxIters: Int = 25): DataFrame = {
     val ids = points.select(col(idCol), col(latCol), col(lonCol))
 
-    // Edge set (undirected, no self edges needed — every node seeds
-    // its own label). Both directions kept so propagation is symmetric.
     val right = ids.select(col(idCol).as("_dst"),
       col(latCol).as("_rlat"), col(lonCol).as("_rlon"))
     val edges = GeoRadiusJoin(ids, right, latCol, lonCol, "_rlat", "_rlon", radiusKm)
       .filter(col(idCol) =!= col("_dst"))
       .select(col(idCol).as("_src"), col("_dst"))
       .persist()
+    edges.count()
 
-    var labels = ids.select(col(idCol).as("_id"), col(idCol).as("_lbl")).persist()
+    var cached = ids.select(col(idCol).as("_id"), col(idCol).as("_lbl")).persist()
+    var labels = cached
     var iter = 0
-    var converged = edges.isEmpty
-    while (!converged && iter < maxIters) {
-      // candidate labels: own + min over neighbors' labels
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("_id", "_src").withColumnRenamed("_lbl", "_nl"), "_src")
+        .join(labels.select(col("_id").as("_src"), col("_lbl").as("_nl")), "_src")
         .groupBy(col("_dst").as("_id"))
         .agg(min(col("_nl")).as("_minn"))
-      val next = labels.join(viaNeighbors, Seq("_id"), "left")
-        .select(col("_id"), least(col("_lbl"), coalesce(col("_minn"), col("_lbl"))).as("_lbl"))
+      // pointer jump: the label my current label points to
+      val jumped = labels.select(col("_id").as("_jid"), col("_lbl").as("_jl"))
+      val next = labels
+        .join(viaNeighbors, Seq("_id"), "left")
+        .join(jumped.withColumnRenamed("_jid", "_lbl"), Seq("_lbl"), "left")
+        .select(col("_id"),
+          least(col("_lbl"), coalesce(col("_minn"), col("_lbl")),
+            coalesce(col("_jl"), col("_lbl"))).as("_lbl"),
+          (least(col("_lbl"), coalesce(col("_minn"), col("_lbl")),
+            coalesce(col("_jl"), col("_lbl"))) < col("_lbl")).as("_chg"))
         .persist()
-      next.count() // materialize before checking convergence
-      val changed = next.join(labels.withColumnRenamed("_lbl", "_old"), "_id")
-        .filter(col("_lbl") =!= col("_old")).limit(1).count() > 0
-      labels.unpersist()
-      labels = next
-      converged = !changed
+      changed = next.filter(col("_chg")).count() // also materializes the cache
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("_id"), col("_lbl"))
       iter += 1
     }
     edges.unpersist()

@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal binary-column surface over synthetic assets (documents
+  * bytes standing in for media blobs — no codec libs in this env).
+  * Content addressing/pathing is oracle-checked; the stubbed decode +
+  * embedding path is rows-only (Java-side deterministic fakes).
+  */
+object MultimodalQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // S6/K5: content hash, byte stats, hashed object-store pathing.
+    Q("q45_media_stats",
+      (s, dir) => {
+        val assets = Multimodal.syntheticAssets(s, dir).toDF()
+        Multimodal.withContentStats(assets)
+          .withColumn("storage_path", Multimodal.storagePath(
+            col("client_id"), (col("asset_id") % 100).cast(StringType),
+            col("content_hash")))
+          .select(col("asset_id"), col("client_id"), col("media_type"),
+            col("content_hash"), col("byte_size"), col("storage_path"))
+          .orderBy(col("asset_id"))
+      },
+      Some("""SELECT doc_id AS asset_id,
+             |  'client_' || CAST(doc_id % 5 AS VARCHAR) AS client_id,
+             |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             |  sha256(text) AS content_hash,
+             |  CAST(strlen(text) AS INT) AS byte_size,
+             |  'images/client_' || CAST(doc_id % 5 AS VARCHAR) || '/properties/' ||
+             |    CAST(doc_id % 100 AS VARCHAR) || '/' || sha256(text) || '.webp' AS storage_path
+             |FROM documents ORDER BY asset_id""".stripMargin)),
+
+    // S5/F19 plumbing: partition-local decode + embedding extraction
+    // (deterministic stubs; rows-only check).
+    Q("q46_media_decode",
+      (s, dir) => {
+        val assets = Multimodal.syntheticAssets(s, dir)
+        val meta = Multimodal.decodeMeta(assets).toDF()
+        val emb = Multimodal.extractEmbeddings(assets, dim = 16)
+          .select(col("asset_id"),
+            round(graft.functions.VectorFns.normSqScaled(col("embedding"))
+              .cast(DoubleType) / 1e10, 4).as("embed_norm_sq"))
+        meta.join(emb, "asset_id")
+          .select(col("asset_id"), col("media_type"), col("byte_size"),
+            col("width"), col("height"), col("n_frames"), col("format"),
+            col("embed_norm_sq"))
+          .orderBy(col("asset_id"))
+      },
+      None)
+  )
+}

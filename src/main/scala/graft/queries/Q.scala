@@ -26,7 +26,7 @@ object Registry {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ EventQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ GeoQueries.all ++ MergeQueries.all ++
-      ExtraQueries.all ++ DomainQueries.all
+      ExtraQueries.all ++ DomainQueries.all ++ MultimodalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
