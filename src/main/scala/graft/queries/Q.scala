@@ -26,7 +26,8 @@ object Registry {
   lazy val all: Seq[Q] =
     CoreQueries.all ++ EventQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ GeoQueries.all ++ MergeQueries.all ++
-      ExtraQueries.all ++ DomainQueries.all ++ MultimodalQueries.all
+      ExtraQueries.all ++ DomainQueries.all ++ MultimodalQueries.all ++
+      ScaleQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.operators.{EmbeddingDedup, SaltedAgg}
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Scale-technique operators exercised as verifiable queries:
+  * random-hyperplane embedding near-dup (LSH buckets, no cross join)
+  * and salted two-phase aggregation (exactly equal to the plain
+  * groupBy — the point of the oracle).
+  */
+object ScaleQueries {
+
+  private def dotSql(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"s -> CAST(round(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) * 1e10, 0) AS BIGINT))) AS BIGINT)"
+
+  private def normSql(a: String): String =
+    s"CAST(list_sum(list_transform($a, " +
+      s"x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e10, 0) AS BIGINT))) AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+
+    Q("q47_embedding_neardup",
+      (s, dir) => EmbeddingDedup(
+        Tables(s, dir, "embeddings"), "vec_id", "embedding",
+        nPlanes = 4, threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS pv
+             |    FROM embeddings ORDER BY vec_id LIMIT 4),
+             |signs AS (SELECT e.vec_id, e.embedding,
+             |    string_agg(CASE WHEN ${dotSql("e.embedding", "p.pv")} >= 0
+             |      THEN '1' ELSE '0' END, '' ORDER BY p.plane_id) AS bucket
+             |  FROM embeddings e, planes p GROUP BY e.vec_id, e.embedding),
+             |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |    a.embedding AS va, b.embedding AS vb
+             |  FROM signs a JOIN signs b ON a.bucket = b.bucket
+             |  WHERE a.vec_id < b.vec_id),
+             |cos AS (SELECT id_a, id_b,
+             |    CASE WHEN ${normSql("va")} = 0 OR ${normSql("vb")} = 0 THEN NULL
+             |      ELSE CAST(${dotSql("va", "vb")} AS DOUBLE) /
+             |        sqrt(CAST(${normSql("va")} AS DOUBLE) * CAST(${normSql("vb")} AS DOUBLE)) END AS cosine
+             |  FROM pairs)
+             |SELECT id_a, id_b, cosine FROM cos
+             |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
+
+    Q("q48_salted_agg",
+      (s, dir) => SaltedAgg.sumByKey(
+        EventQueries.events(s, dir),
+        keys = Seq("event_type"),
+        valueCol = col("value").cast(DecimalType(18, 2)),
+        alias = "total",
+        uniqueCol = col("event_id"),
+        buckets = 16)
+        .select(col("event_type"),
+          col("total").cast(DoubleType).as("total"),
+          col("total_n").as("n"))
+        .orderBy(col("event_type")),
+      Some("""SELECT event_type,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
+             |  COUNT(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+  )
+}
