@@ -95,6 +95,17 @@ object TextFns {
           size(toks).cast(DoubleType))
   }
 
+  /** BPE-ish subword pre-tokenization (GPT-2-style splitter shape):
+    * letter runs, digit runs, punctuation runs — each optionally
+    * preceded by a space. Character-class-only regex so any engine's
+    * regex dialect agrees. Counts approximate LLM token budgeting. */
+  val BpePattern = " ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpePattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text))
+
   /** Per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny and deterministic. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(

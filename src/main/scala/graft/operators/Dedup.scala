@@ -79,8 +79,11 @@ object Dedup {
     val withHv = df
       .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hv"))
       .filter(size(col("hv")) > 0)
+    // persisted: referenced by BOTH sides of the bucket self-join —
+    // without it the md5 signature pass runs twice
     val withSig = withHv
       .select(col("id"), array(minhashSignature(col("hv"), numHashes): _*).as("sig"))
+      .persist()
     val banded = withSig.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>

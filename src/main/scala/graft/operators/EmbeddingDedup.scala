@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   *
   * Hyperplanes are taken from the corpus itself (first `nPlanes`
   * vectors by id) so the pipeline is fully deterministic and
-  * reproducible by any SQL oracle — no RNG state to ship.
+  * reproducible by any SQL oracle — no RNG state to ship. The planes
+  * are collected to the driver (nPlanes rows — bounded and tiny, like
+  * any LSH plane set) and inlined as literals, so bucketing is a pure
+  * projection: no extra join or shuffle to attach signs.
   */
 object EmbeddingDedup {
 
@@ -21,26 +24,29 @@ object EmbeddingDedup {
     *         cosine ≥ threshold; ids ordered a < b. */
   def apply(vectors: DataFrame, idCol: String, vecCol: String,
             nPlanes: Int, threshold: Double): DataFrame = {
-    val planes = vectors.orderBy(col(idCol)).limit(nPlanes)
-      .select(col(idCol).as("plane_id"), col(vecCol).as("plane_vec"))
+    val planeVecs: Seq[Seq[Float]] = vectors.orderBy(col(idCol)).limit(nPlanes)
+      .select(col(vecCol)).collect().toSeq
+      .map(_.getSeq[Float](0))
 
-    // bucket key: concatenated signs of the scaled-long projections,
-    // bit order fixed by sorting on plane_id
-    val signs = vectors
-      .crossJoin(broadcast(planes))
-      .withColumn("_sign",
-        when(VectorFns.dotScaled(col(vecCol), col("plane_vec")) >= 0, lit("1"))
-          .otherwise(lit("0")))
-      .groupBy(col(idCol), col(vecCol))
-      .agg(array_join(transform(
-        sort_array(collect_list(struct(col("plane_id"), col("_sign")))),
-        s => s.getField("_sign")), "").as("bucket"))
+    // bucket key: concatenated projection signs, plane order = id order
+    val bucket = concat(planeVecs.map { p =>
+      when(VectorFns.dotScaled(col(vecCol), typedLit(p)) >= 0, lit("1"))
+        .otherwise(lit("0"))
+    }: _*)
 
-    val a = signs.select(col("bucket"), col(idCol).as("id_a"), col(vecCol).as("vec_a"))
-    val b = signs.select(col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    val signs = vectors.select(col(idCol), col(vecCol),
+        VectorFns.normSqScaled(col(vecCol)).as("_n"), bucket.as("bucket"))
+
+    val a = signs.select(col("bucket"), col(idCol).as("id_a"),
+      col(vecCol).as("vec_a"), col("_n").as("_na"))
+    val b = signs.select(col("bucket"), col(idCol).as("id_b"),
+      col(vecCol).as("vec_b"), col("_n").as("_nb"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .withColumn("cosine", VectorFns.cosine(col("vec_a"), col("vec_b")))
+      .withColumn("cosine",
+        when(col("_na") === 0 || col("_nb") === 0, lit(null).cast("double"))
+          .otherwise(VectorFns.dotScaled(col("vec_a"), col("vec_b")).cast("double") /
+            sqrt(col("_na").cast("double") * col("_nb").cast("double"))))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -28,6 +28,34 @@ class StreamingSpec extends SparkSpec {
     assert(result.count() > 0)
   }
 
+  test("status machine runs as a real stream with state across batches") {
+    import graft.streaming.StatusMachine
+    import graft.streaming.StatusMachine._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sm").toString
+    // two files → two micro-batches; state must carry d1's PROCESSING
+    // from batch 1 into batch 2's ok transition
+    Seq(StatusEvent("d1", "start", 1L), StatusEvent("d2", "start", 1L))
+      .toDS().write.parquet(s"$dir/b1")
+    Seq(StatusEvent("d1", "ok", 2L), StatusEvent("d2", "fail", 2L))
+      .toDS().write.parquet(s"$dir/b2")
+    val stream = spark.readStream
+      .schema(implicitly[org.apache.spark.sql.Encoder[StatusEvent]].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .as[StatusEvent]
+    val q = StatusMachine.run(stream).writeStream
+      .format("memory").queryName("sm_test").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val last = spark.table("sm_test")
+      .groupBy("content_id").agg(org.apache.spark.sql.functions.max(
+        org.apache.spark.sql.functions.struct($"updated_at", $"status")).as("m"))
+      .select($"content_id", $"m.status").as[(String, String)].collect().toMap
+    assert(last("d1") == "SYNCED" && last("d2") == "FAILED")
+  }
+
   test("streaming session windows produce bounded sessions") {
     val batchDf = EventQueries.events(spark, sf001)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
