@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *     round. Cluster id = min member id — the deterministic
   *     tie-breaker SURVEY §7.4 calls for.
   */
-object ClusterUnify {
+object ClusterUnify extends org.apache.spark.internal.Logging {
 
   /** @return input rows + `cluster_id` (min id reachable via chains of
     *         pairwise distance ≤ radiusKm). */
@@ -38,11 +38,16 @@ object ClusterUnify {
       .persist()
     edges.count()
 
-    var cached = ids.select(col(idCol).as("_id"), col(idCol).as("_lbl")).persist()
-    var labels = cached
+    // localCheckpoint per round truncates lineage — a persist/unpersist
+    // chain would leave each round's cache depending on the previous
+    // (just-dropped) one and replay the whole iteration history on any
+    // later action.
+    var labels = ids.select(col(idCol).as("_id"), col(idCol).as("_lbl"))
+      .localCheckpoint()
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
+      val t0 = System.nanoTime()
       val viaNeighbors = edges
         .join(labels.select(col("_id").as("_src"), col("_lbl").as("_nl")), "_src")
         .groupBy(col("_dst").as("_id"))
@@ -57,12 +62,12 @@ object ClusterUnify {
             coalesce(col("_jl"), col("_lbl"))).as("_lbl"),
           (least(col("_lbl"), coalesce(col("_minn"), col("_lbl")),
             coalesce(col("_jl"), col("_lbl"))) < col("_lbl")).as("_chg"))
-        .persist()
-      changed = next.filter(col("_chg")).count() // also materializes the cache
-      cached.unpersist()
-      cached = next
+        .localCheckpoint() // eager: materializes this round once
+      changed = next.filter(col("_chg")).count()
       labels = next.select(col("_id"), col("_lbl"))
       iter += 1
+      logInfo(s"cluster-unify round $iter: changed=$changed " +
+        f"(${(System.nanoTime() - t0) / 1e9}%.2fs)")
     }
     edges.unpersist()
     points.join(
