@@ -1,0 +1,93 @@
+package graft
+
+import graft.functions.{SequenceMatcherRatio, TextNorm}
+import org.scalacheck.Gen
+
+/** ScalaCheck properties for the pure kernels (SURVEY §5: F1-F7 are
+  * pure and ideal for property-based tests — bounds, idempotence,
+  * NULL/garbage safety). Column-level properties are exercised through
+  * a single batched DataFrame evaluation per property for speed. */
+class PropertySpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+
+  private val junky: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.numStr,
+    Gen.asciiPrintableStr,
+    Gen.oneOf("", ".", "..", "1.2.3.4", "∞", "NaN", "1e10", "-5", " 42 "))
+
+  test("cleanPrice: price is 0 or within (0, 1e13]; currency always 3 known chars") {
+    val samples = Gen.listOfN(300, junky).sample.get
+    val rows = samples.toDF("v")
+      .select(graft.functions.CleanFns.cleanPrice(col("v"), lit("USD")).as("p"))
+      .select("p.price", "p.currency").collect()
+    rows.foreach { r =>
+      val price = r.getDouble(0)
+      assert(price == 0d || (price > 0 && price <= 9999999999999.99d))
+      assert(Set("USD", "CRC").contains(r.getString(1)))
+    }
+  }
+
+  test("cleanArea: null or within (0, 9999999.99]") {
+    val samples = Gen.listOfN(300, junky).sample.get
+    samples.toDF("v").select(graft.functions.CleanFns.cleanArea(col("v")).as("a"))
+      .collect().foreach { r =>
+        if (!r.isNullAt(0)) {
+          val a = r.getDouble(0)
+          assert(a > 0 && a <= 9999999.99)
+        }
+      }
+  }
+
+  test("normalize is idempotent and never longer") {
+    Gen.listOfN(200, Gen.asciiPrintableStr).sample.get.foreach { s =>
+      val once = TextNorm.normalize(s)
+      assert(TextNorm.normalize(once) == once)
+    }
+    // idempotence on accented unicode specifically
+    Seq("Óscar Müller", "čarodějnice", "ñandú ÀÈÌ").foreach { s =>
+      assert(TextNorm.normalize(TextNorm.normalize(s)) == TextNorm.normalize(s))
+    }
+  }
+
+  test("difflib ratio: symmetric bounds, identity, and range") {
+    Gen.listOfN(200, Gen.zip(Gen.alphaStr, Gen.alphaStr)).sample.get.foreach {
+      case (a, b) =>
+        val r = SequenceMatcherRatio.ratio(a, b)
+        assert(r >= 0.0 && r <= 1.0)
+        if (a == b) assert(r == 1.0)
+    }
+  }
+
+  test("minhash est_jaccard and exact jaccard live in [0,1]; identical docs hit 1") {
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"), (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "a b c d e f"), (4L, "w1 w2 w3 x y z")
+    ).toDF("doc_id", "text")
+    val cand = graft.operators.Dedup.minhashCandidates(docs, "doc_id", "text", n = 2)
+    val verified = graft.operators.Dedup
+      .jaccardVerify(cand, docs, "doc_id", "text", 2)
+      .select("id_a", "id_b", "est_jaccard", "jaccard")
+      .as[(Long, Long, Double, Double)].collect()
+    assert(verified.forall(v => v._3 >= 0 && v._3 <= 1 && v._4 >= 0 && v._4 <= 1))
+    val dup = verified.find(v => v._1 == 1L && v._2 == 2L)
+    assert(dup.exists(v => v._3 == 1.0 && v._4 == 1.0))
+  }
+
+  test("haversine: symmetric, zero on identity, nonnegative") {
+    val coords = Gen.listOfN(50,
+      Gen.zip(Gen.choose(-80d, 80d), Gen.choose(-179d, 179d),
+        Gen.choose(-80d, 80d), Gen.choose(-179d, 179d))).sample.get
+    val rows = coords.toDF("a", "b", "c", "d").select(
+      graft.functions.GeoFns.haversineKm(col("a"), col("b"), col("c"), col("d")).as("d1"),
+      graft.functions.GeoFns.haversineKm(col("c"), col("d"), col("a"), col("b")).as("d2"),
+      graft.functions.GeoFns.haversineKm(col("a"), col("b"), col("a"), col("b")).as("z"))
+      .collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9)
+      assert(r.getDouble(0) >= 0)
+      assert(r.getDouble(2) == 0.0)
+    }
+  }
+}
