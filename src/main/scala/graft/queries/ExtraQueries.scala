@@ -164,6 +164,32 @@ object ExtraQueries {
              |  CAST(quarter(o_orderdate) AS INT) AS qtr
              |FROM orders WHERE o_orderkey % 100 = 0 ORDER BY o_orderkey""".stripMargin)),
 
+    // Typed single-pass top-k via a custom Aggregator (map-side
+    // bounded buffers instead of whole-group window sort) — must equal
+    // the window formulation exactly (same oracle as q06).
+    Q("q51_topk_typed_agg",
+      (s, dir) => {
+        import s.implicits._
+        val ds = Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+          .as[(Long, Long, Double)]
+        ds.groupByKey(_._1)
+          .mapValues(r => (r._2, r._3))
+          .agg(new graft.functions.TopKAggregator(3).toColumn.name("top"))
+          .flatMap { case (ck, hits) =>
+            hits.zipWithIndex.map { case ((ok, price), i) => (ck, ok, price, i + 1) }
+          }
+          .toDF("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+          .orderBy(col("o_custkey"), col("rnk"))
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |  FROM orders) t
+             |WHERE rnk <= 3
+             |ORDER BY o_custkey, rnk""".stripMargin)),
+
     // Exact interpolated percentiles (distribution surface; identical
     // (n-1)·q linear-interpolation definition on both engines).
     Q("q39_percentiles",
