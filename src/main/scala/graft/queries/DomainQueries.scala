@@ -172,6 +172,30 @@ object DomainQueries {
       },
       None),
 
+    // BRAND_CONFIG service: per-client CSS custom-property generation
+    // (reference: src/BRAND_CONFIG/service.py:17-92 — color/font/radius
+    // settings rendered to CSS text), as pure string assembly.
+    Q("q52_brand_css",
+      (s, dir) => {
+        val k = col("p_partkey")
+        Tables(s, dir, "part").filter(k <= 500)
+          .select(k.as("client_key"),
+            lpad(hex((k * 99991L) % 16777216L), 6, "0").as("primary_hex"),
+            (k % 24 + 1).cast("int").as("radius_px"))
+          .withColumn("css", concat(
+            lit(":root{--brand-primary:#"), lower(col("primary_hex")),
+            lit(";--brand-radius:"), col("radius_px").cast("string"),
+            lit("px;}")))
+          .select(col("client_key"), col("css"))
+          .orderBy(col("client_key"))
+      },
+      Some("""SELECT p_partkey AS client_key,
+             |  ':root{--brand-primary:#' ||
+             |  lower(lpad(to_hex((p_partkey * 99991) % 16777216), 6, '0')) ||
+             |  ';--brand-radius:' || CAST(CAST(p_partkey % 24 + 1 AS INT) AS VARCHAR) ||
+             |  'px;}' AS css
+             |FROM part WHERE p_partkey <= 500 ORDER BY client_key""".stripMargin)),
+
     // F12: hex → RGB → luma → text-contrast decision
     // (BRAND_CONFIG/utils.py:1-24) over synthesized hex colors.
     Q("q44_contrast",

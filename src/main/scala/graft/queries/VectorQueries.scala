@@ -95,6 +95,46 @@ object VectorQueries {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
            |  FROM cos) t
            |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
-      })
+      }),
+
+    // The RAG query surface proper (schemas.py:88-108): top_k=5 with a
+    // metadata filter (label as the category analog) scoped per query —
+    // filtered ANN, the pgvector `WHERE client_id=… AND category=…
+    // ORDER BY embedding <=> q LIMIT 5` shape.
+    Q("q28b_rag_filtered",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            (col("vec_id") % 10).cast("int").as("want_label"))
+        val corpus = emb.select(col("vec_id").as("n_id"), col("embedding"),
+          col("label"))
+        val joined = broadcast(queries).crossJoin(corpus)
+          .filter(col("q_id") =!= col("n_id") && col("label") === col("want_label"))
+          .withColumn("cosine", graft.functions.VectorFns.cosine(col("q_vec"), col("embedding")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+        joined.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("n_id"), col("label"), col("cosine"), col("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+             |    CAST(vec_id % 10 AS INT) AS want_label
+             |  FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS n_id, embedding AS cv, label FROM embeddings),
+             |dots AS (SELECT q_id, n_id, label,
+             |    ${dotSql("qv", "cv")} AS dot,
+             |    ${normSql("qv")} AS na,
+             |    ${normSql("cv")} AS nb
+             |  FROM q, c WHERE q_id <> n_id AND label = want_label),
+             |cos AS (SELECT q_id, n_id, label,
+             |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |      ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS cosine
+             |  FROM dots)
+             |SELECT q_id, n_id, label, cosine, rnk FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
+             |  FROM cos) t
+             |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin))
   )
 }
