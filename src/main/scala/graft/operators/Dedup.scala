@@ -76,14 +76,28 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withHv = df
-      .select(col(idCol).as("id"), shingleHashes(col(textCol), n).as("hv"))
-      .filter(size(col("hv")) > 0)
-    // persisted: referenced by BOTH sides of the bucket self-join —
-    // without it the md5 signature pass runs twice
-    val withSig = withHv
-      .select(col("id"), array(minhashSignature(col("hv"), numHashes): _*).as("sig"))
+    // Shape notes (bench-driven):
+    //  - repartition BEFORE the md5 projection: input file layout must
+    //    not bound CPU parallelism of a compute-heavy column;
+    //  - signatures via explode + 16 flat `min` aggregates instead of
+    //    16 array-lambda transforms — the lambda form generates huge
+    //    codegen units whose compilation dominated the query;
+    //  - persist + eager materialize: both sides of the bucket
+    //    self-join are scheduled concurrently and would otherwise race
+    //    past the cache and compute signatures twice.
+    val exploded = df
+      .select(col(idCol), col(textCol))
+      .repartition(col(idCol))
+      .select(col(idCol).as("id"),
+        explode(shingleHashes(col(textCol), n)).as("hv"))
+    val sigCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("hv") * a + b) % HashPrime).as(s"_s$i")
+    }
+    val withSig = exploded.groupBy(col("id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(i => col(s"_s$i")): _*).as("sig"))
       .persist()
+    withSig.count()
     val banded = withSig.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -125,6 +139,8 @@ object Dedup {
     * near-dup candidates (cheap, single groupBy). */
   def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
                      bits: Int = 16): DataFrame =
-    df.select(col(idCol), VectorFns.simhash(TextFns.tokens(col(textCol)), bits)
-      .as("simhash"))
+    df.select(col(idCol), col(textCol))
+      .repartition(col(idCol)) // parallelize the md5-vote projection
+      .select(col(idCol), VectorFns.simhash(TextFns.tokens(col(textCol)), bits)
+        .as("simhash"))
 }

@@ -13,6 +13,16 @@ object ProfileQ {
     val name = args(0)
     val dir = if (args.length > 1) args(1)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val si = sc.stageInfo
+          val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+          if (dur > 0.3)
+            println(f"  stage ${si.stageId}%-4d $dur%6.2fs tasks=${si.numTasks}%-4d ${si.name.take(70)}")
+        }
+      })
     val t0 = System.nanoTime()
     val n = Registry.byName(name).run(spark, dir).count()
     println(f"$name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")

@@ -56,6 +56,39 @@ class StreamingSpec extends SparkSpec {
     assert(last("d1") == "SYNCED" && last("d2") == "FAILED")
   }
 
+  test("watermark drops events later than the tolerance (ST4 semantics)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm").toString
+    def t(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    // batch 1 advances event time to 10:00; batch 2 carries an event at
+    // 05:00 — far older than the 1h watermark → must be dropped from
+    // the append-mode windowed aggregate
+    Seq((1L, t(9, 10), 1L, "a", 1.0, "{}"), (2L, t(10, 0), 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/b1")
+    Seq((3L, t(5, 0), 1L, "a", 1.0, "{}"), (4L, t(12, 0), 1L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/b2")
+    val stream = spark.readStream
+      .schema(graft.streaming.EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream
+      .format("memory").queryName("wm_test").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // the 05:00 event must not appear in any emitted window
+    val emitted = spark.table("wm_test")
+      .select(col("window.start").cast("string")).as[String].collect().toSet
+    assert(!emitted.exists(_.contains("05:00")),
+      s"late event leaked into emitted windows: $emitted")
+  }
+
   test("streaming session windows produce bounded sessions") {
     val batchDf = EventQueries.events(spark, sf001)
     val dir = java.nio.file.Files.createTempDirectory("graft_stream2").toString
