@@ -18,13 +18,15 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object VectorFns {
 
-  /** Sum of round(x*y*1e10) as long — exact, order-independent. */
+  /** Sum of round(x*y*1e10) as long — exact, order-independent.
+    * Backed by the codegen'd [[DotScaledExpr]] kernel; the equivalent
+    * `aggregate(zip_with(...))` higher-order form evaluates
+    * interpreted and is ~100× slower at bench scale. */
   def dotScaled(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        round(x.cast(DoubleType) * y.cast(DoubleType) * lit(1e10), 0).cast(LongType)),
-      lit(0L),
-      (acc, e) => acc + e)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      DotScaledExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
 
   /** Squared L2 norm, same scaled-long encoding. */
   def normSqScaled(a: Column): Column = dotScaled(a, a)

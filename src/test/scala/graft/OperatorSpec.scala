@@ -53,6 +53,29 @@ class OperatorSpec extends SparkSpec {
     assert(out == Set((10L, 1L, 2L), (10L, 2L, 1L), (11L, 1L, 1L)))
   }
 
+  test("halfUpLong matches BigDecimal HALF_UP on boundaries and negatives") {
+    val cases = Seq(2.5, -2.5, 0.5, -0.5, 2.4999999999999996, -2.4999999999999996,
+      1e10 + 0.5, -(1e10 + 0.5), 0.49999999999999994, 123456789.5, 0.0, -0.0,
+      7.499999999999999, 7.500000000000001)
+    cases.foreach { x =>
+      val expected = new java.math.BigDecimal(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      assert(graft.functions.VectorKernels.halfUpLong(x) == expected,
+        s"halfUpLong($x)")
+    }
+  }
+
+  test("codegen dot kernel equals the higher-order formulation") {
+    val df = Seq((Array(0.1f, -0.25f, 3.75f), Array(-1.5f, 0.5f, 2.25f)))
+      .toDF("a", "b")
+    val kernel = df.select(VectorFns.dotScaled(col("a"), col("b"))).head().getLong(0)
+    val hof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) =>
+        round(x.cast("double") * y.cast("double") * lit(1e10), 0).cast("long")),
+      lit(0L), (acc, e) => acc + e)).head().getLong(0)
+    assert(kernel == hof)
+  }
+
   test("cosine of identical unit vectors is 1, orthogonal is 0") {
     val df = Seq(
       (Array(1f, 0f), Array(1f, 0f)),
