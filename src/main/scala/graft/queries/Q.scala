@@ -27,7 +27,7 @@ object Registry {
     CoreQueries.all ++ EventQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ GeoQueries.all ++ MergeQueries.all ++
       ExtraQueries.all ++ DomainQueries.all ++ MultimodalQueries.all ++
-      ScaleQueries.all ++ GcQueries.all
+      ScaleQueries.all ++ GcQueries.all ++ TemporalQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

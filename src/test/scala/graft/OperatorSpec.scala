@@ -53,6 +53,20 @@ class OperatorSpec extends SparkSpec {
     assert(out == Set((10L, 1L, 2L), (10L, 2L, 1L), (11L, 1L, 1L)))
   }
 
+  test("as-of join picks latest right row at or before, null when none") {
+    import graft.operators.AsOfJoin
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:$m%02d:00")
+    val left = Seq((1L, "u1", t(10)), (2L, "u1", t(30)), (3L, "u2", t(5)))
+      .toDF("event_id", "user", "ts")
+    val right = Seq((100L, "u1", t(10)), (101L, "u1", t(20)), (102L, "u2", t(6)))
+      .toDF("rid", "user", "rts")
+    val out = AsOfJoin(left, right, "user", "ts", "rts", Seq("rid"), "rid")
+      .select("event_id", "r_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).contains(100L)) // equal ts counts ("at or before")
+    assert(out(2L).contains(101L)) // most recent earlier
+    assert(out(3L).isEmpty)        // right row is in the future
+  }
+
   test("halfUpLong matches BigDecimal HALF_UP on boundaries and negatives") {
     val cases = Seq(2.5, -2.5, 0.5, -0.5, 2.4999999999999996, -2.4999999999999996,
       1e10 + 0.5, -(1e10 + 0.5), 0.49999999999999994, 123456789.5, 0.0, -0.0,
