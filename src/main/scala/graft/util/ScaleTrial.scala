@@ -1,0 +1,77 @@
+package graft.util
+
+import graft.queries.Registry
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up trial: replicate the sf0.1 tables N× with key offsets that
+  * preserve referential integrity, then run headline queries at both
+  * scales and report the runtime ratio — empirical evidence for the
+  * "would this plan survive a scale-up" question, beyond eyeballing
+  * plans. `runMain graft.util.ScaleTrial [replicas] [outDir]`.
+  */
+object ScaleTrial {
+
+  // key columns per table → offset domain ("cust", "order", …)
+  private val keyCols: Map[String, Seq[(String, String)]] = Map(
+    "region" -> Seq(),
+    "nation" -> Seq(),
+    "customer" -> Seq("c_custkey" -> "cust"),
+    "supplier" -> Seq("s_suppkey" -> "supp"),
+    "part" -> Seq("p_partkey" -> "part"),
+    "orders" -> Seq("o_orderkey" -> "order", "o_custkey" -> "cust"),
+    "lineitem" -> Seq("l_orderkey" -> "order", "l_partkey" -> "part",
+      "l_suppkey" -> "supp"),
+    "events" -> Seq("event_id" -> "event", "user_id" -> "user"),
+    "documents" -> Seq("doc_id" -> "doc"),
+    "embeddings" -> Seq("vec_id" -> "vec"))
+
+  def replicate(spark: SparkSession, srcDir: String, outDir: String,
+                replicas: Int): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // offset = next power of 10 above the max key, per domain
+    val domains = scala.collection.mutable.Map.empty[String, Long]
+    def offsetOf(table: String, colName: String, dom: String): Long =
+      domains.getOrElseUpdate(dom, {
+        val m = spark.read.parquet(s"$srcDir/$table.parquet")
+          .agg(max(col(colName))).head().getLong(0)
+        math.pow(10, math.ceil(math.log10(m.toDouble + 1))).toLong
+      })
+    Tables.names.foreach { t =>
+      val base = spark.read.parquet(s"$srcDir/$t.parquet")
+      val copies = (0 until replicas).map { i =>
+        keyCols(t).foldLeft(base) { case (df, (c, dom)) =>
+          df.withColumn(c, col(c) + lit(i * offsetOf(t, c, dom)))
+        }
+      }
+      copies.reduce(_ unionByName _)
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val spark = Tables.session("scaletrial")
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+    println(s"replicating sf0.1 x$replicas → $outDir")
+    replicate(spark, src, outDir, replicas)
+
+    val headline = Registry.all.filter(_.headline).map(_.name) ++
+      Seq("q22_minhash_lsh", "q41_cluster_unify", "q47_embedding_neardup",
+        "q31_merge_upsert", "q16_sessionize", "q53_asof_join")
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      Registry.byName(name).run(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    println(f"${"query"}%-26s ${"sf0.1"}%8s ${"x" + replicas}%8s ratio")
+    headline.distinct.foreach { n =>
+      val a = time(n, src)
+      val b = time(n, outDir)
+      println(f"$n%-26s $a%8.2f $b%8.2f ${b / a}%5.1f")
+    }
+    spark.stop()
+  }
+}
