@@ -93,6 +93,46 @@ object Multimodal {
     }.toDF("asset_id", "client_id", "embedding")
   }
 
+  case class Frame(asset_id: Long, client_id: String, frame_no: Int,
+                   frame_bytes: Array[Byte])
+
+  /** Resize/re-encode (the WebP q80 re-encode,
+    * image_base_provider.py:70-109): codec STUBBED (deterministic
+    * truncation stands in for the encoder), per-partition batching
+    * real. Output schema carries the target box + new content hash. */
+  def resizeImages(assets: Dataset[Asset], maxW: Int, maxH: Int): DataFrame = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.media_type == "image").mapPartitions { it =>
+      it.map { a =>
+        val (w, h, _) = MediaCodec.decodeDims(a.content)
+        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+        val outW = math.max(1, (w * scale).toInt)
+        val outH = math.max(1, (h * scale).toInt)
+        // STUB encoder: deterministic size reduction proportional to area
+        val outLen = math.max(1,
+          (a.content.length.toDouble * (outW.toLong * outH) / (w.toLong * h)).toInt)
+        (a.asset_id, a.client_id, outW, outH, a.content.take(outLen))
+      }
+    }.toDF("asset_id", "client_id", "out_w", "out_h", "content")
+      .withColumn("content_hash", org.apache.spark.sql.functions.sha2(
+        org.apache.spark.sql.functions.col("content"), 256))
+  }
+
+  /** Frame sampling for video assets: every `stride`-th frame becomes
+    * a row (decode STUBBED as fixed-size byte slices; the explode-to-
+    * rows shape is what a real ffmpeg-backed extractor produces). */
+  def sampleFrames(assets: Dataset[Asset], stride: Int): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.filter(_.media_type == "video").flatMap { a =>
+      val (_, _, nFrames) = MediaCodec.decodeDims(a.content)
+      val chunk = math.max(1, a.content.length / math.max(1, nFrames))
+      (0 until nFrames by stride).map { f =>
+        Frame(a.asset_id, a.client_id, f,
+          a.content.slice(f * chunk, math.min((f + 1) * chunk, a.content.length)))
+      }
+    }
+  }
+
   /** Deterministic object-store pathing (K5): the reference's
     * images/{client}/properties/{prop}/{sha}.webp layout as an expr. */
   def storagePath(clientId: org.apache.spark.sql.Column,
