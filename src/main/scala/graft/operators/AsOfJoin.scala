@@ -52,7 +52,7 @@ object AsOfJoin {
       .select((leftCols ++ Seq("_ts", "_side", "_rid") ++ rightCols.map("_p_" + _)).map(col): _*)
 
     val unioned = lAll.unionByName(rPayload.select(
-      lAll.columns.map(c =>
+      lAll.columns.toSeq.map(c =>
         if (rPayload.columns.contains(c)) col(c)
         else lit(null).cast(lAll.schema(c).dataType).as(c)): _*))
 

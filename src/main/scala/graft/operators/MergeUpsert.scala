@@ -29,7 +29,7 @@ object MergeUpsert {
     */
   def apply(target: DataFrame, batch: DataFrame, keys: Seq[String],
             hashCol: String, softDelete: Boolean = true): DataFrame = {
-    val dataCols = target.columns.filterNot(keys.contains)
+    val dataCols = target.columns.filterNot(keys.contains).toSeq
     val t = target.select(
       keys.map(col) :+ struct(dataCols.map(col): _*).as("_t"): _*)
     val b = batch.select(
