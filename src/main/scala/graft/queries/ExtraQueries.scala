@@ -190,6 +190,77 @@ object ExtraQueries {
              |WHERE rnk <= 3
              |ORDER BY o_custkey, rnk""".stripMargin)),
 
+    // Explicit grouping sets (beyond rollup/cube): status totals and
+    // priority totals in one pass.
+    Q("q55_grouping_sets",
+      (s, dir) => {
+        val o = Tables(s, dir, "orders")
+        // Spark DataFrame API exposes rollup/cube; arbitrary grouping
+        // sets go through SQL — same engine, same plan space.
+        o.createOrReplaceTempView("_orders_gs")
+        s.sql("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                |  coalesce(o_orderpriority, 'ALL') AS priority,
+                |  COUNT(*) AS n,
+                |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+                |FROM _orders_gs
+                |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+                |ORDER BY status, priority""".stripMargin)
+      },
+      Some("""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+             |  coalesce(o_orderpriority, 'ALL') AS priority,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+             |FROM orders
+             |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+             |ORDER BY status, priority""".stripMargin)),
+
+    // Array/map scalar suite over tokenized text: sort, distinct,
+    // flatten/zip, map construction + lookup.
+    Q("q56_array_map_fns",
+      (s, dir) => {
+        val toks = graft.functions.TextFns.tokens(col("text"))
+        Tables(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"),
+            array_join(array_sort(array_distinct(toks)), ",").as("sorted_vocab"),
+            size(array_distinct(toks)).as("n_distinct"),
+            element_at(array_sort(array_distinct(toks)), 1).as("first_word"),
+            element_at(array_sort(array_distinct(toks)), -1).as("last_word"),
+            array_contains(toks, "spark").cast("int").as("has_spark"),
+            size(array_intersect(toks,
+              array(lit("the"), lit("a"), lit("data")))).as("n_common"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS toks FROM documents
+             |  WHERE doc_id < 100),
+             |d AS (SELECT doc_id, toks,
+             |    list_sort(list_distinct(toks)) AS sv FROM t)
+             |SELECT doc_id,
+             |  array_to_string(sv, ',') AS sorted_vocab,
+             |  len(sv) AS n_distinct,
+             |  sv[1] AS first_word,
+             |  sv[-1] AS last_word,
+             |  CAST(list_contains(toks, 'spark') AS INT) AS has_spark,
+             |  len(list_intersect(list_distinct(toks), ['the', 'a', 'data'])) AS n_common
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // Histogram binning (explicit floor arithmetic — identical on both
+    // engines, unlike engine-specific width_bucket variants).
+    Q("q57_histogram",
+      (s, dir) => Tables(s, dir, "orders")
+        .withColumn("bucket",
+          least(lit(19L), floor(col("o_totalprice") / lit(25000.0)).cast("long")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("o_totalprice")), 2).as("lo"),
+          round(max(col("o_totalprice")), 2).as("hi"))
+        .orderBy(col("bucket")),
+      Some("""SELECT least(19, CAST(floor(o_totalprice / 25000.0) AS BIGINT)) AS bucket,
+             |  COUNT(*) AS n,
+             |  round(MIN(o_totalprice), 2) AS lo,
+             |  round(MAX(o_totalprice), 2) AS hi
+             |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // Exact interpolated percentiles (distribution surface; identical
     // (n-1)·q linear-interpolation definition on both engines).
     Q("q39_percentiles",
