@@ -28,13 +28,22 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
     *         pairwise distance ≤ radiusKm). */
   def apply(points: DataFrame, idCol: String, latCol: String, lonCol: String,
             radiusKm: Double, maxIters: Int = 25): DataFrame = {
-    val ids = points.select(col(idCol), col(latCol), col(lonCol))
+    // Coincident-point pre-collapse: exactly co-located points (the
+    // dominant duplicate mode in POI data) reduce to one graph node
+    // via a cheap groupBy, so the edge set stays linear instead of
+    // quadratic in stack depth and propagation starts pre-converged
+    // within each stack. `reps` maps every point to its stack min-id.
+    val reps = points
+      .groupBy(col(latCol), col(lonCol))
+      .agg(min(col(idCol)).as("_rep"))
+    val withRep = points.join(reps, Seq(latCol, lonCol))
+    val ids = withRep.select(col("_rep"), col(latCol), col(lonCol)).distinct()
 
-    val right = ids.select(col(idCol).as("_dst"),
+    val right = ids.select(col("_rep").as("_dst"),
       col(latCol).as("_rlat"), col(lonCol).as("_rlon"))
     val edges = GeoRadiusJoin(ids, right, latCol, lonCol, "_rlat", "_rlon", radiusKm)
-      .filter(col(idCol) =!= col("_dst"))
-      .select(col(idCol).as("_src"), col("_dst"))
+      .filter(col("_rep") =!= col("_dst"))
+      .select(col("_rep").as("_src"), col("_dst"))
       .persist()
     edges.count()
 
@@ -42,7 +51,7 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
     // chain would leave each round's cache depending on the previous
     // (just-dropped) one and replay the whole iteration history on any
     // later action.
-    var labels = ids.select(col(idCol).as("_id"), col(idCol).as("_lbl"))
+    var labels = ids.select(col("_rep").as("_id"), col("_rep").as("_lbl"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
@@ -70,7 +79,11 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
         f"(${(System.nanoTime() - t0) / 1e9}%.2fs)")
     }
     edges.unpersist()
-    points.join(
-      labels.select(col("_id").as(idCol), col("_lbl").as("cluster_id")), idCol)
+    // re-expand stack representatives to every original point; the
+    // component label (min rep id) IS the min member id, since each
+    // rep is already its stack's min.
+    withRep.join(
+      labels.select(col("_id").as("_rep"), col("_lbl").as("cluster_id")), "_rep")
+      .drop("_rep")
   }
 }
