@@ -1,7 +1,8 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.OutputMode
 
 /** ST5: the ingest status state machine
   * PENDING → PROCESSING → SYNCED | FAILED
@@ -46,5 +47,32 @@ object StatusMachine {
     implicit val senc = Encoders.STRING
     events.groupByKey(_.content_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(update)
+  }
+
+  case class Transition(content_id: String, from_status: String,
+                        to_status: String, at: Long)
+
+  /** Append-mode variant: emits one row per ACCEPTED transition (the
+    * audit log the reference keeps implicitly in updated_at churn) via
+    * `flatMapGroupsWithState` — zero rows for ignored/illegal events,
+    * state identical to [[run]]. */
+  def transitions(events: Dataset[StatusEvent]): Dataset[Transition] = {
+    implicit val enc = Encoders.product[Transition]
+    implicit val senc = Encoders.STRING
+    implicit val stenc = Encoders.product[StatusRow] // state encoder
+    events.groupByKey(_.content_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: String, evs: Iterator[StatusEvent], state: GroupState[StatusRow]) =>
+          val start = state.getOption.getOrElse(StatusRow(id, "PENDING", 0L))
+          val (endState, log) = evs.toSeq.sortBy(e => (e.at, e.event))
+            .foldLeft((start, List.empty[Transition])) { case ((acc, out), e) =>
+              val next = step(acc.status, e.event)
+              if (next != acc.status)
+                (StatusRow(id, next, e.at), Transition(id, acc.status, next, e.at) :: out)
+              else (acc, out)
+            }
+          state.update(endState)
+          log.reverse.iterator
+      }
   }
 }

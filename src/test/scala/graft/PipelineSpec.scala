@@ -93,5 +93,13 @@ class PipelineSpec extends SparkSpec {
     val out = StatusMachine.run(events).collect()
       .map(r => r.content_id -> r.status).toMap
     assert(out == Map("d1" -> "SYNCED", "d2" -> "PENDING", "d3" -> "PENDING"))
+
+    // append-mode transition log: only accepted transitions emitted
+    val log = StatusMachine.transitions(events).collect()
+      .map(t => (t.content_id, t.from_status, t.to_status)).toSet
+    assert(log == Set(
+      ("d1", "PENDING", "PROCESSING"), ("d1", "PROCESSING", "SYNCED"),
+      ("d2", "PENDING", "PROCESSING"), ("d2", "PROCESSING", "FAILED"),
+      ("d2", "FAILED", "PENDING")))
   }
 }
