@@ -190,6 +190,24 @@ object ExtraQueries {
              |WHERE rnk <= 3
              |ORDER BY o_custkey, rnk""".stripMargin)),
 
+    // The same top-k through the CUSTOM PHYSICAL OPERATOR
+    // (LogicalPlan + Strategy + SparkPlan, bounded per-partition
+    // buffers after one hash exchange) — must equal the window form.
+    Q("q58_topk_physical",
+      (s, dir) => graft.plans.TopKPhysical.topK(
+        Tables(s, dir, "orders"),
+        groupBy = Seq("o_custkey"),
+        orderBy = Seq(("o_totalprice", false), ("o_orderkey", true)), k = 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rnk"))
+        .orderBy(col("o_custkey"), col("rnk")),
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+             |  SELECT o_custkey, o_orderkey, o_totalprice,
+             |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+             |      ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+             |  FROM orders) t
+             |WHERE rnk <= 3
+             |ORDER BY o_custkey, rnk""".stripMargin)),
+
     // Explicit grouping sets (beyond rollup/cube): status totals and
     // priority totals in one pass.
     Q("q55_grouping_sets",
