@@ -279,6 +279,45 @@ object ExtraQueries {
              |  round(MAX(o_totalprice), 2) AS hi
              |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin)),
 
+    // Generator with ordinality: posexplode of tokenized text (the
+    // page-number-bearing explode of the PDF chunker, processor.py:
+    // 125-149 — chunk ids carry their position).
+    Q("q59_posexplode",
+      (s, dir) => Tables(s, dir, "documents").filter(col("doc_id") < 20)
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFns.tokens(col("text"))))
+        .select(col("doc_id"), (col("pos") + 1).as("token_no"), col("col").as("token"))
+        .withColumn("chunk_id",
+          concat(lit("doc_"), col("doc_id"), lit("_part_"), col("token_no")))
+        .orderBy(col("doc_id"), col("token_no")),
+      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+             |  FROM documents WHERE doc_id < 20)
+             |SELECT doc_id, CAST(i AS INT) AS token_no, toks[i] AS token,
+             |  'doc_' || CAST(doc_id AS VARCHAR) || '_part_' || CAST(i AS VARCHAR) AS chunk_id
+             |FROM t, unnest(generate_series(1, len(toks))) AS u(i)
+             |ORDER BY doc_id, token_no""".stripMargin)),
+
+    // Conditional aggregation (FILTER-clause shape) — the reference's
+    // flag-counting aggregates (A2/A3) in a single grouped pass.
+    Q("q60_conditional_agg",
+      (s, dir) => Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("l_discount") > 0.05, 1)).as("n_discounted"),
+          count(when(col("l_tax") === 0.0, 1)).as("n_taxfree"),
+          sum(when(col("l_quantity") > 40,
+            col("l_extendedprice").cast(DecimalType(18, 2)))).cast(DoubleType)
+            .as("bulk_revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag")),
+      Some("""SELECT l_returnflag,
+             |  COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+             |  COUNT(*) FILTER (WHERE l_tax = 0.0) AS n_taxfree,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             |    FILTER (WHERE l_quantity > 40) AS DOUBLE) AS bulk_revenue,
+             |  COUNT(*) AS n
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
     // Exact interpolated percentiles (distribution surface; identical
     // (n-1)·q linear-interpolation definition on both engines).
     Q("q39_percentiles",
