@@ -50,10 +50,14 @@ object FuzzyPrefilterRule extends Rule[LogicalPlan] {
   }
 }
 
-/** Session extensions: inject the fuzzy prefilter rule (and any future
-  * graft rules/strategies) at session build time. */
+/** Session extensions: one hook installs every graft planner addition
+  * — the fuzzy-prefilter optimizer rule and the per-group top-k
+  * physical strategy. Usage:
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => FuzzyPrefilterRule)
+    e.injectPlannerStrategy(_ => TopKStrategy)
   }
 }
