@@ -64,19 +64,16 @@ object SequenceMatcherRatio {
         j2len = newj2len
         i += 1
       }
-      // extend past equal non-anchor (junk/popular) elements on both
-      // sides, mirroring difflib's two extension passes
+      // CPython's extension passes gate on isbjunk — the *junk* set
+      // from the isjunk predicate, NOT autojunk's "popular" set. With
+      // no isjunk (as here) bjunk is empty, so the first pass extends
+      // over every equal element (popular chars included) and the
+      // junk-only second pass never fires.
       var bi = besti; var bj = bestj; var bs = bestsize
-      while (bi > alo && bj > blo && b2j.contains(b(bj - 1)) && a(bi - 1) == b(bj - 1)) {
+      while (bi > alo && bj > blo && a(bi - 1) == b(bj - 1)) {
         bi -= 1; bj -= 1; bs += 1
       }
-      while (bi + bs < ahi && bj + bs < bhi && b2j.contains(b(bj + bs)) &&
-        a(bi + bs) == b(bj + bs)) bs += 1
-      while (bi > alo && bj > blo && !b2j.contains(b(bj - 1)) && a(bi - 1) == b(bj - 1)) {
-        bi -= 1; bj -= 1; bs += 1
-      }
-      while (bi + bs < ahi && bj + bs < bhi && !b2j.contains(b(bj + bs)) &&
-        a(bi + bs) == b(bj + bs)) bs += 1
+      while (bi + bs < ahi && bj + bs < bhi && a(bi + bs) == b(bj + bs)) bs += 1
       (bi, bj, bs)
     }
 

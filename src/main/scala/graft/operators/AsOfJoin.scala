@@ -59,11 +59,14 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_side"), col("_rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightCols.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"r_$c",
-        last(when(col("_side") === 0, col(s"_p_$c")), ignoreNulls = true).over(w))
-    }
+    // Carry the whole latest right row as ONE struct so its NULL fields
+    // come along atomically — per-column last(ignoreNulls) would
+    // backfill a NULL field from an older right row.
+    val carried = unioned.withColumn("_pstruct",
+      last(when(col("_side") === 0,
+        struct(rightCols.map(c => col(s"_p_$c").as(c)): _*)),
+        ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select(leftCols.map(col) ++ rightCols.map(c => col(s"r_$c")): _*)
+      .select(leftCols.map(col) ++ rightCols.map(c => col(s"_pstruct.$c").as(s"r_$c")): _*)
   }
 }

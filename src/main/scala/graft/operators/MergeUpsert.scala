@@ -39,7 +39,9 @@ object MergeUpsert {
     val action =
       when(col("_t").isNull, lit("insert"))
         .when(col("_b").isNull, if (softDelete) lit("delete") else lit("keep"))
-        .when(col(s"_b.$hashCol") === col(s"_t.$hashCol"), lit("keep"))
+        // null-safe: NULL hash = NULL hash is "not distinct" → keep,
+        // matching the reference's IS DISTINCT FROM semantics
+        .when(col(s"_b.$hashCol") <=> col(s"_t.$hashCol"), lit("keep"))
         .otherwise(lit("update"))
 
     val merged = joined.withColumn("_action", action)

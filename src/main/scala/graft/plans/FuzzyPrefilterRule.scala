@@ -37,14 +37,24 @@ object FuzzyPrefilterRule extends Rule[LogicalPlan] {
 
   private def LeastOf(a: Expression, b: Expression): Expression = Least(Seq(a, b))
 
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other     => Seq(other)
+  }
+
+  // Only predicates that are themselves top-level conjuncts may be
+  // strengthened: for `ratio(a,b) >= t OR other` the bound does NOT
+  // hold for rows satisfying the other branch, so matches nested under
+  // OR/NOT/CASE must be left alone.
   def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val prefilters = cond.collect {
+      val conjuncts = splitConjuncts(cond)
+      val prefilters = conjuncts.collect {
         case GreaterThanOrEqual(r: DifflibRatioExpr, t) => bound(r.left, r.right, t)
         case GreaterThan(r: DifflibRatioExpr, t)        => bound(r.left, r.right, t)
         case LessThanOrEqual(t, r: DifflibRatioExpr)    => bound(r.left, r.right, t)
         case LessThan(t, r: DifflibRatioExpr)           => bound(r.left, r.right, t)
-      }.filterNot(p => cond.exists(_.semanticEquals(p))) // idempotent
+      }.filterNot(p => conjuncts.exists(_.semanticEquals(p))) // idempotent
       if (prefilters.isEmpty) f
       else Filter(prefilters.foldLeft(cond)((acc, p) => And(p, acc)), child)
   }

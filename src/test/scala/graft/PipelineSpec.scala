@@ -102,4 +102,26 @@ class PipelineSpec extends SparkSpec {
       ("d2", "PENDING", "PROCESSING"), ("d2", "PROCESSING", "FAILED"),
       ("d2", "FAILED", "PENDING")))
   }
+
+  test("status machine idle TTL registers a timeout and evicts on expiry") {
+    import StatusMachine._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    val ttl = 60000L
+    // live batch: state updated, timeout registered
+    val st = TestGroupState.create[StatusRow](
+      Optional.empty[StatusRow](), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long](), false)
+    val out = StatusMachine.update(ttl)(
+      "d1", Iterator(StatusEvent("d1", "start", 1L)), st)
+    assert(out.status == "PROCESSING" && st.get.status == "PROCESSING")
+    assert(st.getTimeoutTimestampMs.isPresent &&
+      st.getTimeoutTimestampMs.get() == 1000L + ttl)
+    // timed-out batch: state removed, final status re-emitted once
+    val stTo = TestGroupState.create[StatusRow](
+      Optional.of(out), GroupStateTimeout.ProcessingTimeTimeout,
+      1000L + ttl + 1, Optional.empty[Long](), true)
+    val evicted = StatusMachine.update(ttl)("d1", Iterator.empty, stTo)
+    assert(evicted.status == "PROCESSING" && stTo.isRemoved)
+  }
 }
