@@ -149,9 +149,11 @@ object DomainQueries {
              |  FROM customer JOIN nation ON c_nationkey = n_nationkey) t
              |WHERE rnk <= 3 ORDER BY n_name, rnk""".stripMargin)),
 
-    // J9: brand fuzzy lookup with the ported difflib ratio (no DuckDB
-    // analog → rows-only check; semantics pinned by DifflibSpec against
-    // Python-computed values).
+    // J9: brand fuzzy lookup with the ported difflib ratio. difflib
+    // isn't expressible in DuckDB SQL, so the oracle joins against a
+    // fixture computed by CPython's real difflib
+    // (scripts/make_fixtures.py → fixtures/q43_expected.parquet),
+    // keyed by dirty_name (scale-factor independent).
     Q("q43_brand_fuzzy",
       (s, dir) => {
         import s.implicits._
@@ -170,7 +172,12 @@ object DomainQueries {
             round(col("ratio"), 6).as("ratio"))
           .orderBy(col("p_partkey"))
       },
-      None),
+      Some("""SELECT p.p_partkey, p.dirty_name, f.matched_brand, f.ratio
+             |FROM (SELECT p_partkey, replace(p_brand, '#', '-') AS dirty_name
+             |      FROM part WHERE p_partkey <= 2000) p
+             |JOIN '/root/repo/fixtures/q43_expected.parquet' f
+             |  ON p.dirty_name = f.dirty_name
+             |ORDER BY p.p_partkey""".stripMargin)),
 
     // BRAND_CONFIG service: per-client CSS custom-property generation
     // (reference: src/BRAND_CONFIG/service.py:17-92 — color/font/radius

@@ -35,8 +35,11 @@ object MultimodalQueries {
              |    CAST(doc_id % 100 AS VARCHAR) || '/' || sha256(text) || '.webp' AS storage_path
              |FROM documents ORDER BY asset_id""".stripMargin)),
 
-    // S5/F19 plumbing: partition-local decode + embedding extraction
-    // (deterministic stubs; rows-only check).
+    // S5/F19 plumbing: partition-local decode + embedding extraction.
+    // The stub codec is a pure function of the content bytes, so the
+    // oracle joins a fixture re-derived independently in Python
+    // (scripts/make_fixtures.py → fixtures/q46_meta.parquet), keyed by
+    // content hash (scale-factor independent).
     Q("q46_media_decode",
       (s, dir) => {
         val assets = Multimodal.syntheticAssets(s, dir)
@@ -51,6 +54,19 @@ object MultimodalQueries {
             col("embed_norm_sq"))
           .orderBy(col("asset_id"))
       },
-      None)
+      Some("""SELECT d.doc_id AS asset_id,
+             |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
+             |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+             |  CAST(strlen(d.text) AS INT) AS byte_size,
+             |  f.width, f.height,
+             |  CASE WHEN CAST(d.doc_id % 3 AS INT) = 2 THEN f.n_frames
+             |    ELSE 1 END AS n_frames,
+             |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'webp'
+             |    WHEN 1 THEN 'pcm16' ELSE 'h264' END AS format,
+             |  f.embed_norm_sq
+             |FROM documents d
+             |JOIN '/root/repo/fixtures/q46_meta.parquet' f
+             |  ON sha256(d.text) = f.content_hash
+             |ORDER BY asset_id""".stripMargin))
   )
 }
