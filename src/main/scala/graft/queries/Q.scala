@@ -27,7 +27,8 @@ object Registry {
     CoreQueries.all ++ EventQueries.all ++ TextQueries.all ++
       VectorQueries.all ++ GeoQueries.all ++ MergeQueries.all ++
       ExtraQueries.all ++ DomainQueries.all ++ MultimodalQueries.all ++
-      ScaleQueries.all ++ GcQueries.all ++ TemporalQueries.all
+      ScaleQueries.all ++ GcQueries.all ++ TemporalQueries.all ++
+      CleanQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
