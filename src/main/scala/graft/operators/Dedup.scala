@@ -72,32 +72,48 @@ object Dedup {
     *
     * numHashes = bands * rowsPerBand. The only shuffle is the groupBy
     * on band signatures; bucket sizes stay small because signatures are
-    * near-uniform. */
+    * near-uniform — EXCEPT when the corpus contains many identical
+    * documents, which share identical signatures and land in one
+    * bucket. `maxBucket` guards that skew: buckets larger than it emit
+    * STAR pairs (every member against the bucket's min-id hub) instead
+    * of all pairs — same connected components for dedup purposes,
+    * O(bucket) instead of O(bucket²) pairs, so one hot key can't
+    * quadratically explode a task. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+                        n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                        maxBucket: Int = 1000): DataFrame = {
     val numHashes = bands * rowsPerBand
     // Shape notes (bench-driven):
     //  - repartition BEFORE the md5 projection: input file layout must
     //    not bound CPU parallelism of a compute-heavy column;
-    //  - signatures via explode + 16 flat `min` aggregates instead of
-    //    16 array-lambda transforms — the lambda form generates huge
-    //    codegen units whose compilation dominated the query;
-    //  - persist + eager materialize: both sides of the bucket
-    //    self-join are scheduled concurrently and would otherwise race
-    //    past the cache and compute signatures twice.
+    //  - explode the shingles FIRST, then hash as a flat projection:
+    //    md5/conv inside a `transform` lambda evaluates interpreted
+    //    (higher-order functions have no codegen); as a flat column it
+    //    whole-stage-codegens, which is where cold-run time went;
+    //  - signatures via 16 flat `min` aggregates instead of 16
+    //    array-lambda transforms — same interpreted-lambda reason;
+    //  - localCheckpoint(eager): both sides of the bucket self-join
+    //    are scheduled concurrently and would otherwise race past a
+    //    lazy cache and compute signatures twice; unlike persist(),
+    //    checkpoint blocks are released when the plan is GC'd, so a
+    //    long-lived session doesn't accumulate pinned caches.
+    // explicit partition count: a bare repartition(col) is an AQE
+    // coalesce target — small shuffle stats collapse it to ONE task
+    // and serialize the CPU-heavy shingle+md5 projection.
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val exploded = df
       .select(col(idCol), col(textCol))
-      .repartition(col(idCol))
+      .repartition(par, col(idCol))
       .select(col(idCol).as("id"),
-        explode(shingleHashes(col(textCol), n)).as("hv"))
+        explode(TextFns.shingles(col(textCol), n)).as("_sh"))
+      .select(col("id"), md5Int32(col("_sh")).as("hv"))
     val sigCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("hv") * a + b) % HashPrime).as(s"_s$i")
     }
     val withSig = exploded.groupBy(col("id"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("id"), array((0 until numHashes).map(i => col(s"_s$i")): _*).as("sig"))
-      .persist()
-    withSig.count()
+      .localCheckpoint()
     val banded = withSig.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -106,12 +122,26 @@ object Dedup {
             .as("bsig"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bsig"))
-    val a = banded.select(col("band"), col("bsig"),
+    // bucket-size accounting rides the same (band, bsig) hash
+    // partitioning the join needs, so the window adds no extra shuffle
+    val sized = banded.withColumn("_bn",
+      count(lit(1)).over(Window.partitionBy(col("band"), col("bsig"))))
+    val cold = sized.filter(col("_bn") <= maxBucket)
+    val a = cold.select(col("band"), col("bsig"),
       col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bsig"),
+    val b = cold.select(col("band"), col("bsig"),
       col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bsig"))
+    val coldPairs = a.join(b, Seq("band", "bsig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+    val hot = sized.filter(col("_bn") > maxBucket)
+    val hubs = hot.groupBy(col("band"), col("bsig"))
+      .agg(min_by(struct(col("id"), col("sig")), col("id")).as("_hub"))
+    val starPairs = hot.join(hubs, Seq("band", "bsig"))
+      .filter(col("id") =!= col("_hub.id"))
+      .select(col("_hub.id").as("id_a"), col("id").as("id_b"),
+        col("_hub.sig").as("sig_a"), col("sig").as("sig_b"))
+    coldPairs.unionByName(starPairs)
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
@@ -140,7 +170,8 @@ object Dedup {
   def simhashBuckets(df: DataFrame, idCol: String, textCol: String,
                      bits: Int = 16): DataFrame =
     df.select(col(idCol), col(textCol))
-      .repartition(col(idCol)) // parallelize the md5-vote projection
+      // explicit count so AQE can't coalesce the md5-vote projection
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), VectorFns.simhash(TextFns.tokens(col(textCol)), bits)
         .as("simhash"))
 }

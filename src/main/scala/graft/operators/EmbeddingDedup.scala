@@ -21,9 +21,15 @@ import org.apache.spark.sql.functions._
 object EmbeddingDedup {
 
   /** @return (id_a, id_b, cosine) pairs sharing a sign-bucket with
-    *         cosine ≥ threshold; ids ordered a < b. */
+    *         cosine ≥ threshold; ids ordered a < b.
+    *
+    * `maxBucket` skew guard: a corpus with many identical vectors puts
+    * them all in one sign-bucket; buckets above the cap emit STAR
+    * pairs (member vs min-id hub) instead of all pairs — identical
+    * vectors still pair at cosine 1 with the hub, and candidate count
+    * stays O(bucket) instead of O(bucket²). */
   def apply(vectors: DataFrame, idCol: String, vecCol: String,
-            nPlanes: Int, threshold: Double): DataFrame = {
+            nPlanes: Int, threshold: Double, maxBucket: Int = 1000): DataFrame = {
     val planeVecs: Seq[Seq[Float]] = vectors.orderBy(col(idCol)).limit(nPlanes)
       .select(col(vecCol)).collect().toSeq
       .map(_.getSeq[Float](0))
@@ -37,12 +43,27 @@ object EmbeddingDedup {
     val signs = vectors.select(col(idCol), col(vecCol),
         VectorFns.normSqScaled(col(vecCol)).as("_n"), bucket.as("bucket"))
 
-    val a = signs.select(col("bucket"), col(idCol).as("id_a"),
+    val sized = signs.withColumn("_bn", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
+    val cold = sized.filter(col("_bn") <= maxBucket)
+    val a = cold.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("_n").as("_na"))
-    val b = signs.select(col("bucket"), col(idCol).as("id_b"),
+    val b = cold.select(col("bucket"), col(idCol).as("id_b"),
       col(vecCol).as("vec_b"), col("_n").as("_nb"))
-    a.join(b, "bucket")
+    val coldPairs = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        col("vec_a"), col("vec_b"), col("_na"), col("_nb"))
+    val hot = sized.filter(col("_bn") > maxBucket)
+    val hubs = hot.groupBy(col("bucket"))
+      .agg(min_by(struct(col(idCol).as("id"), col(vecCol).as("vec"),
+        col("_n").as("n")), col(idCol)).as("_hub"))
+    val starPairs = hot.join(hubs, "bucket")
+      .filter(col(idCol) =!= col("_hub.id"))
+      .select(col("_hub.id").as("id_a"), col(idCol).as("id_b"),
+        col("_hub.vec").as("vec_a"), col(vecCol).as("vec_b"),
+        col("_hub.n").as("_na"), col("_n").as("_nb"))
+    coldPairs.unionByName(starPairs)
       .withColumn("cosine",
         when(col("_na") === 0 || col("_nb") === 0, lit(null).cast("double"))
           .otherwise(VectorFns.dotScaled(col("vec_a"), col("vec_b")).cast("double") /

@@ -47,11 +47,21 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], orderCols: Seq[SortOrder
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val trimAt = math.max(k * 4, 64)
+    // Per-task row budget before a global trim pass. Memory contract:
+    // the operator holds at most max(budget, 2·groups·k) buffered rows
+    // per task — the groups·k floor is the task's own OUTPUT
+    // cardinality, i.e. the minimum any per-group top-k must retain.
+    // Only the per-group trim headroom sits above that floor, and the
+    // global trim collapses it whenever the budget is hit.
+    val maxBufferedRows = session.conf
+      .get("spark.graft.topk.maxBufferedRows", (4 * 1024 * 1024).toString).toLong
     child.execute().mapPartitions { it =>
       val groupProj = UnsafeProjection.create(groupCols, childOutput)
       val ordering = RowOrdering.create(orderCols, childOutput)
       val outProj = UnsafeProjection.create(output, output)
       val buffers = mutable.LinkedHashMap.empty[UnsafeRow, mutable.ArrayBuffer[InternalRow]]
+      var total = 0L
+      var nextGlobalTrim = maxBufferedRows
       it.foreach { row =>
         val key = groupProj(row)
         val buf = buffers.get(key) match {
@@ -62,9 +72,26 @@ case class TopKPerGroupExec(groupCols: Seq[Expression], orderCols: Seq[SortOrder
             b
         }
         buf += row.copy()
+        total += 1
         if (buf.length >= trimAt) {
           val kept = buf.sorted(ordering).take(k)
+          total -= (buf.length - kept.length)
           buf.clear(); buf ++= kept
+        }
+        if (total >= nextGlobalTrim) {
+          // high-cardinality grouping: collapse EVERY buffer to k so a
+          // task's memory can't grow past the output-size floor; back
+          // off the next trigger so we don't thrash once at the floor
+          var newTotal = 0L
+          buffers.valuesIterator.foreach { b =>
+            if (b.length > k) {
+              val kept = b.sorted(ordering).take(k)
+              b.clear(); b ++= kept
+            }
+            newTotal += b.length
+          }
+          total = newTotal
+          nextGlobalTrim = math.max(maxBufferedRows, total * 2)
         }
       }
       buffers.iterator.flatMap { case (_, buf) =>

@@ -36,4 +36,22 @@ class TopKPhysicalSpec extends SparkSpec {
       .select("v", "rnk").as[(Long, Int)].collect().sortBy(_._2)
     assert(out.map(_._1).toSeq == Seq(10000L, 9999L, 9998L, 9997L, 9996L))
   }
+
+  test("row budget triggers global trims under high group cardinality") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.topk.maxBufferedRows", "1000")
+    try {
+      // 200k distinct groups × 3 rows with per-group buffers that would
+      // hold 3 rows each (below trimAt) — without the global trim the
+      // map retains all 600k rows; with it each buffer collapses to
+      // k=1 as soon as a task crosses 1000 buffered rows
+      val big = (0 until 600000).map(i => (i % 200000L, i.toLong))
+        .toDF("g", "v")
+      val out = TopKPhysical.topK(big, Seq("g"), Seq(("v", false)), 1)
+        .select("g", "v").as[(Long, Long)].collect()
+      assert(out.length == 200000)
+      // top row per group g is v = g + 400000 (the largest of the 3)
+      assert(out.forall { case (g, v) => v == g + 400000L })
+    } finally spark.conf.unset("spark.graft.topk.maxBufferedRows")
+  }
 }
