@@ -59,6 +59,36 @@ object Multimodal {
       }
       out
     }
+
+    /** REAL image resize via the JDK's javax.imageio (no external
+      * deps): decode → scale into the (maxW, maxH) box preserving
+      * aspect → re-encode PNG (the JDK ships no WebP writer; the
+      * reference's WebP q80 re-encode maps to this call with the codec
+      * swapped, image_base_provider.py:70-109). Returns None when the
+      * bytes aren't a decodable image — callers fall back to the
+      * deterministic stub so synthetic test assets keep working. */
+    def resizeEncode(content: Array[Byte], maxW: Int, maxH: Int): Option[(Int, Int, Array[Byte])] = {
+      val img =
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
+        catch { case _: java.io.IOException => None }
+      img.map { src =>
+        val scale = math.min(1.0,
+          math.min(maxW.toDouble / src.getWidth, maxH.toDouble / src.getHeight))
+        val w = math.max(1, (src.getWidth * scale).toInt)
+        val h = math.max(1, (src.getHeight * scale).toInt)
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(src, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        (w, h, bos.toByteArray)
+      }
+    }
   }
 
   /** Content addressing + byte stats as pure column exprs (codegen'd —
@@ -97,21 +127,28 @@ object Multimodal {
                    frame_bytes: Array[Byte])
 
   /** Resize/re-encode (the WebP q80 re-encode,
-    * image_base_provider.py:70-109): codec STUBBED (deterministic
-    * truncation stands in for the encoder), per-partition batching
-    * real. Output schema carries the target box + new content hash. */
+    * image_base_provider.py:70-109). Decodable images go through the
+    * REAL javax.imageio scale+re-encode; non-image bytes (the
+    * synthetic text-backed test assets) fall back to the deterministic
+    * stub so the pipeline shape stays testable without codecs. Output
+    * schema carries the target box + new content hash. */
   def resizeImages(assets: Dataset[Asset], maxW: Int, maxH: Int): DataFrame = {
     import assets.sparkSession.implicits._
     assets.filter(_.media_type == "image").mapPartitions { it =>
       it.map { a =>
-        val (w, h, _) = MediaCodec.decodeDims(a.content)
-        val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
-        val outW = math.max(1, (w * scale).toInt)
-        val outH = math.max(1, (h * scale).toInt)
-        // STUB encoder: deterministic size reduction proportional to area
-        val outLen = math.max(1,
-          (a.content.length.toDouble * (outW.toLong * outH) / (w.toLong * h)).toInt)
-        (a.asset_id, a.client_id, outW, outH, a.content.take(outLen))
+        MediaCodec.resizeEncode(a.content, maxW, maxH) match {
+          case Some((w, h, bytes)) =>
+            (a.asset_id, a.client_id, w, h, bytes)
+          case None =>
+            val (w, h, _) = MediaCodec.decodeDims(a.content)
+            val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+            val outW = math.max(1, (w * scale).toInt)
+            val outH = math.max(1, (h * scale).toInt)
+            // STUB encoder: deterministic size reduction ∝ area
+            val outLen = math.max(1,
+              (a.content.length.toDouble * (outW.toLong * outH) / (w.toLong * h)).toInt)
+            (a.asset_id, a.client_id, outW, outH, a.content.take(outLen))
+        }
       }
     }.toDF("asset_id", "client_id", "out_w", "out_h", "content")
       .withColumn("content_hash", org.apache.spark.sql.functions.sha2(

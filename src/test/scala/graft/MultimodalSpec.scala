@@ -29,6 +29,34 @@ class MultimodalSpec extends SparkSpec {
       .count() == joined.filter(col("orig_size") > length(col("content"))).count())
   }
 
+  test("real PNG assets resize through javax.imageio to actual pixel boxes") {
+    import spark.implicits._
+    // render real PNGs of known sizes — (800, 600) must scale to fit
+    // (320, 240); (100, 80) is inside the box and keeps its size
+    def png(w: Int, h: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(java.awt.Color.ORANGE); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val real = Seq(
+      Multimodal.Asset(1L, "c1", "mem://a/1", "image", png(800, 600)),
+      Multimodal.Asset(2L, "c1", "mem://a/2", "image", png(100, 80))).toDS()
+    val out = Multimodal.resizeImages(real, maxW = 320, maxH = 240)
+      .select("asset_id", "out_w", "out_h", "content")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 320 && out(1L).getInt(2) == 240)
+    assert(out(2L).getInt(1) == 100 && out(2L).getInt(2) == 80)
+    // re-encoded bytes are REAL images: decode and check pixel dims
+    val dec = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(out(1L).getAs[Array[Byte]](3)))
+    assert(dec.getWidth == 320 && dec.getHeight == 240)
+  }
+
   test("frame sampling yields stride-spaced frames per video asset") {
     val frames = Multimodal.sampleFrames(assets, stride = 2)
     assert(frames.count() > 0)

@@ -37,6 +37,7 @@ class WritePathSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/*")
 
+    val sinkDir = s"$dir/sink"
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val b = batch.withColumn("status", lit("active"))
@@ -46,6 +47,10 @@ class WritePathSpec extends SparkSpec {
         val merged = MergeUpsert(target, b, Seq("k"), "hash", softDelete = false)
           .drop("merge_action")
         target = merged.localCheckpoint() // materialize outside the stream
+        // the worker-loop sink: each micro-batch REWRITES the parquet
+        // table to the merged state (reference RQ worker,
+        // src/api/routers/docs.py:26-113)
+        target.write.mode("overwrite").parquet(sinkDir)
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -55,5 +60,15 @@ class WritePathSpec extends SparkSpec {
     val out = target.select("k", "v").as[(Long, String)].collect().toMap
     assert(out.keySet == Set(1L, 2L, 3L))
     assert(out(2L) == "v2b") // hash-gated update applied
+
+    // the on-disk sink equals the BATCH twin: one merge of the full
+    // input applied to the same initial target
+    val batchTwin = MergeUpsert(
+      Seq((2L, "v2", "h2")).toDF("k", "v", "hash").withColumn("status", lit("active")),
+      spark.read.parquet(s"$dir/b1", s"$dir/b2").withColumn("status", lit("active")),
+      Seq("k"), "hash", softDelete = false).drop("merge_action")
+    val sunk = spark.read.parquet(sinkDir)
+    assert(sunk.count() == 3)
+    assert(sunk.exceptAll(batchTwin).isEmpty && batchTwin.exceptAll(sunk).isEmpty)
   }
 }
