@@ -1,0 +1,163 @@
+package graft.queries
+
+import graft.streaming.StatusMachine
+import graft.streaming.StatusMachine.StatusEvent
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Oracle coverage for surface items previously checked only by unit
+  * tests: the ingest status state machine (ST5 — DuckDB replays the
+  * fold with a recursive CTE), config-driven source selection (S7),
+  * GeoJSON sink assembly (K6), and the coordinate-validity /
+  * null-category veto filters (P2/P3).
+  */
+object SurfaceQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ST5/K7: the PENDING→PROCESSING→SYNCED|FAILED machine folded over
+    // real event history per user via mapGroupsWithState (batch form —
+    // the streaming twin shares the same update function). The oracle
+    // replays the identical fold in SQL with a recursive CTE.
+    Q("q65_status_machine",
+      (s, dir) => {
+        import s.implicits._
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id").cast(StringType).as("content_id"),
+            when(col("event_type") === "signup", "start")
+              .when(col("event_type") === "purchase", "ok")
+              .when(col("event_type") === "error", "fail")
+              .when(col("event_type") === "click", "retry")
+              .otherwise("invalidate").as("event"),
+            expr("ts div 1000").cast(LongType).as("at"))
+          .as[StatusEvent]
+        StatusMachine.run(ev).toDF()
+          .orderBy(col("content_id"))
+      },
+      Some("""WITH RECURSIVE ev AS (
+             |  SELECT content_id, event, at,
+             |    ROW_NUMBER() OVER (PARTITION BY content_id
+             |      ORDER BY at, event) AS rn,
+             |    COUNT(*) OVER (PARTITION BY content_id) AS cnt
+             |  FROM (SELECT CAST(user_id AS VARCHAR) AS content_id,
+             |          CASE event_type WHEN 'signup' THEN 'start'
+             |            WHEN 'purchase' THEN 'ok' WHEN 'error' THEN 'fail'
+             |            WHEN 'click' THEN 'retry'
+             |            ELSE 'invalidate' END AS event,
+             |          epoch_ns(ts) // 1000 AS at
+             |        FROM events)),
+             |walk AS (
+             |  SELECT content_id, 0 AS rn, 'PENDING' AS status,
+             |         CAST(0 AS BIGINT) AS updated_at, cnt
+             |  FROM (SELECT DISTINCT content_id, cnt FROM ev)
+             |  UNION ALL
+             |  SELECT e.content_id, CAST(e.rn AS INT),
+             |    CASE WHEN w.status = 'PENDING' AND e.event = 'start'
+             |           THEN 'PROCESSING'
+             |         WHEN w.status = 'PROCESSING' AND e.event = 'ok'
+             |           THEN 'SYNCED'
+             |         WHEN w.status = 'PROCESSING' AND e.event = 'fail'
+             |           THEN 'FAILED'
+             |         WHEN w.status = 'FAILED' AND e.event = 'retry'
+             |           THEN 'PENDING'
+             |         WHEN w.status = 'SYNCED' AND e.event = 'invalidate'
+             |           THEN 'PENDING'
+             |         ELSE w.status END,
+             |    e.at, w.cnt
+             |  FROM walk w JOIN ev e
+             |    ON e.content_id = w.content_id AND e.rn = w.rn + 1)
+             |SELECT content_id, status, updated_at
+             |FROM walk WHERE rn = cnt ORDER BY content_id""".stripMargin)),
+
+    // S7: config-driven source selection — a sources-config relation
+    // decides which tables are ingested (reference PROVIDER_MAP +
+    // is_active gating, run_ingest.py:11-15,55-60); inactive configs
+    // contribute nothing.
+    Q("q66_config_sources",
+      (s, dir) => {
+        val configs = Seq(
+          ("customer_src", "customer", true),
+          ("supplier_src", "supplier", true),
+          ("part_src", "part", false))
+        configs.filter(_._3).map { case (nm, tbl, _) =>
+          Tables(s, dir, tbl)
+            .agg(count(lit(1)).as("n_rows"))
+            .select(lit(nm).as("source_name"), col("n_rows"))
+        }.reduce(_ unionByName _).orderBy(col("source_name"))
+      },
+      Some("""SELECT * FROM (
+             |  SELECT 'customer_src' AS source_name, COUNT(*) AS n_rows
+             |  FROM customer
+             |  UNION ALL
+             |  SELECT 'supplier_src', COUNT(*) FROM supplier)
+             |ORDER BY source_name""".stripMargin)),
+
+    // K6: GeoJSON FeatureCollection assembly per nation over synthetic
+    // customer points (reference cl_test1.py:359-424 writes the same
+    // shape per client). Coordinates render at 6dp on both sides.
+    Q("q67_geojson_sink",
+      (s, dir) => {
+        val k = col("c_custkey")
+        val lat = (k % 17000L).cast(DoubleType) / lit(100d) - lit(85d)
+        val lon = (k % 35000L).cast(DoubleType) / lit(100d) - lit(175d)
+        val feat = concat(
+          lit("{\"type\":\"Feature\",\"geometry\":{\"type\":\"Point\",\"coordinates\":["),
+          format_string("%.6f", lon), lit(","), format_string("%.6f", lat),
+          lit("]},\"properties\":{\"name\":\""), col("c_name"), lit("\"}}"))
+        Tables(s, dir, "customer").filter(k <= 500)
+          .join(Tables(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("n_name"), feat.as("feature"))
+          .groupBy(col("n_name"))
+          .agg(concat(lit("{\"type\":\"FeatureCollection\",\"features\":["),
+            array_join(sort_array(collect_list(col("feature"))), ","),
+            lit("]}")).as("geojson"))
+          .orderBy(col("n_name"))
+      },
+      Some("""SELECT n_name,
+             |  '{"type":"FeatureCollection","features":[' ||
+             |  string_agg(feature, ',' ORDER BY feature) || ']}' AS geojson
+             |FROM (
+             |  SELECT n_name,
+             |    '{"type":"Feature","geometry":{"type":"Point","coordinates":[' ||
+             |    printf('%.6f', CAST(c_custkey % 35000 AS DOUBLE)
+             |      / CAST(100 AS DOUBLE) - CAST(175 AS DOUBLE)) || ',' ||
+             |    printf('%.6f', CAST(c_custkey % 17000 AS DOUBLE)
+             |      / CAST(100 AS DOUBLE) - CAST(85 AS DOUBLE)) ||
+             |    ']},"properties":{"name":"' || c_name || '"}}' AS feature
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |  WHERE c_custkey <= 500)
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // P2/P3: coordinate-validity filter ("0" sentinel and out-of-range
+    // coords dropped, wp_residence_provider.py:85-88) + null-category
+    // veto (process_pois.py classification gate).
+    Q("q68_validity_filters",
+      (s, dir) => {
+        val k = col("c_custkey")
+        val lat = when(k % 7 === 0, lit(0d))
+          .otherwise((k % 260L).cast(DoubleType) - lit(95d))
+        val cat = when(k % 11 === 0, lit(null).cast(StringType))
+          .otherwise(col("c_mktsegment"))
+        Tables(s, dir, "customer")
+          .select(k, lat.as("lat"), cat.as("category"))
+          .filter(col("lat") =!= 0d &&
+            col("lat").between(-90d, 90d) &&
+            col("category").isNotNull)
+          .orderBy(k)
+      },
+      Some("""SELECT * FROM (
+             |  SELECT c_custkey,
+             |    CASE WHEN c_custkey % 7 = 0 THEN CAST(0 AS DOUBLE)
+             |      ELSE CAST(c_custkey % 260 AS DOUBLE) - CAST(95 AS DOUBLE)
+             |    END AS lat,
+             |    CASE WHEN c_custkey % 11 = 0 THEN NULL
+             |      ELSE c_mktsegment END AS category
+             |  FROM customer)
+             |WHERE lat <> 0 AND lat BETWEEN -90 AND 90
+             |  AND category IS NOT NULL
+             |ORDER BY c_custkey""".stripMargin))
+  )
+}
