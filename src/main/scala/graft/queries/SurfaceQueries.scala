@@ -158,6 +158,37 @@ object SurfaceQueries {
              |  FROM customer)
              |WHERE lat <> 0 AND lat BETWEEN -90 AND 90
              |  AND category IS NOT NULL
-             |ORDER BY c_custkey""".stripMargin))
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // Range (interval) join: fact rows binned into a small literal
+    // tier relation on a BETWEEN condition. The right plan at any
+    // scale is a broadcast nested-loop against the tiny range dim —
+    // each fact row tests 3 intervals, no shuffle, no cross-join blowup.
+    Q("q69_range_join",
+      (s, dir) => {
+        import s.implicits._
+        val tiers = Seq(
+          ("t1_small", 0d, 50000d),
+          ("t2_mid", 50000d, 200000d),
+          ("t3_large", 200000d, 1e9)).toDF("tier", "lo", "hi")
+        Tables(s, dir, "orders")
+          .join(broadcast(tiers),
+            col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_price"))
+          .orderBy(col("tier"))
+      },
+      Some("""SELECT tier, COUNT(*) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS sum_price
+             |FROM orders JOIN (VALUES
+             |    ('t1_small', CAST(0 AS DOUBLE), CAST(50000 AS DOUBLE)),
+             |    ('t2_mid', CAST(50000 AS DOUBLE), CAST(200000 AS DOUBLE)),
+             |    ('t3_large', CAST(200000 AS DOUBLE), CAST(1000000000 AS DOUBLE)))
+             |  t(tier, lo, hi)
+             |  ON o_totalprice >= lo AND o_totalprice < hi
+             |GROUP BY tier ORDER BY tier""".stripMargin))
   )
 }

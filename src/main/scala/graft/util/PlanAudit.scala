@@ -13,7 +13,8 @@ object PlanAudit {
     "q26_cosine_topk",  // |Q|=10 broadcast × corpus — exact baseline
     "q27_ivf_topk",     // 10 centroids broadcast (assignment stage)
     "q43_brand_fuzzy",  // 5-brand whitelist broadcast
-    "q47_embedding_neardup") // plane literals only; flag if a join appears
+    "q47_embedding_neardup", // plane literals only; flag if a join appears
+    "q69_range_join")   // 3-interval tier dim broadcast (range condition)
 
   def main(args: Array[String]): Unit = {
     val spark = Tables.session("audit")
