@@ -59,6 +59,33 @@ object EventStreams {
     withWm.dropDuplicates(hashCol, "ts")
   }
 
+  /** Stream-stream interval join: each left event pairs with right
+    * events for the same user within [0, horizon] AFTER it (e.g. view →
+    * purchase attribution). Both sides carry watermarks so the state
+    * store can evict rows once the interval can no longer match —
+    * the bounded-state formulation Structured Streaming requires for
+    * stream-stream joins, and exactly how an attribution join stays
+    * finite on an unbounded feed. Works on batch inputs too (the
+    * interval condition is the same expression). */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   horizon: String = "30 minutes",
+                   watermark: String = "60 seconds"): DataFrame = {
+    val l0 = left.select(col("user_id"), col("event_id").as("l_id"),
+      col("ts").as("l_ts"))
+    val r0 = right.select(col("user_id").as("r_user"),
+      col("event_id").as("r_id"), col("ts").as("r_ts"))
+    val (l, r) =
+      if (left.isStreaming) (l0.withWatermark("l_ts", watermark),
+        r0.withWatermark("r_ts", watermark))
+      else (l0, r0)
+    l.join(r,
+      col("user_id") === col("r_user") &&
+        col("r_ts") >= col("l_ts") &&
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("user_id"), col("l_id"), col("r_id"),
+        col("l_ts"), col("r_ts"))
+  }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (AvailableNow = process whatever
     * is in the source, then stop — the reference's drain-the-queue

@@ -28,6 +28,27 @@ class StreamingSpec extends SparkSpec {
     assert(result.count() > 0)
   }
 
+  test("stream-stream interval join equals its batch twin") {
+    val batchDf = EventQueries.events(spark, sf001).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+
+    def src() = spark.readStream.schema(EventStreams.eventSchema).parquet(dir)
+    val views = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") === "view")
+    val buys = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(col("event_type") === "purchase")
+
+    val streamed = EventStreams.intervalJoin(views(src()), buys(src()))
+    val result = EventStreams.runAvailableNow(spark, streamed,
+      "ssj_test", outputMode = "append")
+      .orderBy("user_id", "l_id", "r_id")
+    val expected = EventStreams.intervalJoin(views(batchDf), buys(batchDf))
+      .orderBy("user_id", "l_id", "r_id")
+    assert(result.count() > 0)
+    assert(result.collect().toSeq == expected.collect().toSeq)
+  }
+
   test("status machine runs as a real stream with state across batches") {
     import graft.streaming.StatusMachine
     import graft.streaming.StatusMachine._
