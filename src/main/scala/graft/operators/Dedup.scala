@@ -122,11 +122,15 @@ object Dedup {
             .as("bsig"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bsig"))
-    // bucket-size accounting rides the same (band, bsig) hash
-    // partitioning the join needs, so the window adds no extra shuffle
-    val sized = banded.withColumn("_bn",
-      count(lit(1)).over(Window.partitionBy(col("band"), col("bsig"))))
-    val cold = sized.filter(col("_bn") <= maxBucket)
+    // bucket-size accounting: ONE hash aggregate carries both the
+    // count and the min-id hub (no window sort, no second hot-side
+    // join); the (band, bsig) exchange it introduces is the same one
+    // the bucket join needs, so it's reused
+    val bucketInfo = banded.groupBy(col("band"), col("bsig"))
+      .agg(count(lit(1)).as("_bn"),
+        min_by(struct(col("id"), col("sig")), col("id")).as("_hub"))
+    val enriched = banded.join(bucketInfo, Seq("band", "bsig"))
+    val cold = enriched.filter(col("_bn") <= maxBucket)
     val a = cold.select(col("band"), col("bsig"),
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = cold.select(col("band"), col("bsig"),
@@ -134,11 +138,8 @@ object Dedup {
     val coldPairs = a.join(b, Seq("band", "bsig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-    val hot = sized.filter(col("_bn") > maxBucket)
-    val hubs = hot.groupBy(col("band"), col("bsig"))
-      .agg(min_by(struct(col("id"), col("sig")), col("id")).as("_hub"))
-    val starPairs = hot.join(hubs, Seq("band", "bsig"))
-      .filter(col("id") =!= col("_hub.id"))
+    val starPairs = enriched
+      .filter(col("_bn") > maxBucket && col("id") =!= col("_hub.id"))
       .select(col("_hub.id").as("id_a"), col("id").as("id_b"),
         col("_hub.sig").as("sig_a"), col("sig").as("sig_b"))
     coldPairs.unionByName(starPairs)

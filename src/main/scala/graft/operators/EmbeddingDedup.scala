@@ -43,9 +43,14 @@ object EmbeddingDedup {
     val signs = vectors.select(col(idCol), col(vecCol),
         VectorFns.normSqScaled(col(vecCol)).as("_n"), bucket.as("bucket"))
 
-    val sized = signs.withColumn("_bn", count(lit(1)).over(
-      org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))))
-    val cold = sized.filter(col("_bn") <= maxBucket)
+    // one hash aggregate carries bucket size + min-id hub; its bucket
+    // exchange is the same one the self-join needs (no window sort)
+    val bucketInfo = signs.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_bn"),
+        min_by(struct(col(idCol).as("id"), col(vecCol).as("vec"),
+          col("_n").as("n")), col(idCol)).as("_hub"))
+    val enriched = signs.join(bucketInfo, "bucket")
+    val cold = enriched.filter(col("_bn") <= maxBucket)
     val a = cold.select(col("bucket"), col(idCol).as("id_a"),
       col(vecCol).as("vec_a"), col("_n").as("_na"))
     val b = cold.select(col("bucket"), col(idCol).as("id_b"),
@@ -54,12 +59,8 @@ object EmbeddingDedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         col("vec_a"), col("vec_b"), col("_na"), col("_nb"))
-    val hot = sized.filter(col("_bn") > maxBucket)
-    val hubs = hot.groupBy(col("bucket"))
-      .agg(min_by(struct(col(idCol).as("id"), col(vecCol).as("vec"),
-        col("_n").as("n")), col(idCol)).as("_hub"))
-    val starPairs = hot.join(hubs, "bucket")
-      .filter(col(idCol) =!= col("_hub.id"))
+    val starPairs = enriched
+      .filter(col("_bn") > maxBucket && col(idCol) =!= col("_hub.id"))
       .select(col("_hub.id").as("id_a"), col(idCol).as("id_b"),
         col("_hub.vec").as("vec_a"), col(vecCol).as("vec_b"),
         col("_hub.n").as("_na"), col("_n").as("_nb"))
