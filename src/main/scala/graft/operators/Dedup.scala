@@ -105,8 +105,7 @@ object Dedup {
       .select(col(idCol), col(textCol))
       .repartition(par, col(idCol))
       .select(col(idCol).as("id"),
-        explode(TextFns.shingles(col(textCol), n)).as("_sh"))
-      .select(col("id"), md5Int32(col("_sh")).as("hv"))
+        explode(graft.functions.ShingleHashes(col(textCol), n)).as("hv"))
     val sigCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("hv") * a + b) % HashPrime).as(s"_s$i")
     }

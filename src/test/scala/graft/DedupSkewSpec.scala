@@ -11,6 +11,24 @@ import org.apache.spark.sql.functions._
 class DedupSkewSpec extends SparkSpec {
   import spark.implicits._
 
+  test("codegen shingle-hash kernel equals the composed md5 column form") {
+    import graft.functions.{ShingleHashes, TextFns}
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  spaced   out\ttokens \n and more  ",
+      "short one",            // < n tokens → empty
+      "",                     // empty → empty
+      "Cañón José über naïve façade résumé test").toDF("text")
+    val viaKernel = docs.select(ShingleHashes(col("text"), 3).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    val viaColumns = docs.select(
+      transform(TextFns.shingles(col("text"), 3),
+        s => graft.operators.Dedup.md5Int32(s)).as("h"))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaKernel.toSeq == viaColumns.toSeq)
+    assert(viaKernel(0).nonEmpty && viaKernel(2).isEmpty && viaKernel(3).isEmpty)
+  }
+
   test("minhash hot bucket emits linear star pairs, not quadratic") {
     val nDup = 5000
     val docs = ((0 until nDup).map(i => (i.toLong, "the same exact duplicated text body repeated verbatim")) ++
