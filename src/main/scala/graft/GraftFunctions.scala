@@ -23,6 +23,15 @@ object GraftFunctions {
       exprs => NormalizeTextExpr(exprs.head))
     ColumnBridge.registerFunction(spark, "difflib_ratio",
       exprs => DifflibRatioExpr(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "dot_scaled",
+      exprs => DotScaledExpr(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "shingle_hashes",
+      exprs => ShingleHashesExpr(exprs(0), exprs(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+          v.toString.toInt
+        case other => throw new IllegalArgumentException(
+          s"shingle_hashes(text, n): n must be a literal, got $other")
+      }))
     spark.udf.register("haversine_km",
       (lat1: Double, lon1: Double, lat2: Double, lon2: Double) => {
         // same formula as GeoFns.haversineKm (cl_test1.py:29-35)

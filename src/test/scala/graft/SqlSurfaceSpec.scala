@@ -10,12 +10,16 @@ class SqlSurfaceSpec extends SparkSpec {
       """SELECT normalize_text('Cañón JOSÉ') AS n,
         |  difflib_ratio('Brand-13', 'Brand#13') AS r,
         |  round(haversine_km(9.9281, -84.0907, 10.0162, -84.2117), 1) AS d,
-        |  cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c
+        |  cosine_sim(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS c,
+        |  dot_scaled(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS ds,
+        |  shingle_hashes('a b c d', 3) AS sh
         |""".stripMargin).head()
     assert(r.getString(0) == "canon jose")
     assert(r.getDouble(1) == 0.875)
     assert(r.getDouble(2) == 16.5)
     assert(math.abs(r.getDouble(3) - 1.0) < 1e-9)
+    assert(r.getLong(4) == 110000000000L) // (1*3 + 2*4) * 1e10
+    assert(r.getSeq[Long](5).length == 2) // "a b c", "b c d"
   }
 
   test("a full SQL query over registered views matches the DataFrame API") {
