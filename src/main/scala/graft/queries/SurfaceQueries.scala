@@ -189,6 +189,37 @@ object SurfaceQueries {
              |    ('t3_large', CAST(200000 AS DOUBLE), CAST(1000000000 AS DOUBLE)))
              |  t(tier, lo, hi)
              |  ON o_totalprice >= lo AND o_totalprice < hi
-             |GROUP BY tier ORDER BY tier""".stripMargin))
+             |GROUP BY tier ORDER BY tier""".stripMargin)),
+
+    // Document chunking for embedding/context windows: fixed-size
+    // character windows with overlap, chunk ids in the reference's
+    // 'doc_<id>_part_<n>' form (src/ETL_DOCS/processor.py:126). All
+    // flat codegen'd exprs — sequence + explode + substr, no lambda.
+    Q("q70_doc_chunking",
+      (s, dir) => {
+        val size = 500; val overlap = 100; val step = size - overlap
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("_n", greatest(lit(1),
+            ceil((length(col("text")) - lit(overlap)).cast(DoubleType) /
+              lit(step)).cast(IntegerType)))
+          .select(col("doc_id"),
+            explode(sequence(lit(0), col("_n") - 1)).as("chunk_no"),
+            col("text"))
+          .select(col("doc_id"), col("chunk_no"),
+            concat(lit("doc_"), col("doc_id"), lit("_part_"), col("chunk_no"))
+              .as("chunk_id"),
+            col("text").substr(col("chunk_no") * step + 1, lit(size)).as("chunk"))
+          .orderBy(col("doc_id"), col("chunk_no"))
+      },
+      Some("""SELECT doc_id, CAST(i AS INT) AS chunk_no,
+             |  'doc_' || CAST(doc_id AS VARCHAR) || '_part_' ||
+             |    CAST(i AS VARCHAR) AS chunk_id,
+             |  substr(text, CAST(i AS INT)*400 + 1, 500) AS chunk
+             |FROM (SELECT d.doc_id, d.text,
+             |        unnest(range(0, GREATEST(1,
+             |          CAST(ceil((strlen(d.text) - 100) / 400.0) AS INT))))
+             |          AS i
+             |      FROM documents d)
+             |ORDER BY doc_id, chunk_no""".stripMargin))
   )
 }

@@ -42,4 +42,15 @@ class DifflibClusterSpec extends SparkSpec {
     assert(out(1L) == 1L && out(2L) == 1L && out(3L) == 1L)
     assert(out(4L) == 4L)
   }
+
+  test("cluster unify converges on a 1500-deep chain (pointer jumping)") {
+    // 1500 points in a line ~10m apart with a 20m radius: one
+    // component of graph diameter ~1500 — naive propagation needs
+    // ~1500 rounds, pointer jumping must finish within 25
+    val pts = (0 until 1500).map(i => (i.toLong, 9.0 + i * 0.00009, -84.0))
+      .toDF("id", "lat", "lon")
+    val out = ClusterUnify(pts, "id", "lat", "lon", radiusKm = 0.02)
+      .select("cluster_id").distinct().as[Long].collect()
+    assert(out.toSeq == Seq(0L))
+  }
 }
