@@ -220,6 +220,33 @@ object SurfaceQueries {
              |          CAST(ceil((strlen(d.text) - 100) / 400.0) AS INT))))
              |          AS i
              |      FROM documents d)
-             |ORDER BY doc_id, chunk_no""".stripMargin))
+             |ORDER BY doc_id, chunk_no""".stripMargin)),
+
+    // Deterministic hash split: md5-bucket documents into
+    // train/val/test (90/5/5) — the reproducible held-out-split
+    // pattern every training-data pipeline needs (no RNG state; any
+    // engine recomputes identical membership from the id alone).
+    Q("q71_hash_split",
+      (s, dir) => {
+        val h = graft.operators.Dedup.md5Int32(col("doc_id").cast(StringType))
+        val split = when(h % 100 < 90, "train")
+          .when(h % 100 < 95, "val").otherwise("test")
+        s.read.parquet(s"$dir/documents.parquet")
+          .groupBy(col("lang"), split.as("split"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("n_chars")).as("total_chars"))
+          .orderBy(col("lang"), col("split"))
+      },
+      Some("""SELECT lang,
+             |  CASE WHEN hv % 100 < 90 THEN 'train'
+             |       WHEN hv % 100 < 95 THEN 'val'
+             |       ELSE 'test' END AS split,
+             |  COUNT(*) AS n,
+             |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             |FROM (SELECT lang, n_chars,
+             |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |          AS hv
+             |      FROM documents)
+             |GROUP BY lang, split ORDER BY lang, split""".stripMargin))
   )
 }
