@@ -247,6 +247,29 @@ object SurfaceQueries {
              |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
              |          AS hv
              |      FROM documents)
-             |GROUP BY lang, split ORDER BY lang, split""".stripMargin))
+             |GROUP BY lang, split ORDER BY lang, split""".stripMargin)),
+
+    // Balanced per-class downsample: cap every language at N docs,
+    // membership decided by md5-hash order (deterministic, no RNG) —
+    // the class-balancing step for skewed training corpora. One
+    // window shuffle on the class key.
+    Q("q72_balanced_sample",
+      (s, dir) => {
+        val h = graft.operators.Dedup.md5Int32(col("doc_id").cast(StringType))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(h, col("doc_id"))
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 50)
+          .select(col("lang"), col("rn"), col("doc_id"))
+          .orderBy(col("lang"), col("rn"))
+      },
+      Some("""SELECT lang, CAST(rn AS INT) AS rn, doc_id FROM (
+             |  SELECT lang, doc_id,
+             |    ROW_NUMBER() OVER (PARTITION BY lang
+             |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+             |        doc_id) AS rn
+             |  FROM documents)
+             |WHERE rn <= 50 ORDER BY lang, rn""".stripMargin))
   )
 }
