@@ -27,10 +27,13 @@ object GraftFunctions {
       exprs => DotScaledExpr(exprs(0), exprs(1)))
     ColumnBridge.registerFunction(spark, "shingle_hashes",
       exprs => ShingleHashesExpr(exprs(0), exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
-          v.toString.toInt
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number,
+            org.apache.spark.sql.types.IntegerType |
+            org.apache.spark.sql.types.LongType |
+            org.apache.spark.sql.types.ShortType |
+            org.apache.spark.sql.types.ByteType) => v.intValue()
         case other => throw new IllegalArgumentException(
-          s"shingle_hashes(text, n): n must be a literal, got $other")
+          s"shingle_hashes(text, n): n must be an integer literal, got $other")
       }))
     spark.udf.register("haversine_km",
       (lat1: Double, lon1: Double, lat2: Double, lon2: Double) => {

@@ -22,12 +22,27 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleHash {
 
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def hashes(text: UTF8String, n: Int): ArrayData = {
-    val t = text.toString.trim
+    // Spark-exact tokenization, NOT java.lang.String defaults: Spark's
+    // trim strips ONLY 0x20 (Java trim strips all <= U+0020) and
+    // Spark's split keeps leading/trailing empty tokens (limit -1,
+    // Java's default drops trailing ones). A doc edged with \t or \n
+    // must shingle identically to the composed column form.
+    val s0 = text.toString
+    var b = 0; var e = s0.length
+    while (b < e && s0.charAt(b) == ' ') b += 1
+    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+    val t = s0.substring(b, e)
     if (t.isEmpty) return new GenericArrayData(Array.empty[Long])
-    val toks = t.split("\\s+")
+    val toks = ws.split(t, -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = digest.get()
     val out = new Array[Long](toks.length - n + 1)
     var i = 0
     while (i <= toks.length - n) {

@@ -76,9 +76,15 @@ object Dedup {
     * documents, which share identical signatures and land in one
     * bucket. `maxBucket` guards that skew: buckets larger than it emit
     * STAR pairs (every member against the bucket's min-id hub) instead
-    * of all pairs — same connected components for dedup purposes,
-    * O(bucket) instead of O(bucket²) pairs, so one hot key can't
-    * quadratically explode a task. */
+    * of all pairs — O(bucket) instead of O(bucket²), so one hot key
+    * can't quadratically explode a task. Recall trade, stated plainly:
+    * components are preserved only through hub edges, so if downstream
+    * verification thresholds drop a (hub, member) edge, that member's
+    * member-to-member links inside the hot bucket are not recovered.
+    * For the mass-duplicate corpora the cap targets (near-identical
+    * members ⇒ near-identical hub similarity) this is the standard
+    * accepted trade; size maxBucket above any bucket an all-pairs
+    * verification should handle. */
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
@@ -96,7 +102,11 @@ object Dedup {
     //    are scheduled concurrently and would otherwise race past a
     //    lazy cache and compute signatures twice; unlike persist(),
     //    checkpoint blocks are released when the plan is GC'd, so a
-    //    long-lived session doesn't accumulate pinned caches.
+    //    long-lived session doesn't accumulate pinned caches. Cost:
+    //    lineage is truncated, so losing an executor mid-query fails
+    //    the job instead of recomputing — acceptable for this
+    //    one-query-scoped materialization; use reliable checkpoint()
+    //    storage if wrapping this in a multi-hour pipeline.
     // explicit partition count: a bare repartition(col) is an AQE
     // coalesce target — small shuffle stats collapse it to ONE task
     // and serialize the CPU-heavy shingle+md5 projection.

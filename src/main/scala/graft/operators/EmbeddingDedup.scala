@@ -27,7 +27,10 @@ object EmbeddingDedup {
     * them all in one sign-bucket; buckets above the cap emit STAR
     * pairs (member vs min-id hub) instead of all pairs — identical
     * vectors still pair at cosine 1 with the hub, and candidate count
-    * stays O(bucket) instead of O(bucket²). */
+    * stays O(bucket) instead of O(bucket²). Recall trade as in
+    * [[Dedup.minhashCandidates]]: member-member edges inside a hot
+    * bucket surface only through the hub, so size the cap above any
+    * bucket an all-pairs pass should handle. */
   def apply(vectors: DataFrame, idCol: String, vecCol: String,
             nPlanes: Int, threshold: Double, maxBucket: Int = 1000): DataFrame = {
     val planeVecs: Seq[Seq[Float]] = vectors.orderBy(col(idCol)).limit(nPlanes)

@@ -70,7 +70,11 @@ object Multimodal {
     def resizeEncode(content: Array[Byte], maxW: Int, maxH: Int): Option[(Int, Int, Array[Byte])] = {
       val img =
         try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content)))
-        catch { case _: java.io.IOException => None }
+        catch {
+          // ImageIO plugins throw RuntimeExceptions (IAE, CMMException,
+          // IndexOutOfBounds…) on malformed input, not just IOException
+          case scala.util.control.NonFatal(_) => None
+        }
       img.map { src =>
         val scale = math.min(1.0,
           math.min(maxW.toDouble / src.getWidth, maxH.toDouble / src.getHeight))

@@ -46,14 +46,14 @@ object MergeQueries {
              |SELECT COALESCE(t.k, b2.k) AS o_orderkey,
              |  CASE WHEN t.k IS NULL THEN b2.status
              |       WHEN b2.k IS NULL THEN 'deleted'
-             |       WHEN b2.h <> t.h THEN b2.status
+             |       WHEN b2.h IS DISTINCT FROM t.h THEN b2.status
              |       ELSE t.status END AS status,
              |  CASE WHEN t.k IS NULL THEN b2.tp
-             |       WHEN b2.k IS NOT NULL AND b2.h <> t.h THEN b2.tp
+             |       WHEN b2.k IS NOT NULL AND b2.h IS DISTINCT FROM t.h THEN b2.tp
              |       ELSE t.tp END AS totalprice,
              |  CASE WHEN t.k IS NULL THEN 'insert'
              |       WHEN b2.k IS NULL THEN 'delete'
-             |       WHEN b2.h = t.h THEN 'keep'
+             |       WHEN b2.h IS NOT DISTINCT FROM t.h THEN 'keep'
              |       ELSE 'update' END AS merge_action
              |FROM t FULL OUTER JOIN b2 ON t.k = b2.k
              |ORDER BY o_orderkey""".stripMargin))

@@ -217,7 +217,7 @@ object SurfaceQueries {
              |  substr(text, CAST(i AS INT)*400 + 1, 500) AS chunk
              |FROM (SELECT d.doc_id, d.text,
              |        unnest(range(0, GREATEST(1,
-             |          CAST(ceil((strlen(d.text) - 100) / 400.0) AS INT))))
+             |          CAST(ceil((length(d.text) - 100) / 400.0) AS INT))))
              |          AS i
              |      FROM documents d)
              |ORDER BY doc_id, chunk_no""".stripMargin)),

@@ -16,6 +16,8 @@ class DedupSkewSpec extends SparkSpec {
     val docs = Seq(
       "the quick brown fox jumps over the lazy dog",
       "  spaced   out\ttokens \n and more  ",
+      "\tleading tab then words here",  // Spark trim strips ONLY 0x20
+      "trailing newline after words\n", // → edge \t/\n must match too
       "short one",            // < n tokens → empty
       "",                     // empty → empty
       "Cañón José über naïve façade résumé test").toDF("text")
@@ -26,7 +28,7 @@ class DedupSkewSpec extends SparkSpec {
         s => graft.operators.Dedup.md5Int32(s)).as("h"))
       .collect().map(_.getSeq[Long](0))
     assert(viaKernel.toSeq == viaColumns.toSeq)
-    assert(viaKernel(0).nonEmpty && viaKernel(2).isEmpty && viaKernel(3).isEmpty)
+    assert(viaKernel(0).nonEmpty && viaKernel(4).isEmpty && viaKernel(5).isEmpty)
   }
 
   test("minhash hot bucket emits linear star pairs, not quadratic") {

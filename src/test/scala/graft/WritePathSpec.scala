@@ -37,7 +37,9 @@ class WritePathSpec extends SparkSpec {
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/*")
 
-    val sinkDir = s"$dir/sink"
+    // sibling of the source dir — a sink INSIDE the $dir/* source glob
+    // would make the stream's own output eligible as input on restart
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_fb_sink").toString
     val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         val b = batch.withColumn("status", lit("active"))
