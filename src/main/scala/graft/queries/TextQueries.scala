@@ -89,6 +89,42 @@ object TextQueries {
            |FROM scored ORDER BY doc_id""".stripMargin
       }),
 
+    // Repetition/boilerplate quality signals (the C4/Gopher-style
+    // repetition filters): distinct-token and distinct-line ratios,
+    // flagged when the document is mostly repeated content. Pure
+    // column exprs; oracle repeats the list arithmetic.
+    Q("q73_repetition",
+      (s, dir) => {
+        val toks = TextFns.tokens(col("text"))
+        val lines = split(col("text"), "\n")
+        val tokRatio = when(size(toks) === 0, lit(1d))
+          .otherwise(size(array_distinct(toks)).cast(DoubleType) /
+            size(toks).cast(DoubleType))
+        val lineRatio = size(array_distinct(lines)).cast(DoubleType) /
+          size(lines).cast(DoubleType)
+        Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            round(tokRatio, 6).as("distinct_token_ratio"),
+            round(lineRatio, 6).as("distinct_line_ratio"),
+            (tokRatio < 0.3 || lineRatio < 0.5).as("is_repetitive"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH base AS (SELECT doc_id,
+             |    string_split_regex(trim(text), '\s+') AS t,
+             |    string_split(text, chr(10)) AS l
+             |  FROM documents),
+             |r AS (SELECT doc_id,
+             |    CASE WHEN len(t) = 0 THEN CAST(1 AS DOUBLE)
+             |      ELSE CAST(len(list_distinct(t)) AS DOUBLE)
+             |        / CAST(len(t) AS DOUBLE) END AS tr,
+             |    CAST(len(list_distinct(l)) AS DOUBLE)
+             |      / CAST(len(l) AS DOUBLE) AS lr
+             |  FROM base)
+             |SELECT doc_id, round(tr, 6) AS distinct_token_ratio,
+             |  round(lr, 6) AS distinct_line_ratio,
+             |  (tr < 0.3 OR lr < 0.5) AS is_repetitive
+             |FROM r ORDER BY doc_id""".stripMargin)),
+
     // Word-frequency top-k (global sort + limit with total tiebreak).
     Q("q20_word_freq",
       (s, dir) => Tables(s, dir, "documents")
