@@ -160,12 +160,28 @@ object Dedup {
   }
 
   /** Exact n-gram Jaccard on candidate pairs (post-LSH verification).
-    * `pairs` must carry id_a/id_b; docs joined back by id. */
+    * `pairs` must carry id_a/id_b; docs joined back by id.
+    *
+    * Scale shape: the candidate set is orders of magnitude smaller than
+    * the corpus (that is the point of LSH), so the expensive shingle
+    * projection must run over candidate docs only, not the whole
+    * corpus — a semi-join on the candidate id set gates it. `pairs` is
+    * materialized once (localCheckpoint) because its plan is consumed
+    * twice (id extraction + the verify join) and would otherwise
+    * re-run the whole LSH pipeline per consumer. Joins stay shuffle
+    * joins on id — scale-safe for candidate sets too big to broadcast;
+    * AQE broadcasts the small side at bench scale. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("_jid"),
-      array_distinct(TextFns.shingles(col(textCol), n)).as("_sh"))
-    pairs
+    val p = pairs.localCheckpoint()
+    val ids = p.select(col("id_a").as("_jid"))
+      .unionByName(p.select(col("id_b").as("_jid")))
+      .distinct()
+    val sh = docs
+      .join(ids, docs(idCol) === ids("_jid"), "left_semi")
+      .select(col(idCol).as("_jid"),
+        array_distinct(TextFns.shingles(col(textCol), n)).as("_sh"))
+    p
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
