@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
 /** Tight-loop kernel for the scaled-long dot product. */
 object VectorKernels {
@@ -30,6 +30,43 @@ object VectorKernels {
     }
     s
   }
+
+  /** Σ a_i·b_i over long arrays — exact integer dot for quantized
+    * (int8-range) embeddings. */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    s
+  }
+
+  /** Symmetric int8 quantization of a float vector: s = max|x|/127,
+    * q_i = HALF_UP(x_i/s) — one pass for the scale, one for the
+    * rounding; all-zero input → all-zero output. */
+  def quantizeInt8(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var mx = 0.0
+    var i = 0
+    while (i < n) {
+      val v = math.abs(a.getFloat(i).toDouble)
+      if (v > mx) mx = v
+      i += 1
+    }
+    val out = new Array[Long](n)
+    if (mx > 0.0) {
+      val s = mx / 127.0
+      i = 0
+      while (i < n) {
+        out(i) = halfUpLong(a.getFloat(i).toDouble / s)
+        i += 1
+      }
+    }
+    ArrayData.toArrayData(out)
+  }
 }
 
 /** Codegen'd scaled-long dot product over two ARRAY<FLOAT> columns.
@@ -49,5 +86,33 @@ case class DotScaledExpr(left: Expression, right: Expression)
       s"graft.functions.VectorKernels.dotScaled($l, $r)")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotScaledExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Codegen'd symmetric int8 quantization: ARRAY<FLOAT> → ARRAY<BIGINT>
+  * in [-127, 127] (see [[VectorKernels.quantizeInt8]]). */
+case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def nullSafeEval(input: Any): Any =
+    VectorKernels.quantizeInt8(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.quantizeInt8($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeInt8Expr =
+    copy(child = newChild)
+}
+
+/** Codegen'd exact integer dot product over two ARRAY<BIGINT> columns
+  * (quantized embeddings). Same kernel shape as [[DotScaledExpr]]. */
+case class DotLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    VectorKernels.dotLong(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, r) =>
+      s"graft.functions.VectorKernels.dotLong($l, $r)")
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotLongExpr =
     copy(left = newLeft, right = newRight)
 }

@@ -46,6 +46,37 @@ object VectorFns {
   def l2SqScaled(a: Column, b: Column): Column =
     normSqScaled(a) - lit(2L) * dotScaled(a, b) + normSqScaled(b)
 
+  /** Symmetric per-vector int8 quantization: q_i = round(x_i / s)
+    * with s = max|x| / 127, so values land in [-127, 127]. Returns
+    * ARRAY<BIGINT> (int8 range, wide type keeps downstream dot math
+    * trivially exact). Zero vectors quantize to all-zero. 4-byte
+    * floats → 1 byte of information per dimension: the standard
+    * memory-bound scale path for a 100 TB embedding store, with exact
+    * integer dot products replacing float math at query time.
+    * Deterministic across engines: max/abs/divide are single IEEE
+    * ops and the final round is HALF_UP on both sides (codegen'd
+    * kernel, [[QuantizeInt8Expr]]). */
+  def quantizeInt8(a: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      QuantizeInt8Expr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a)))
+
+  /** Exact integer dot over ARRAY<BIGINT> (codegen'd kernel). */
+  def dotLong(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      DotLongExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(a),
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(b)))
+
+  /** Cosine similarity in the quantized domain; NULL on zero norms. */
+  def cosineQ8(a: Column, b: Column): Column = {
+    val dot = dotLong(a, b).cast(DoubleType)
+    val na = dotLong(a, a).cast(DoubleType)
+    val nb = dotLong(b, b).cast(DoubleType)
+    when(na === 0 || nb === 0, lit(null).cast(DoubleType))
+      .otherwise(dot / sqrt(na * nb))
+  }
+
   /** SimHash of a token array under a d-bit hypercube: sign-aggregate
     * of per-token md5-derived bit vectors. Returns a long bitmask.
     * Base hash = first 15 hex chars of md5(token || '#' || bit) —

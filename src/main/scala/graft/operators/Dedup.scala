@@ -200,4 +200,62 @@ object Dedup {
       .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
       .select(col(idCol), VectorFns.simhash(TextFns.tokens(col(textCol)), bits)
         .as("simhash"))
+
+  /** SimHash near-dup PAIRS within Hamming distance `maxHamming`,
+    * found without any cross join via the banding pigeonhole: split
+    * the `bits`-bit fingerprint into `maxHamming + 1` contiguous
+    * bands — two fingerprints within distance d must agree EXACTLY on
+    * at least one band, so an equi-join on (band, band-bits) finds
+    * every qualifying pair (perfect recall, unlike probabilistic
+    * MinHash banding). Candidates are then verified with
+    * bit_count(xor) — cheap integer ops, no text re-read.
+    *
+    * Scale shape mirrors [[minhashCandidates]]: the only shuffle is
+    * the (band, value) bucket exchange; mass-duplicate corpora share
+    * fingerprints, so buckets above `maxBucket` emit star pairs
+    * around the bucket's min-id hub instead of all pairs (O(bucket)
+    * not O(bucket²)) — hub-distance caveat documented there applies. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   bits: Int = 16, maxHamming: Int = 2,
+                   maxBucket: Int = 1000): DataFrame = {
+    val nBands = maxHamming + 1
+    val base = bits / nBands
+    val extra = bits % nBands // first `extra` bands get one more bit
+    // band b covers [off, off+width) of the fingerprint
+    val layout = (0 until nBands).scanLeft((0, 0)) { case ((off, w), b) =>
+      (off + w, base + (if (b < extra) 1 else 0))
+    }.tail
+    val sims = simhashBuckets(df, idCol, textCol, bits)
+      .select(col(idCol).as("id"), col("simhash"))
+    val banded = sims.select(
+      col("id"), col("simhash"),
+      explode(array(layout.zipWithIndex.map { case ((off, w), b) =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), off).bitwiseAND(lit((1L << w) - 1))
+            .as("bval"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.bval"))
+    val bucketInfo = banded.groupBy(col("band"), col("bval"))
+      .agg(count(lit(1)).as("_bn"),
+        min_by(struct(col("id"), col("simhash")), col("id")).as("_hub"))
+    val enriched = banded.join(bucketInfo, Seq("band", "bval"))
+    val cold = enriched.filter(col("_bn") <= maxBucket)
+    val a = cold.select(col("band"), col("bval"),
+      col("id").as("id_a"), col("simhash").as("sh_a"))
+    val b = cold.select(col("band"), col("bval"),
+      col("id").as("id_b"), col("simhash").as("sh_b"))
+    val coldPairs = a.join(b, Seq("band", "bval"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+    val starPairs = enriched
+      .filter(col("_bn") > maxBucket && col("id") =!= col("_hub.id"))
+      .select(col("_hub.id").as("id_a"), col("id").as("id_b"),
+        col("_hub.simhash").as("sh_a"), col("simhash").as("sh_b"))
+    coldPairs.unionByName(starPairs)
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -47,6 +47,15 @@ object TextQueries {
   private val matchCount = (0 until Bands * RowsPerBand)
     .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
 
+  /** DuckDB expression for the 16-bit md5-vote simhash over token list `t`
+    * (mirrors VectorFns.simhash). */
+  private def simhashSql(bits: Int): String =
+    (0 until bits).map { b =>
+      s"""CASE WHEN CAST(list_sum(list_transform(t, x ->
+         |    CASE WHEN ('0x' || substr(md5(x || '#$b'), 16, 1))::BIGINT % 2 = 1
+         |      THEN 1 ELSE -1 END)) AS BIGINT) > 0 THEN ${1L << b} ELSE 0 END""".stripMargin
+    }.mkString(" +\n  ")
+
   val all: Seq[Q] = Seq(
 
     // Token/char statistics per document (quality-signal components).
@@ -213,16 +222,86 @@ object TextQueries {
       (s, dir) => graft.operators.Dedup.simhashBuckets(
         Tables(s, dir, "documents"), "doc_id", "text", bits = 16)
         .orderBy(col("doc_id")),
-      Some {
-        val bitTerms = (0 until 16).map { b =>
-          s"""CASE WHEN CAST(list_sum(list_transform(t, x ->
-             |    CASE WHEN ('0x' || substr(md5(x || '#$b'), 16, 1))::BIGINT % 2 = 1
-             |      THEN 1 ELSE -1 END)) AS BIGINT) > 0 THEN ${1L << b} ELSE 0 END""".stripMargin
-        }.mkString(" +\n  ")
+      Some(
         s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
-           |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash
-           |FROM toks ORDER BY doc_id""".stripMargin
+           |SELECT doc_id, CAST(${simhashSql(16)} AS BIGINT) AS simhash
+           |FROM toks ORDER BY doc_id""".stripMargin)),
+
+    // SimHash near-dup pairs within Hamming distance 2 via the banding
+    // pigeonhole (3 bands of 6/5/5 bits — agreement on one band is
+    // NECESSARY for distance <= 2, so the bucket equi-join has perfect
+    // recall); candidates verified with bit_count(xor). No cross join
+    // on either side.
+    Q("q74_simhash_neardup",
+      (s, dir) => graft.operators.Dedup.simhashPairs(
+        Tables(s, dir, "documents"), "doc_id", "text",
+        bits = 16, maxHamming = 2)
+        .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some {
+        // band layout for bits=16, 3 bands: widths 6,5,5 at offsets 0,6,11
+        val bandSelects = Seq((0, 6, 0), (1, 5, 6), (2, 5, 11)).map {
+          case (b, w, off) =>
+            s"SELECT doc_id, sh, $b AS band, (sh >> $off) & ${(1L << w) - 1} AS bval FROM sim"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+           |sim AS (SELECT doc_id, CAST(${simhashSql(16)} AS BIGINT) AS sh FROM toks),
+           |banded AS (
+           |  $bandSelects),
+           |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |    a.sh AS sa, b.sh AS sb
+           |  FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
+           |  WHERE a.doc_id < b.doc_id)
+           |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+           |FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+           |ORDER BY doc_a, doc_b""".stripMargin
       }),
+
+    // TF-IDF top terms per document: tf = in-doc term count, df =
+    // docs containing the term, score = tf * ln(N/df). Ranking uses
+    // the integer-deterministic (tf DESC, df ASC, term) ordering —
+    // higher frequency then rarer term — so cross-engine ln() ulp
+    // differences can't flip ranks; the score itself is rounded to
+    // 6dp. Two shuffles (doc-term, term) + a broadcast of the scalar
+    // doc count — the 100 TB shape for inverse-document-frequency.
+    Q("q76_tfidf_topterms",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val terms = docs
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
+        val tf = terms.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
+        val df = tf.groupBy(col("term"))
+          .agg(count(lit(1)).as("df_docs"))
+        val n = docs.select(count(lit(1)).as("n_docs"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df_docs"), col("term"))
+        tf.join(df, "term").crossJoin(broadcast(n))
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
+            round(col("tf") * log(col("n_docs").cast(DoubleType) /
+              col("df_docs").cast(DoubleType)), 6).as("tfidf"),
+            col("rnk"))
+          .orderBy(col("doc_id"), col("rnk"))
+      },
+      Some("""WITH terms AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM terms GROUP BY doc_id, term),
+             |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs
+             |  FROM tf GROUP BY term),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+             |ranked AS (SELECT doc_id, tf.term AS term, tf, df_docs, n_docs,
+             |    ROW_NUMBER() OVER (PARTITION BY doc_id
+             |      ORDER BY tf DESC, df_docs, tf.term) AS rnk
+             |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN n)
+             |SELECT doc_id, term, tf, df_docs,
+             |  round(tf * ln(CAST(n_docs AS DOUBLE) / CAST(df_docs AS DOUBLE)), 6) AS tfidf,
+             |  rnk
+             |FROM ranked WHERE rnk <= 3
+             |ORDER BY doc_id, rnk""".stripMargin)),
 
     // Composite quality score (north-star text op; identical IEEE
     // double expression tree on both sides).

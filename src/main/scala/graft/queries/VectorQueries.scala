@@ -97,6 +97,61 @@ object VectorQueries {
            |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
       }),
 
+    // Int8-quantized rerank: symmetric per-vector quantization
+    // (q_i = round(x_i * 127 / max|x|)) then EXACT integer dot
+    // products for ranking — the memory-bound scale path for a
+    // 100 TB embedding store (4 bytes → 1 byte per dim; integer SIMD
+    // dots at query time). The oracle replays the identical
+    // quantize/dot/rank pipeline; everything after the single IEEE
+    // divide is exact integer math, so results are bit-stable.
+    Q("q78_int8_quant",
+      (s, dir) => {
+        import graft.functions.VectorFns
+        val emb = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), VectorFns.quantizeInt8(col("embedding")).as("qv"))
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("qv").as("qa"))
+        val corpus = emb.select(col("vec_id").as("n_id"), col("qv").as("qb"))
+        val joined = broadcast(queries).crossJoin(corpus)
+          .filter(col("q_id") =!= col("n_id"))
+          .withColumn("qdot", VectorFns.dotLong(col("qa"), col("qb")))
+          .withColumn("cos_q8", VectorFns.cosineQ8(col("qa"), col("qb")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("cos_q8").desc, col("n_id"))
+        joined.withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("n_id"), col("qdot"),
+            round(col("cos_q8"), 6).as("cos_q8"), col("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some {
+        val qexpr =
+          """CASE WHEN list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) = 0
+            |      OR len(embedding) = 0
+            |    THEN list_transform(embedding, x -> CAST(0 AS BIGINT))
+            |    ELSE list_transform(embedding, x -> CAST(round(
+            |      CAST(x AS DOUBLE) / (list_max(list_transform(embedding,
+            |        y -> abs(CAST(y AS DOUBLE)))) / 127.0), 0) AS BIGINT)) END""".stripMargin
+        def idot(a: String, b: String) =
+          s"CAST(list_sum(list_transform(list_zip($a, $b), s -> s[1] * s[2])) AS BIGINT)"
+        s"""WITH qt AS (SELECT vec_id, $qexpr AS qv FROM embeddings),
+           |q AS (SELECT vec_id AS q_id, qv AS qa FROM qt WHERE vec_id < 10),
+           |c AS (SELECT vec_id AS n_id, qv AS qb FROM qt),
+           |dots AS (SELECT q_id, n_id,
+           |    ${idot("qa", "qb")} AS qdot,
+           |    ${idot("qa", "qa")} AS na,
+           |    ${idot("qb", "qb")} AS nb
+           |  FROM q, c WHERE q_id <> n_id),
+           |cos AS (SELECT q_id, n_id, qdot,
+           |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+           |      ELSE CAST(qdot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS cos_q8
+           |  FROM dots)
+           |SELECT q_id, n_id, qdot, round(cos_q8, 6) AS cos_q8, rnk FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_q8 DESC, n_id) AS rnk
+           |  FROM cos) t
+           |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+      }),
+
     // The RAG query surface proper (schemas.py:88-108): top_k=5 with a
     // metadata filter (label as the category analog) scoped per query —
     // filtered ANN, the pgvector `WHERE client_id=… AND category=…
