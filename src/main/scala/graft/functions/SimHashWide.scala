@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass classic SimHash (Charikar 2002 / Manku et al. WWW'07):
+  * ONE md5 per token whose first 15 hex digits give a 60-bit token
+  * hash; each of the 60 bits votes ±1; fingerprint bit b is set when
+  * the bit-b vote sum is positive.
+  *
+  * This is the wide fingerprint behind near-dup pair mining
+  * (reference semantics: content-hash change detection,
+  * src/ETL_PROPERTIES/loader_v2.py:158-207, generalized to
+  * similarity-preserving hashing for the LLM-pipeline dedup family).
+  * It differs from [[VectorFns.simhash]] (the 16-bit per-bit-md5 vote
+  * variant kept for q24's oracle): one digest per token instead of
+  * one per token×bit, and 60 bits instead of 16, so Hamming banding
+  * yields near-singleton buckets instead of 200+-doc buckets.
+  *
+  * 60 bits (15 hex digits), not 64, so the value is a non-negative
+  * BIGINT on both engines: DuckDB's `('0x' || substr(md5(x), 1, 15))
+  * ::BIGINT` reproduces the token hash exactly, and arithmetic `>>`
+  * band extraction needs no sign handling on either side.
+  *
+  * Tokenization is Spark-exact and identical to [[TextFns.tokens]]:
+  * strip 0x20 only, empty → no tokens (fingerprint 0), else split on
+  * `\s+` with limit -1.
+  */
+object SimHashWide {
+
+  val Bits = 60
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  def simhash60(text: UTF8String): Long = {
+    val s0 = text.toString
+    var b = 0; var e = s0.length
+    while (b < e && s0.charAt(b) == ' ') b += 1
+    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+    val t = s0.substring(b, e)
+    if (t.isEmpty) return 0L
+    val toks = ws.split(t, -1)
+    val votes = new Array[Int](Bits)
+    val md = digest.get()
+    var i = 0
+    while (i < toks.length) {
+      md.reset()
+      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // first 15 hex digits of the digest = top 60 bits, as a long
+      val h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+        ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >> 4)
+      var bit = 0
+      while (bit < Bits) {
+        if (((h >> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < Bits) {
+      if (votes(bit) > 0) out |= 1L << bit
+      bit += 1
+    }
+    out
+  }
+
+  def apply(text: Column): Column =
+    ColumnBridge.column(SimHashWideExpr(ColumnBridge.expression(text)))
+}
+
+/** Codegen'd wide-simhash expression (static call per row). */
+case class SimHashWideExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    SimHashWide.simhash60(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHashWide.simhash60($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashWideExpr =
+    copy(child = newChild)
+}

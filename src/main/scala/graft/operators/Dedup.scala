@@ -217,7 +217,43 @@ object Dedup {
     * not O(bucket²)) — hub-distance caveat documented there applies. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    bits: Int = 16, maxHamming: Int = 2,
-                   maxBucket: Int = 1000): DataFrame = {
+                   maxBucket: Int = 1000): DataFrame =
+    hammingPairs(
+      simhashBuckets(df, idCol, textCol, bits)
+        .select(col(idCol).as("id"), col("simhash")),
+      bits, maxHamming, maxBucket)
+
+  /** Near-dup pairs over the 60-bit one-digest-per-token classic
+    * simhash ([[graft.functions.SimHashWide]]). Same perfect-recall
+    * band pigeonhole as [[simhashPairs]], but the wide fingerprint
+    * makes the 15-bit band buckets near-singleton instead of the
+    * 16-bit variant's hundreds-of-docs buckets, so the candidate join
+    * stays linear in the corpus — the shape that survives 100 TB.
+    * Band agreement over 32k distinct values also means a matching
+    * pair is overwhelmingly a REAL near-dup, not a coarse-hash
+    * collision. */
+  def simhashPairsWide(df: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 3,
+                       maxBucket: Int = 1000): DataFrame = {
+    val sims = df.select(col(idCol), col(textCol))
+      // explicit count so AQE can't coalesce the md5 projection
+      .repartition(df.sparkSession.sparkContext.defaultParallelism, col(idCol))
+      .select(col(idCol).as("id"),
+        graft.functions.SimHashWide(col(textCol)).as("simhash"))
+    hammingPairs(sims, graft.functions.SimHashWide.Bits, maxHamming, maxBucket)
+  }
+
+  /** Band-pigeonhole Hamming join on a fingerprint frame
+    * (`id`, `simhash`): every pair within `maxHamming` agrees exactly
+    * on one of the `maxHamming + 1` bands. */
+  private def hammingPairs(sims0: DataFrame, bits: Int, maxHamming: Int,
+                           maxBucket: Int): DataFrame = {
+    // materialize the fingerprints once: the banded frame feeds the
+    // bucket-size aggregate, BOTH sides of the candidate self-join,
+    // and the star fallback — without this the md5 fingerprint scan
+    // re-runs on every branch (same shape as minhashCandidates'
+    // checkpoint; blocks release with the plan, unlike persist)
+    val sims = sims0.localCheckpoint()
     val nBands = maxHamming + 1
     val base = bits / nBands
     val extra = bits % nBands // first `extra` bands get one more bit
@@ -225,8 +261,6 @@ object Dedup {
     val layout = (0 until nBands).scanLeft((0, 0)) { case ((off, w), b) =>
       (off + w, base + (if (b < extra) 1 else 0))
     }.tail
-    val sims = simhashBuckets(df, idCol, textCol, bits)
-      .select(col(idCol).as("id"), col("simhash"))
     val banded = sims.select(
       col("id"), col("simhash"),
       explode(array(layout.zipWithIndex.map { case ((off, w), b) =>

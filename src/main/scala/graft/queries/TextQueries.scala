@@ -233,19 +233,31 @@ object TextQueries {
     // recall); candidates verified with bit_count(xor). No cross join
     // on either side.
     Q("q74_simhash_neardup",
-      (s, dir) => graft.operators.Dedup.simhashPairs(
-        Tables(s, dir, "documents"), "doc_id", "text",
-        bits = 16, maxHamming = 2)
+      (s, dir) => graft.operators.Dedup.simhashPairsWide(
+        Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
         .withColumnRenamed("id_a", "doc_a").withColumnRenamed("id_b", "doc_b")
         .orderBy(col("doc_a"), col("doc_b")),
       Some {
-        // band layout for bits=16, 3 bands: widths 6,5,5 at offsets 0,6,11
-        val bandSelects = Seq((0, 6, 0), (1, 5, 6), (2, 5, 11)).map {
-          case (b, w, off) =>
-            s"SELECT doc_id, sh, $b AS band, (sh >> $off) & ${(1L << w) - 1} AS bval FROM sim"
+        // classic simhash: ONE md5 per token; bit b of the 60-bit
+        // fingerprint votes with bit b of the token hash (first 15
+        // md5 hex digits). Mirrors graft.functions.SimHashWide.
+        val bitTerms = (0 until 60).map { b =>
+          s"""CASE WHEN list_sum(list_transform(hv, h ->
+             |    CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+             |  THEN ${1L << b} ELSE 0 END""".stripMargin
+        }.mkString(" +\n  ")
+        // band layout for bits=60, 4 bands: width 15 at offsets 0,15,30,45
+        val bandSelects = (0 until 4).map { b =>
+          s"SELECT doc_id, sh, $b AS band, (sh >> ${b * 15}) & ${(1L << 15) - 1} AS bval FROM sim"
         }.mkString("\n  UNION ALL\n  ")
-        s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-           |sim AS (SELECT doc_id, CAST(${simhashSql(16)} AS BIGINT) AS sh FROM toks),
+        s"""WITH toks AS (SELECT doc_id,
+           |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+           |      ELSE string_split_regex(trim(text), '\\s+') END AS t
+           |  FROM documents),
+           |hs AS (SELECT doc_id,
+           |    list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hv
+           |  FROM toks),
+           |sim AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS sh FROM hs),
            |banded AS (
            |  $bandSelects),
            |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -253,7 +265,7 @@ object TextQueries {
            |  FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
            |  WHERE a.doc_id < b.doc_id)
            |SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
-           |FROM cand WHERE bit_count(xor(sa, sb)) <= 2
+           |FROM cand WHERE bit_count(xor(sa, sb)) <= 3
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 

@@ -51,6 +51,58 @@ class DedupSkewSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("wide-simhash kernel equals the composed per-bit md5-vote column form") {
+    import graft.functions.{SimHashWide, TextFns}
+    import org.apache.spark.sql.types.LongType
+    val docs = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  spaced   out\ttokens \n and more  ",
+      "\tleading tab then words here",
+      "trailing newline after words\n",
+      "single",
+      "",                     // empty → fingerprint 0
+      "Cañón José über naïve façade résumé test").toDF("text")
+    val viaKernel = docs.select(SimHashWide(col("text")).as("sh"))
+      .collect().map(_.getLong(0))
+    // independent composed form: one 60-bit md5 hash per token, bit b
+    // of the fingerprint = sign of the bit-b vote sum
+    val composed = (0 until 60).map { b =>
+      val vote = aggregate(TextFns.tokens(col("text")), lit(0L), (acc, t) => {
+        val h = conv(substring(md5(t), 1, 15), 16, 10).cast(LongType)
+        acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)
+      })
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val viaColumns = docs.select(composed.as("sh")).collect().map(_.getLong(0))
+    assert(viaKernel.toSeq == viaColumns.toSeq)
+    assert(viaKernel(5) == 0L && viaKernel(0) != 0L)
+  }
+
+  test("wide-simhash pairs: exact dups pair at hamming 0, unrelated docs don't pair") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (3L, "completely unrelated prose concerning distributed shuffle exchanges and columnar parquet readers"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsWide(docs, "doc_id", "text").collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 2L)
+    assert(pairs(0).getInt(2) == 0)
+  }
+
+  test("wide-simhash hot bucket emits linear star pairs, not quadratic") {
+    val nDup = 3000
+    val docs = ((0 until nDup).map(i => (i.toLong, "the same exact duplicated text body repeated verbatim")) ++
+      Seq((90001L, "a completely different document about spark physical planning")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairsWide(docs, "doc_id", "text", maxBucket = 100).cache()
+    // star shape: nDup-1 hub pairs, all at hamming 0; the singleton
+    // unrelated doc pairs with nothing
+    assert(pairs.count().toInt == nDup - 1)
+    assert(pairs.filter(col("id_a") === 0L && col("hamming") === 0).count().toInt == nDup - 1)
+    pairs.unpersist()
+  }
+
   test("embedding hot bucket emits linear star pairs at cosine 1") {
     val nDup = 3000
     val base = Array.fill(8)(0.5f)
