@@ -243,6 +243,41 @@ object Dedup {
     hammingPairs(sims, graft.functions.SimHashWide.Bits, maxHamming, maxBucket)
   }
 
+  /** Winnowing-overlap pairs (MOSS): documents sharing >= `minShared`
+    * winnowing fingerprints ([[graft.functions.WinnowFingerprint]] —
+    * every shared substring of length >= k+w-1 yields a shared
+    * fingerprint). The join is an inverted index on fingerprint
+    * value; fingerprints appearing in more than `maxDf` documents are
+    * dropped first — the standard MOSS over-common-substring filter,
+    * which is simultaneously the hot-key skew guard: boilerplate
+    * shared by thousands of docs can't quadratically explode one
+    * fingerprint's bucket. */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8, w: Int = 4, maxDf: Int = 50,
+                     minShared: Int = 3): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // fingerprint values are per-doc DISTINCT (the expression winnows
+    // and dedupes in one pass), so this frame is the inverted index;
+    // checkpoint: it feeds the df-count aggregate and both join sides
+    val fps = df.select(col(idCol), col(textCol))
+      .repartition(par, col(idCol))
+      .select(col(idCol).as("id"),
+        explode(graft.functions.WinnowFingerprint(col(textCol), k, w)).as("fp"))
+      .localCheckpoint()
+    val keep = fps.groupBy(col("fp"))
+      .agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf)
+      .select(col("fp"))
+    val kept = fps.join(keep, "fp")
+    val a = kept.select(col("fp"), col("id").as("id_a"))
+    val b = kept.select(col("fp"), col("id").as("id_b"))
+    a.join(b, "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
+
   /** Band-pigeonhole Hamming join on a fingerprint frame
     * (`id`, `simhash`): every pair within `maxHamming` agrees exactly
     * on one of the `maxHamming + 1` bands. */

@@ -98,6 +98,51 @@ object EventQueries {
              |FROM src LEFT JOIN st ON src.user_id = st.user_id
              |WHERE last_ts IS NULL
              |   OR CAST(floor(epoch(ts)) AS BIGINT) > CAST(floor(epoch(last_ts)) AS BIGINT) + 60
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // KMV (k-minimum-values / bottom-k) distinct sketch per event
+    // type (Bar-Yossef et al. RANDOM'02; the mergeable cardinality
+    // sketch family behind approx_count_distinct). Hash each user to
+    // 48 bits (md5 prefix — exact in IEEE double), keep the k=64
+    // smallest distinct hashes per group: estimate = (k-1) * 2^48 /
+    // h_k, or the exact distinct count when a group has fewer than k
+    // values. Deterministic on both engines — integer hashing,
+    // exactly-representable scale constant, one exactly-rounded
+    // division. At 100 TB the bottom-k per group is a partial
+    // aggregate (each partition keeps its own k smallest, merge keeps
+    // the k smallest of the union) — here the post-distinct window is
+    // per-group tiny; the sketch property (fixed k-size state) is the
+    // point.
+    Q("q79_kmv_distinct",
+      (s, dir) => {
+        val k = 64
+        val hashed = events(s, dir)
+          .filter(col("user_id").isNotNull)
+          .select(col("event_type"),
+            conv(substring(md5(col("user_id").cast(StringType)), 1, 12), 16, 10)
+              .cast(LongType).as("h"))
+          .distinct()
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("h"))
+        hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("nk"), max(col("h")).as("hk"))
+          .select(col("event_type"), col("nk"),
+            round(when(col("nk") < k, col("nk").cast(DoubleType))
+              .otherwise(lit((k - 1).toDouble * math.pow(2, 48)) /
+                col("hk").cast(DoubleType)), 4).as("est_distinct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+             |  FROM events WHERE user_id IS NOT NULL),
+             |rk AS (SELECT event_type, h,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+             |tk AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nk, MAX(h) AS hk
+             |  FROM rk WHERE rn <= 64 GROUP BY event_type)
+             |SELECT event_type, nk,
+             |  round(CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
+             |    ELSE CAST(17732923532771328 AS DOUBLE) / CAST(hk AS DOUBLE) END, 4) AS est_distinct
+             |FROM tk ORDER BY event_type""".stripMargin))
   )
 }

@@ -67,6 +67,34 @@ object MultimodalQueries {
              |FROM documents d
              |JOIN '/root/repo/fixtures/q46_meta.parquet' f
              |  ON sha256(d.text) = f.content_hash
-             |ORDER BY asset_id""".stripMargin))
+             |ORDER BY asset_id""".stripMargin)),
+
+    // Video frame sampling: every stride-th frame of each video asset
+    // becomes a row (flatMap explode — the shape a real ffmpeg-backed
+    // extractor produces; decode stubbed as fixed-size byte slices).
+    // The oracle re-derives the frame plan arithmetic from the q46
+    // fixture's n_frames (keyed by content hash, scale-independent)
+    // and checks per-frame byte lengths.
+    Q("q77_frame_sample",
+      (s, dir) => {
+        val assets = Multimodal.syntheticAssets(s, dir)
+        Multimodal.sampleFrames(assets, stride = 2).toDF()
+          .select(col("asset_id"), col("frame_no"),
+            length(col("frame_bytes")).as("frame_len"))
+          .orderBy(col("asset_id"), col("frame_no"))
+      },
+      Some("""WITH a AS (SELECT d.doc_id AS asset_id,
+             |    CAST(strlen(d.text) AS BIGINT) AS len, f.n_frames
+             |  FROM documents d
+             |  JOIN '/root/repo/fixtures/q46_meta.parquet' f
+             |    ON sha256(d.text) = f.content_hash
+             |  WHERE CAST(d.doc_id % 3 AS INT) = 2),
+             |fr AS (SELECT asset_id, len,
+             |    unnest(range(0, CAST(n_frames AS BIGINT), 2)) AS frame_no,
+             |    greatest(1, len // CAST(n_frames AS BIGINT)) AS chunk
+             |  FROM a)
+             |SELECT asset_id, CAST(frame_no AS INT) AS frame_no,
+             |  CAST(greatest(0, least((frame_no + 1) * chunk, len) - frame_no * chunk) AS INT) AS frame_len
+             |FROM fr ORDER BY asset_id, frame_no""".stripMargin))
   )
 }

@@ -190,6 +190,51 @@ object VectorQueries {
              |SELECT q_id, n_id, label, cosine, rnk FROM (
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS rnk
              |  FROM cos) t
-             |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin))
+             |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+
+    // Product-quantization codes (Jégou et al. TPAMI'11): split each
+    // 64-dim vector into 4 subspaces of 16 dims; per subspace, assign
+    // to the nearest of 8 codebook centroids (the subvectors of
+    // vec_id < 8 — a deterministic stand-in for k-means training).
+    // Distances are exact scaled-long L2 via |x|^2 + |c|^2 - 2x.c, so
+    // assignment ties and ordering are integer-deterministic; the
+    // codebook join is a broadcast (codebook is small by
+    // construction — the 100 TB shape: PQ codes shrink vectors 64x
+    // and the scan side never shuffles).
+    Q("q80_pq_codes",
+      (s, dir) => {
+        import graft.functions.VectorFns
+        val emb = Tables(s, dir, "embeddings")
+        val subs = emb.select(col("vec_id"),
+          posexplode(array((0 until 4).map(m =>
+            slice(col("embedding"), m * 16 + 1, 16)): _*)).as(Seq("sub", "sv")))
+        val cents = subs.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("sub"), col("sv").as("cv"))
+        val dists = subs.join(broadcast(cents), "sub")
+          .withColumn("dist",
+            VectorFns.normSqScaled(col("sv")) + VectorFns.normSqScaled(col("cv"))
+              - lit(2L) * VectorFns.dotScaled(col("sv"), col("cv")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"), col("sub"))
+          .orderBy(col("dist"), col("cid"))
+        dists.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("vec_id"), col("sub"), col("cid").as("code"), col("dist"))
+          .orderBy(col("vec_id"), col("sub"))
+      },
+      Some {
+        val subSelects = (0 until 4).map { m =>
+          s"SELECT vec_id, CAST($m AS INT) AS sub, list_slice(embedding, ${m * 16 + 1}, ${(m + 1) * 16}) AS sv FROM embeddings"
+        }.mkString("\n  UNION ALL\n  ")
+        s"""WITH sub AS (
+           |  $subSelects),
+           |cents AS (SELECT vec_id AS cid, sub, sv AS cv FROM sub WHERE vec_id < 8),
+           |d AS (SELECT s.vec_id, s.sub, c.cid,
+           |    ${normSql("s.sv")} + ${normSql("c.cv")} - 2 * ${dotSql("s.sv", "c.cv")} AS dist
+           |  FROM sub s JOIN cents c ON s.sub = c.sub)
+           |SELECT vec_id, sub, cid AS code, dist FROM (
+           |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+           |  FROM d) t
+           |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
+      })
   )
 }

@@ -103,6 +103,49 @@ class DedupSkewSpec extends SparkSpec {
     pairs.unpersist()
   }
 
+  test("winnowing kernel equals the composed explode/window-min column form") {
+    import graft.functions.WinnowFingerprint
+    import org.apache.spark.sql.expressions.Window
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps on running"),
+      (2L, "  padded   with spaces and\ttabs\nand newlines inside the body  "),
+      (3L, "short"),                       // < k chars → no fingerprints
+      (4L, "exactly11ch"),                 // k+w-1 = 11 chars → 1 window
+      (5L, "Cañón José über naïve façade résumé and more unicode content here"))
+      .toDF("doc_id", "text")
+    val viaKernel = docs
+      .select(col("doc_id"), WinnowFingerprint(col("text"), 8, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val composed = docs
+      .select(col("doc_id"), trim(col("text")).as("t"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), length(col("t")) - 6)).as("p"))
+      .select(col("doc_id"), col("p"),
+        expr("cast(conv(substr(md5(substr(t, p, 8)), 1, 8), 16, 10) as bigint)").as("hv"))
+      .withColumn("fp", min(col("hv")).over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("p")).rowsBetween(-3, 0)))
+      .filter(col("p") >= 4)
+      .select(col("doc_id"), col("fp")).distinct()
+      .groupBy(col("doc_id")).agg(sort_array(collect_list(col("fp"))).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    for (id <- Seq(1L, 2L, 4L, 5L))
+      assert(viaKernel(id) == composed(id), s"doc $id")
+    assert(viaKernel(3L).isEmpty && !composed.contains(3L))
+    assert(viaKernel(4L).length == 1)
+  }
+
+  test("winnowing pairs find a shared >=11-char substring, skip unrelated docs") {
+    val shared = "a distinctive shared passage that is plenty long enough"
+    val docs = Seq(
+      (1L, s"first document begins here. $shared. and then diverges completely xyzzy"),
+      (2L, s"second one opens differently! $shared! closing words are not alike qwerty"),
+      (3L, "totally disjoint content with zero overlap in any eleven character run"))
+      .toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.winnowingPairs(
+      docs, "doc_id", "text", minShared = 1).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
   test("embedding hot bucket emits linear star pairs at cosine 1") {
     val nDup = 3000
     val base = Array.fill(8)(0.5f)
