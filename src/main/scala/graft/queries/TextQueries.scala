@@ -350,6 +350,60 @@ object TextQueries {
              |FROM ranked WHERE rnk <= 3
              |ORDER BY doc_id, rnk""".stripMargin)),
 
+    // Train/test contamination check (the GPT-3 appendix-C /
+    // C4-style 13-gram decontamination): hold out sources src0/src1
+    // as the eval split, hash every 13-token shingle on both sides
+    // (one codegen md5 pass), and count per eval doc how many of its
+    // distinct shingles also occur anywhere in the training split.
+    // Scale shape: the training side collapses to a DISTINCT hash set
+    // (one shuffle over near-uniform 32-bit hashes — no hot keys by
+    // construction), membership is a hash equi-join, and no text
+    // moves after the scan. At 100 TB this is the standard
+    // decontamination sweep shape: grams-of-train as a build side,
+    // test grams probe it.
+    Q("q81_contamination",
+      (s, dir) => {
+        val n = 13
+        val holdout = Seq("src0", "src1")
+        val docs = Tables(s, dir, "documents")
+        val par = s.sparkContext.defaultParallelism
+        val grams = docs
+          .repartition(par, col("doc_id"))
+          .select(col("doc_id"), col("source"),
+            explode(graft.functions.ShingleHashes(col("text"), n)).as("hv"))
+          .distinct()
+          .localCheckpoint() // feeds both splits below
+        val train = grams.filter(!col("source").isin(holdout: _*))
+          .select(col("hv")).distinct()
+        val test = grams.filter(col("source").isin(holdout: _*))
+        test.join(train.withColumn("_hit", lit(1)), Seq("hv"), "left")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(coalesce(col("_hit"), lit(0))).cast("bigint").as("n_contaminated"))
+          .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+            round(col("n_contaminated").cast(DoubleType) /
+              col("n_grams").cast(DoubleType), 6).as("contamination"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id, source,
+             |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |sh AS (SELECT doc_id, source,
+             |    array_to_string(list_slice(t, i, i + 12), ' ') AS s
+             |  FROM toks, unnest(generate_series(1, len(t) - 12)) AS u(i)
+             |  WHERE len(t) >= 13),
+             |h AS (SELECT DISTINCT doc_id, source,
+             |    ('0x' || substr(md5(s), 1, 8))::BIGINT AS hv FROM sh),
+             |train AS (SELECT DISTINCT hv FROM h
+             |  WHERE source NOT IN ('src0', 'src1')),
+             |test AS (SELECT doc_id, hv FROM h WHERE source IN ('src0', 'src1'))
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+             |  CAST(SUM(CASE WHEN hv IN (SELECT hv FROM train)
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+             |  round(CAST(SUM(CASE WHEN hv IN (SELECT hv FROM train)
+             |      THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             |    AS contamination
+             |FROM test GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Composite quality score (north-star text op; identical IEEE
     // double expression tree on both sides).
     Q("q25_quality_score",
