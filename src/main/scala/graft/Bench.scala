@@ -10,8 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup outside the timed region
+    // JVM/codegen warmup outside the timed region: the flagship entry
+    // plus a spread of expression-heavy queries at the smallest SF,
+    // so the alphabetically-first timed queries don't absorb
+    // first-use codegen/classloading cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    Seq("q01_pricing_summary", "q22_minhash_lsh", "q74_simhash_neardup",
+      "q76_tfidf_topterms").foreach { q =>
+      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
