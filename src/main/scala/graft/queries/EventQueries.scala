@@ -143,6 +143,29 @@ object EventQueries {
              |SELECT event_type, nk,
              |  round(CASE WHEN nk < 64 THEN CAST(nk AS DOUBLE)
              |    ELSE CAST(17732923532771328 AS DOUBLE) / CAST(hk AS DOUBLE) END, 4) AS est_distinct
-             |FROM tk ORDER BY event_type""".stripMargin))
+             |FROM tk ORDER BY event_type""".stripMargin)),
+
+    // SLIDING windows (1 h window, 30 min slide — q15 covers tumbling
+    // only): every event belongs to window/slide = 2 overlapping
+    // windows. The oracle replays Spark's epoch-aligned window
+    // assignment by exploding each event into its k = 0..1 bucket
+    // starts (DuckDB time_bucket's 2000-01-03 origin sits on the
+    // 30-minute epoch grid, so the alignment is identical).
+    Q("q82_sliding_windows",
+      (s, dir) => events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type")),
+      Some("""WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type, value FROM events),
+             |w AS (SELECT event_type, value,
+             |    time_bucket(INTERVAL '30 minutes', t) - k * INTERVAL '30 minutes' AS win_start
+             |  FROM e, unnest(generate_series(0, 1)) AS u(k))
+             |SELECT win_start, event_type, COUNT(*) AS n,
+             |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+             |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
   )
 }

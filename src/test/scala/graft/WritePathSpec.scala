@@ -73,4 +73,41 @@ class WritePathSpec extends SparkSpec {
     assert(sunk.count() == 3)
     assert(sunk.exceptAll(batchTwin).isEmpty && batchTwin.exceptAll(sunk).isEmpty)
   }
+
+  test("compaction bin-packs small files and range-clusters for skipping") {
+    import graft.operators.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = graft.util.Tables(spark, sf001, "documents")
+    docs.repartition(40).write.mode("overwrite").parquet(s"$dir/small")
+    val smallFiles = new java.io.File(s"$dir/small").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(smallFiles == 40)
+
+    val res = Compaction.compact(spark, s"$dir/small", s"$dir/packed",
+      targetBytes = res0Target(dir), sortCol = Some("doc_id"))
+    val packedFiles = new java.io.File(s"$dir/packed").listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(packedFiles.length == res.outputFiles && res.outputFiles < 10)
+    // content preserved exactly
+    val packed = spark.read.parquet(s"$dir/packed")
+    assert(packed.exceptAll(docs).isEmpty && docs.exceptAll(packed).isEmpty)
+    // range clustering: per-file doc_id ranges don't overlap, so a
+    // range predicate can skip whole files on row-group stats
+    val ranges = packedFiles.sorted.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(min(col("doc_id")), max(col("doc_id"))).head()
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, "file ranges overlap")
+      case _ =>
+    }
+  }
+
+  // aim for ~5 output files regardless of sf0.001 byte size
+  private def res0Target(dir: String): Long = {
+    val total = new java.io.File(s"$dir/small").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+    math.max(1L, total / 5)
+  }
 }
