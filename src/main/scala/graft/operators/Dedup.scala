@@ -268,7 +268,10 @@ object Dedup {
       .agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxDf)
       .select(col("fp"))
-    val kept = fps.join(keep, "fp")
+    // pin the self-join parallelism: AQE sizes the post-shuffle reads
+    // from the (small) INPUT stats, but the join's cost is its pair
+    // OUTPUT — a user repartition is exempt from AQE coalescing
+    val kept = fps.join(keep, "fp").repartition(par, col("fp"))
     val a = kept.select(col("fp"), col("id").as("id_a"))
     val b = kept.select(col("fp"), col("id").as("id_b"))
     a.join(b, "fp")
