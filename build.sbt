@@ -15,6 +15,9 @@ run / fork := true
 // single JSON line from stdout, and sbt's default LoggedOutput prefixes
 // every line with "[info] " which breaks that parse.
 outputStrategy := Some(OutputStrategy.StdoutOutput)
+// ... and drop sbt's trailing "[success] Total time ..." line so the
+// JSON line is also the LAST stdout line (robust to last-line parsers).
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -22,7 +22,9 @@ if not skip_verify:
     r = subprocess.run(
         ["sbt", f'runMain graft.Verify {SF} {OUT}'],
         cwd="/root/repo", env=env, capture_output=True, text=True, timeout=1800)
-    if "[success]" not in r.stdout:
+    # build.sbt sets showSuccess := false (keeps Bench's JSON the last
+    # stdout line), so detect failure by exit code, not the banner
+    if r.returncode != 0:
         print(r.stdout[-4000:]); print(r.stderr[-2000:])
         sys.exit("verify run failed")
 

@@ -44,14 +44,38 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
     val edges = GeoRadiusJoin(ids, right, latCol, lonCol, "_rlat", "_rlon", radiusKm)
       .filter(col("_rep") =!= col("_dst"))
       .select(col("_rep").as("_src"), col("_dst"))
-      .persist()
+
+    val labels = components(ids.select(col("_rep").as("_id")), edges, maxIters)
+    // re-expand stack representatives to every original point; the
+    // component label (min rep id) IS the min member id, since each
+    // rep is already its stack's min.
+    withRep.join(
+      labels.select(col("_id").as("_rep"), col("_lbl").as("cluster_id")), "_rep")
+      .drop("_rep")
+  }
+
+  /** Min-label connected components over an explicit edge list — the
+    * graph kernel behind [[apply]], reusable for any pair-producing
+    * operator (LSH near-dup pairs, fuzzy-match pairs, ...).
+    *
+    * @param nodes one column `_id`; every node appears in the output
+    *              even when isolated (own singleton component).
+    * @param edges columns `_src`, `_dst`. Propagation follows edge
+    *              direction, so pass SYMMETRIC edges (both
+    *              orientations) for undirected semantics.
+    * @return `_id`, `_lbl` where `_lbl` = min reachable `_id`.
+    */
+  def components(nodes: DataFrame, edges0: DataFrame,
+                 maxIters: Int = 25): DataFrame = {
+    // the edge set is re-joined every round: materialize it once
+    val edges = edges0.persist()
     edges.count()
 
     // localCheckpoint per round truncates lineage — a persist/unpersist
     // chain would leave each round's cache depending on the previous
     // (just-dropped) one and replay the whole iteration history on any
     // later action.
-    var labels = ids.select(col("_rep").as("_id"), col("_rep").as("_lbl"))
+    var labels = nodes.select(col("_id"), col("_id").as("_lbl"))
       .localCheckpoint()
     var iter = 0
     var changed = 1L
@@ -79,11 +103,6 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
         f"(${(System.nanoTime() - t0) / 1e9}%.2fs)")
     }
     edges.unpersist()
-    // re-expand stack representatives to every original point; the
-    // component label (min rep id) IS the min member id, since each
-    // rep is already its stack's min.
-    withRep.join(
-      labels.select(col("_id").as("_rep"), col("_lbl").as("cluster_id")), "_rep")
-      .drop("_rep")
+    labels
   }
 }

@@ -166,6 +166,103 @@ object EventQueries {
              |  FROM e, unnest(generate_series(0, 1)) AS u(k))
              |SELECT win_start, event_type, COUNT(*) AS n,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-             |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin))
+             |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin)),
+
+    // HyperLogLog distinct sketch per event type (Flajolet et al.
+    // AofA'07) — the REGISTER form, complementing q79's bottom-k KMV:
+    // m = 64 registers, bucket = low 6 hash bits, register value =
+    // leading-zero rank of the remaining 42 bits, estimate =
+    // alpha_64 * m^2 / sum(2^-Mj). Cross-engine determinism: the rank
+    // comes from the padded bit STRING (no log2), the harmonic sum is
+    // accumulated as the exact integer sum of 2^(48-Mj) (every term a
+    // power of two, total <= 2^54 — no double rounding), and the
+    // estimate is one exactly-rounded division by an
+    // exactly-representable constant. The small-range linear-counting
+    // correction is deliberately omitted (ln() is cross-engine
+    // ULP-risky); this is the raw HLL estimator the mergeable sketch
+    // state supports. At 100 TB: state is 64 bytes per group
+    // regardless of cardinality, partial-aggregates merge by register
+    // max — the reason HLL replaces COUNT(DISTINCT) at scale.
+    Q("q83_hll_registers",
+      (s, dir) => {
+        val m = 64
+        val zeroTerm = 1L << 48 // 2^48: an untouched register's 2^(48-0)
+        // alpha_64 * m^2 * 2^48, left-to-right IEEE product — DuckDB
+        // const-folds the identical expression to the identical bits
+        val numer = 0.709 * 4096.0 * 281474976710656.0
+        val h = events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("event_type"),
+            conv(substring(md5(col("user_id").cast(StringType)), 1, 12), 16, 10)
+              .cast(LongType).as("h"))
+        val regs = h
+          .select(col("event_type"),
+            col("h").bitwiseAND(lit(63L)).as("bucket"),
+            shiftright(col("h"), 6).as("suffix"))
+          .withColumn("pos", instr(lpad(bin(col("suffix")), 42, "0"), "1"))
+          .withColumn("r", when(col("pos") === 0, lit(43)).otherwise(col("pos")))
+          .groupBy(col("event_type"), col("bucket"))
+          .agg(max(col("r")).as("mj"))
+        regs.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("regs_used"),
+            sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(48 - mj AS INT))"))
+              .as("_present"))
+          .withColumn("sum_int",
+            col("_present") + (lit(m.toLong) - col("regs_used")) * lit(zeroTerm))
+          .select(col("event_type"), col("regs_used"),
+            round(lit(numer) / col("sum_int").cast(DoubleType), 4)
+              .as("est_distinct"))
+          .orderBy(col("event_type"))
+      },
+      Some("""WITH h AS (SELECT event_type,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+             |  FROM events WHERE user_id IS NOT NULL),
+             |b AS (SELECT event_type, h & 63 AS bucket,
+             |    strpos(lpad(bin(h >> 6), 42, '0'), '1') AS pos FROM h),
+             |regs AS (SELECT event_type, bucket,
+             |    MAX(CASE WHEN pos = 0 THEN 43 ELSE pos END) AS mj
+             |  FROM b GROUP BY event_type, bucket),
+             |agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS regs_used,
+             |    SUM(CAST(1 AS BIGINT) << (48 - mj)) AS present
+             |  FROM regs GROUP BY event_type)
+             |SELECT event_type, regs_used,
+             |  round((CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE) * CAST(281474976710656 AS DOUBLE))
+             |    / CAST(present + (64 - regs_used) * (CAST(1 AS BIGINT) << 48) AS DOUBLE), 4) AS est_distinct
+             |FROM agg ORDER BY event_type""".stripMargin)),
+
+    // Privacy-preserving export: salted-hash pseudonymization of the
+    // user id (deterministic tokenization — joinable across exports,
+    // unlinkable to the raw id without the pepper) plus k-anonymity
+    // suppression over the quasi-identifier pair (event_type, date):
+    // any group with fewer than k=5 events gets its token withheld,
+    // so no released row is identifiable within a group smaller than
+    // k. One window over the quasi-identifier keys; the token is a
+    // codegen'd sha2 — nothing leaves the executors.
+    Q("q85_pseudonymize",
+      (s, dir) => {
+        val k = 5
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"), col("event_date"))
+        events(s, dir).filter(col("user_id").isNotNull)
+          .select(col("event_id"), col("event_type"),
+            to_date(col("ts")).as("event_date"),
+            substring(sha2(concat(lit("pepper:"),
+              col("user_id").cast(StringType)), 256), 1, 16).as("_tok"))
+          .withColumn("grp_n", count(lit(1)).over(w))
+          .select(col("event_id"), col("event_type"), col("event_date"),
+            when(col("grp_n") < k, lit("SUPPRESSED")).otherwise(col("_tok"))
+              .as("user_token"),
+            col("grp_n"), (col("grp_n") < k).as("suppressed"))
+          .orderBy(col("event_id"))
+      },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+             |    substr(sha256('pepper:' || CAST(user_id AS VARCHAR)), 1, 16) AS tok
+             |  FROM events WHERE user_id IS NOT NULL),
+             |g AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY event_type, event_date) AS BIGINT) AS grp_n
+             |  FROM e)
+             |SELECT event_id, event_type, event_date,
+             |  CASE WHEN grp_n < 5 THEN 'SUPPRESSED' ELSE tok END AS user_token,
+             |  grp_n, grp_n < 5 AS suppressed
+             |FROM g ORDER BY event_id""".stripMargin))
   )
 }

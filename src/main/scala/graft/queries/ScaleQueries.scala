@@ -60,6 +60,41 @@ object ScaleQueries {
       Some("""SELECT event_type,
              |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total,
              |  COUNT(*) AS n
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    // Compaction PLAN as a verifiable query: bin-pack documents into
+    // target-size output files by running byte total in doc_id order
+    // (file = cumulative-bytes-before div target — Spark's own
+    // maxPartitionBytes file-split rule, and the assignment
+    // operators.Compaction executes physically via
+    // repartitionByRange). The running total comes from the
+    // distributed two-phase [[graft.operators.PrefixSum]] — no
+    // single-task ORDER BY window; the oracle's global window IS that
+    // single-task form, which is exactly what the operator
+    // parallelizes. Contiguous doc ranges per file (min/max bounds in
+    // the output) are what make parquet row-group stats selective
+    // after the rewrite.
+    Q("q84_compaction_plan",
+      (s, dir) => {
+        val target = 16384L // bytes per output file
+        val sized = Tables(s, dir, "documents")
+          .select(col("doc_id"), length(col("text")).cast(LongType).as("bytes"))
+        graft.operators.PrefixSum(sized, "doc_id", "bytes")
+          .withColumn("file_id", expr(s"(cum - bytes) div $target"))
+          .groupBy(col("file_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("file_bytes"),
+            min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+          .orderBy(col("file_id"))
+      },
+      Some("""WITH s AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS bytes
+             |  FROM documents),
+             |c AS (SELECT doc_id, bytes,
+             |    CAST(SUM(bytes) OVER (ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s),
+             |p AS (SELECT doc_id, bytes, (cum - bytes) // 16384 AS file_id FROM c)
+             |SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(bytes) AS BIGINT) AS file_bytes,
+             |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+             |FROM p GROUP BY file_id ORDER BY file_id""".stripMargin))
   )
 }

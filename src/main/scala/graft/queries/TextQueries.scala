@@ -217,6 +217,52 @@ object TextQueries {
              |JOIN cnt cb ON cb.doc_id = c.doc_b
              |ORDER BY c.doc_a, c.doc_b""".stripMargin)),
 
+    // Full near-dup pipeline to a SURVIVOR SET (the SlimPajama /
+    // RefinedWeb shape): LSH candidate pairs → threshold on estimated
+    // jaccard → connected components over the pair graph → keep the
+    // min-id document per component. Composes Dedup.minhashCandidates
+    // with the generic ClusterUnify.components kernel (pointer-jumping
+    // min-label propagation, O(log diameter) rounds) — transitive
+    // closure, so A~B and B~C dedupe A,B,C even when A,C never
+    // collided in any band. The oracle replays the identical signature
+    // pipeline plus a recursive-CTE reachability closure.
+    Q("q86_dedup_survivors",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+        val pairs = Dedup.minhashCandidates(docs, "doc_id", "text",
+          n = ShingleN, bands = Bands, rowsPerBand = RowsPerBand)
+          .filter(col("est_jaccard") >= 0.5) // = 8 of 16 signature rows
+          .select(col("id_a"), col("id_b"))
+        val edges = pairs
+          .select(col("id_a").as("_src"), col("id_b").as("_dst"))
+          .unionByName(pairs.select(col("id_b").as("_src"), col("id_a").as("_dst")))
+        graft.operators.ClusterUnify
+          .components(docs.select(col("doc_id").as("_id")), edges)
+          .select(col("_id").as("doc_id"), col("_lbl").as("cluster_id"),
+            (col("_id") === col("_lbl")).as("is_survivor"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH RECURSIVE $minhashSigSql,
+             |banded AS (
+             |  $bandsSql),
+             |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             |  FROM banded a JOIN banded b ON a.band = b.band AND a.bsig = b.bsig
+             |  WHERE a.doc_id < b.doc_id),
+             |near AS (SELECT doc_a, doc_b FROM cand
+             |  JOIN sig sa ON sa.doc_id = doc_a
+             |  JOIN sig sb ON sb.doc_id = doc_b
+             |  WHERE ($matchCount) >= 8),
+             |edges AS (SELECT doc_a AS ka, doc_b AS kb FROM near
+             |  UNION ALL SELECT doc_b, doc_a FROM near),
+             |reach(k, lbl) AS (
+             |  SELECT doc_id, doc_id FROM documents
+             |  UNION
+             |  SELECT e.kb, r.lbl FROM reach r JOIN edges e ON e.ka = r.k
+             |  WHERE r.lbl < e.kb),
+             |comp AS (SELECT k AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY k)
+             |SELECT doc_id, cluster_id, doc_id = cluster_id AS is_survivor
+             |FROM comp ORDER BY doc_id""".stripMargin)),
+
     // SimHash fingerprint per document (md5-vote construction).
     Q("q24_simhash",
       (s, dir) => graft.operators.Dedup.simhashBuckets(
