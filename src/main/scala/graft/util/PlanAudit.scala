@@ -14,7 +14,9 @@ object PlanAudit {
     "q27_ivf_topk",     // 10 centroids broadcast (assignment stage)
     "q43_brand_fuzzy",  // 5-brand whitelist broadcast
     "q47_embedding_neardup", // plane literals only; flag if a join appears
-    "q69_range_join")   // 3-interval tier dim broadcast (range condition)
+    "q69_range_join",   // 3-interval tier dim broadcast (range condition)
+    "q76_tfidf_topterms", // 1-row doc-count scalar broadcast into every task
+    "q78_int8_quant")   // |Q|=10 broadcast × corpus — q26's exact-baseline shape
 
   def main(args: Array[String]): Unit = {
     val spark = Tables.session("audit")

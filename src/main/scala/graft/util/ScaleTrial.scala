@@ -62,7 +62,9 @@ object ScaleTrial {
       Seq("q22_minhash_lsh", "q41_cluster_unify", "q47_embedding_neardup",
         "q31_merge_upsert", "q16_sessionize", "q53_asof_join",
         "q74_simhash_neardup", "q75_winnowing", "q76_tfidf_topterms",
-        "q79_kmv_distinct", "q80_pq_codes", "q81_contamination")
+        "q79_kmv_distinct", "q80_pq_codes", "q81_contamination",
+        "q83_hll_registers", "q84_compaction_plan", "q85_pseudonymize",
+        "q86_dedup_survivors")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       Registry.byName(name).run(spark, dir).count()

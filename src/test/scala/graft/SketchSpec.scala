@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** Mergeability of the cardinality sketches (q79 KMV, q83 HLL): the
+  * sketch built from partial sketches over arbitrary data splits must
+  * equal the sketch built over the whole data — the property that
+  * makes them partial-aggregable (map-side combine) at 100 TB.
+  */
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hashed(ids: Seq[Long]): DataFrame =
+    ids.toDF("user_id").select(
+      conv(substring(md5(col("user_id").cast(StringType)), 1, 12), 16, 10)
+        .cast(LongType).as("h"))
+
+  /** HLL registers (bucket → max rank), as in q83_hll_registers. */
+  private def hllRegisters(df: DataFrame): Map[Long, Int] = df
+    .select(col("h").bitwiseAND(lit(63L)).as("bucket"),
+      shiftright(col("h"), 6).as("suffix"))
+    .withColumn("pos", instr(lpad(bin(col("suffix")), 42, "0"), "1"))
+    .withColumn("r", when(col("pos") === 0, lit(43)).otherwise(col("pos")))
+    .groupBy(col("bucket")).agg(max(col("r")).as("mj"))
+    .as[(Long, Int)].collect().toMap
+
+  test("HLL registers merge by max across splits") {
+    val rng = new scala.util.Random(11)
+    val ids = Seq.fill(5000)(rng.nextLong().abs % 100000L)
+    val (a, b) = ids.splitAt(2000)
+    val whole = hllRegisters(hashed(ids))
+    val merged = (hllRegisters(hashed(a)).toSeq ++ hllRegisters(hashed(b)).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(merged == whole)
+  }
+
+  test("KMV bottom-k merges as bottom-k of the union") {
+    val rng = new scala.util.Random(13)
+    val ids = Seq.fill(5000)(rng.nextLong().abs % 100000L)
+    val (a, b) = ids.splitAt(1700)
+    val k = 64
+    def bottomK(df: DataFrame): Seq[Long] = df.select(col("h")).distinct()
+      .orderBy(col("h")).limit(k).as[Long].collect().toSeq
+    val whole = bottomK(hashed(ids))
+    val merged = (bottomK(hashed(a)) ++ bottomK(hashed(b)))
+      .distinct.sorted.take(k)
+    assert(merged == whole)
+  }
+}
