@@ -450,6 +450,109 @@ object TextQueries {
              |    AS contamination
              |FROM test GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Training-mixture construction (Pile/LLaMA-style source
+    // weighting): each source gets a mixture weight; weight > 1 means
+    // UPSAMPLING (docs repeat floor(w) times plus one more for a
+    // deterministic hash-fraction of docs), weight < 1 downsampling.
+    // The fractional part is decided by an integer hash threshold
+    // (first 8 md5 hex digits vs floor(frac(w)·2^32)) — no RNG state,
+    // so the mixture is reproducible and any shard can be rebuilt
+    // independently at 100 TB. Replicas materialize via
+    // explode(sequence(1, copies)) with a replica index — the shape a
+    // downstream epoch-aware shuffler consumes.
+    Q("q87_source_mixture",
+      (s, dir) => {
+        // weights: src0→2.5, src1→1.0, src2→0.5, src3→0.25, rest→0.1
+        val base = when(col("source") === "src0", 2L)
+          .when(col("source") === "src1", 1L).otherwise(0L)
+        val thr = when(col("source") === "src0", 2147483648L) // frac .5
+          .when(col("source") === "src1", 0L)
+          .when(col("source") === "src2", 2147483648L)        // frac .5
+          .when(col("source") === "src3", 1073741824L)        // frac .25
+          .otherwise(429496729L)                              // frac .1
+        val docs = Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            conv(substring(md5(concat(lit("mix:"),
+              col("doc_id").cast(StringType))), 1, 8), 16, 10)
+              .cast(LongType).as("hv"))
+          .withColumn("copies",
+            base + when(col("hv") < thr, 1L).otherwise(0L))
+        val emitted = docs.filter(col("copies") > 0)
+          .select(col("source"),
+            explode(sequence(lit(1L), col("copies"))).as("replica"))
+          .groupBy(col("source")).agg(count(lit(1)).as("n_emitted"))
+        docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+          .join(emitted, Seq("source"), "left")
+          .select(col("source"), col("n_docs"),
+            coalesce(col("n_emitted"), lit(0L)).as("n_emitted"),
+            round(coalesce(col("n_emitted"), lit(0L)).cast(DoubleType) /
+              col("n_docs").cast(DoubleType), 4).as("effective_rate"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH d AS (SELECT source, doc_id,
+             |    ('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS hv
+             |  FROM documents),
+             |c AS (SELECT source, doc_id,
+             |    (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END)
+             |    + (CASE WHEN hv < (CASE source
+             |        WHEN 'src0' THEN 2147483648 WHEN 'src1' THEN 0
+             |        WHEN 'src2' THEN 2147483648 WHEN 'src3' THEN 1073741824
+             |        ELSE 429496729 END) THEN 1 ELSE 0 END) AS copies
+             |  FROM d),
+             |em AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_emitted
+             |  FROM c, unnest(generate_series(1, copies)) AS u(r)
+             |  WHERE copies > 0 GROUP BY source),
+             |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+             |  FROM c GROUP BY source)
+             |SELECT nd.source, n_docs,
+             |  COALESCE(n_emitted, 0) AS n_emitted,
+             |  round(CAST(COALESCE(n_emitted, 0) AS DOUBLE)
+             |    / CAST(n_docs AS DOUBLE), 4) AS effective_rate
+             |FROM nd LEFT JOIN em ON nd.source = em.source
+             |ORDER BY nd.source""".stripMargin)),
+
+    // Sequence packing for pretraining batches: fill 2048-token
+    // context windows with documents in deterministic doc_id order
+    // WITHIN each source shard (window partitioned by source — no
+    // global sort, unlike q84's global PrefixSum form), sequence id =
+    // cumulative-tokens-before div 2048. fill_ratio divides by a
+    // power of two, so the double is exact. The per-source last bin
+    // underfills — exactly the padding waste a packing report exists
+    // to surface.
+    Q("q88_sequence_packing",
+      (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        Tables(s, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            TextFns.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("seq_id", expr("(cum - n_tokens) div 2048"))
+          .groupBy(col("source"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .select(col("source"), col("seq_id"), col("n_docs"), col("seq_tokens"),
+            round(col("seq_tokens").cast(DoubleType) / lit(2048.0), 6)
+              .as("fill_ratio"), col("first_doc"))
+          .orderBy(col("source"), col("seq_id"))
+      },
+      Some("""WITH t AS (SELECT source, doc_id,
+             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |c AS (SELECT source, doc_id, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+             |p AS (SELECT source, doc_id, n_tokens,
+             |    (cum - n_tokens) // 2048 AS seq_id FROM c)
+             |SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+             |  round(CAST(SUM(n_tokens) AS DOUBLE) / CAST(2048 AS DOUBLE), 6) AS fill_ratio,
+             |  MIN(doc_id) AS first_doc
+             |FROM p GROUP BY source, seq_id
+             |ORDER BY source, seq_id""".stripMargin)),
+
     // Composite quality score (north-star text op; identical IEEE
     // double expression tree on both sides).
     Q("q25_quality_score",
