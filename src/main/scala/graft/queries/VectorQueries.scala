@@ -235,6 +235,63 @@ object VectorQueries {
            |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
            |  FROM d) t
            |WHERE rn = 1 ORDER BY vec_id, sub""".stripMargin
-      })
+      }),
+
+    // One Lloyd iteration of k-means (k = 8 seed centroids = the
+    // vec_id < 8 vectors) — the codebook-TRAINING primitive behind
+    // q27's IVF cells and q80's PQ codebook: assign every vector to
+    // its nearest centroid (exact scaled-long L2, ties broken by
+    // centroid id), then recompute each centroid as the per-dimension
+    // member mean. Determinism: assignment is integer arithmetic; the
+    // mean accumulates per-dim scaled longs (order-independent exact
+    // integer sum) and performs the two divisions in a fixed order.
+    // Scale shape: centroids broadcast (k rows), one shuffle to
+    // re-aggregate means — iterating this step is exactly
+    // spark.ml KMeans' dataflow.
+    Q("q89_kmeans_step",
+      (s, dir) => {
+        import graft.functions.VectorFns
+        val emb = Tables(s, dir, "embeddings")
+        val cents = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+        val dists = emb.crossJoin(broadcast(cents))
+          .withColumn("dist",
+            VectorFns.normSqScaled(col("embedding")) + VectorFns.normSqScaled(col("cv"))
+              - lit(2L) * VectorFns.dotScaled(col("embedding"), col("cv")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
+        val assigned = dists.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("cid").as("cluster_id"), col("embedding"))
+        assigned
+          .select(col("cluster_id"),
+            posexplode(col("embedding")).as(Seq("dim_idx", "x")))
+          .withColumn("xs",
+            round(col("x").cast("double") * lit(1e10), 0).cast("long"))
+          .groupBy(col("cluster_id"), col("dim_idx"))
+          .agg(count(lit(1)).as("n_members"), sum(col("xs")).as("xsum"))
+          .select(col("cluster_id"), col("dim_idx"), col("n_members"),
+            round(col("xsum").cast("double") / col("n_members").cast("double")
+              / lit(1e10), 6).as("centroid_val"))
+          .orderBy(col("cluster_id"), col("dim_idx"))
+      },
+      Some(s"""WITH cents AS (SELECT vec_id AS cid, embedding AS cv
+             |  FROM embeddings WHERE vec_id < 8),
+             |d AS (SELECT e.vec_id, e.embedding, c.cid,
+             |    ${normSql("e.embedding")} + ${normSql("c.cv")}
+             |      - 2 * ${dotSql("e.embedding", "c.cv")} AS dist
+             |  FROM embeddings e, cents c),
+             |a AS (SELECT cid AS cluster_id, embedding FROM (
+             |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+             |      ORDER BY dist, cid) AS rn FROM d) t
+             |  WHERE rn = 1),
+             |x AS (SELECT cluster_id, CAST(i - 1 AS INT) AS dim_idx,
+             |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1e10, 0) AS BIGINT) AS xs
+             |  FROM a, unnest(generate_series(1, len(embedding))) AS u(i))
+             |SELECT cluster_id, dim_idx, CAST(COUNT(*) AS BIGINT) AS n_members,
+             |  round(CAST(CAST(SUM(xs) AS BIGINT) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE) / 1e10, 6) AS centroid_val
+             |FROM x GROUP BY cluster_id, dim_idx
+             |ORDER BY cluster_id, dim_idx""".stripMargin))
   )
 }
