@@ -64,7 +64,8 @@ object ScaleTrial {
         "q74_simhash_neardup", "q75_winnowing", "q76_tfidf_topterms",
         "q79_kmv_distinct", "q80_pq_codes", "q81_contamination",
         "q83_hll_registers", "q84_compaction_plan", "q85_pseudonymize",
-        "q86_dedup_survivors")
+        "q86_dedup_survivors", "q87_source_mixture", "q88_sequence_packing",
+        "q89_kmeans_step")
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
       Registry.byName(name).run(spark, dir).count()
