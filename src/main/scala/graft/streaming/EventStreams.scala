@@ -36,6 +36,21 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Sliding event-time windows (streaming twin of q82: 1 h window,
+    * 30 min slide — each event lands in window/slide overlapping
+    * windows; the watermark bounds how many open windows the state
+    * store holds). */
+  def slidingByType(events: DataFrame, watermark: String = "60 seconds"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark("ts", watermark) else events
+    withWm
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n"), col("sum_value"))
+  }
+
   /** Event-time session windows (gap-close semantics — streaming twin
     * of operators.Sessionize). */
   def sessionized(events: DataFrame, gap: String = "30 minutes",

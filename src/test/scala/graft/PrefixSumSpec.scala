@@ -25,6 +25,13 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("more partitions than rows (empty range partitions) still sums") {
+    val rows = Seq(10L -> 5L, 20L -> -3L, 30L -> 7L, 40L -> 1L, 50L -> 2L)
+    val got = PrefixSum(rows.toDF("k", "v"), "k", "v", numParts = 64)
+      .select(col("k"), col("cum")).as[(Long, Long)].collect().toMap
+    assert(got == expected(rows))
+  }
+
   test("offsets frame is bounded by partition count, not rows") {
     // the only non-parallel step must be the numParts-row window; the
     // data-sized stages keep the requested parallelism

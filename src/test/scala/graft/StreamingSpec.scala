@@ -28,6 +28,23 @@ class StreamingSpec extends SparkSpec {
     assert(result.count() > 0)
   }
 
+  test("streaming sliding windows equal the batch sliding agg (q82 twin)") {
+    val batchDf = EventQueries.events(spark, sf001).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_slide").toString
+    batchDf.write.mode("overwrite").parquet(dir)
+
+    val streamed = spark.readStream
+      .schema(EventStreams.eventSchema)
+      .parquet(dir)
+    val result = EventStreams.runAvailableNow(spark,
+      EventStreams.slidingByType(streamed), "sliding_test")
+      .orderBy("win_start", "event_type")
+    val expected = EventStreams.slidingByType(batchDf)
+      .orderBy("win_start", "event_type")
+    assert(result.count() > 0)
+    assert(result.collect().toSeq == expected.collect().toSeq)
+  }
+
   test("stream-stream interval join equals its batch twin") {
     val batchDf = EventQueries.events(spark, sf001).cache()
     val dir = java.nio.file.Files.createTempDirectory("graft_ssj").toString
