@@ -16,7 +16,7 @@ object Bench {
     // first-use codegen/classloading cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     Seq("q01_pricing_summary", "q22_minhash_lsh", "q74_simhash_neardup",
-      "q76_tfidf_topterms").foreach { q =>
+      "q75_winnowing", "q76_tfidf_topterms", "q86_dedup_survivors").foreach { q =>
       try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => }
     }
