@@ -553,6 +553,64 @@ object TextQueries {
              |FROM p GROUP BY source, seq_id
              |ORDER BY source, seq_id""".stripMargin)),
 
+    // Corpus DATACARD rollup (the release artifact every corpus ships
+    // with — Dolma/RedPajama-style): per (lang × quality-quintile)
+    // and marginals via ROLLUP, doc counts, token totals, and the
+    // exact quality mass. Derived features reuse the verified kernels
+    // (tokenCount, qualityScore); quality sums accumulate as
+    // DECIMAL(18,6) so partial-aggregation order can't change the
+    // double emitted at the end. One pass over the corpus, one
+    // rollup shuffle.
+    Q("q90_corpus_datacard",
+      (s, dir) => {
+        val base = Tables(s, dir, "documents")
+          .select(col("lang"),
+            TextFns.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+            TextFns.qualityScore(col("text"), TextFns.langStopwords.head._2)
+              .as("q"))
+          .withColumn("qbucket",
+            least(floor(col("q") * 5).cast(IntegerType), lit(4)))
+        base.rollup(col("lang"), col("qbucket"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).as("total_tokens"),
+            sum(col("q").cast(DecimalType(18, 6))).cast(DoubleType)
+              .as("sum_quality"))
+          .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+            coalesce(col("qbucket"), lit(-1)).as("quality_bucket"),
+            col("n_docs"), col("total_tokens"), col("sum_quality"))
+          .orderBy(col("lang"), col("quality_bucket"))
+      },
+      Some {
+        val sw = TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+           |m AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
+           |  CAST(len(t) AS DOUBLE) AS nt,
+           |  CAST(len(list_filter(t, x -> x IN ($sw))) AS DOUBLE) AS hits,
+           |  CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) AS sumlen
+           |FROM toks),
+           |sc AS (SELECT doc_id, lang, n_tokens,
+           |  CASE WHEN nt < 5 THEN nt / 5.0 WHEN nt > 500 THEN 500.0 / nt ELSE 1.0 END AS len_score,
+           |  CASE WHEN nt = 0 THEN 0.0 ELSE hits / nt END AS swr,
+           |  CASE WHEN nt = 0 THEN 0.0 ELSE sumlen / nt END AS mtl
+           |FROM m),
+           |sc2 AS (SELECT doc_id, lang, n_tokens, len_score,
+           |  CASE WHEN swr > 0.5 THEN 1.0 - swr ELSE swr * 2.0 END AS sw_score,
+           |  CASE WHEN mtl >= 3 AND mtl <= 8 THEN 1.0 WHEN mtl < 3 THEN mtl / 3.0 ELSE 8.0 / mtl END AS mtl_score
+           |FROM sc),
+           |qx AS (SELECT lang, n_tokens,
+           |  round(len_score * 0.4 + least(sw_score, 1.0) * 0.3 + mtl_score * 0.3, 6) AS q
+           |FROM sc2),
+           |b AS (SELECT lang, least(CAST(floor(q * 5) AS INT), 4) AS qbucket,
+           |  n_tokens, q FROM qx)
+           |SELECT coalesce(lang, 'ALL') AS lang,
+           |  coalesce(qbucket, -1) AS quality_bucket,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+           |FROM b GROUP BY ROLLUP (lang, qbucket)
+           |ORDER BY lang, quality_bucket""".stripMargin
+      }),
+
     // Composite quality score (north-star text op; identical IEEE
     // double expression tree on both sides).
     Q("q25_quality_score",
