@@ -229,6 +229,71 @@ object EventQueries {
              |    / CAST(present + (64 - regs_used) * (CAST(1 AS BIGINT) << 48) AS DOUBLE), 4) AS est_distinct
              |FROM agg ORDER BY event_type""".stripMargin)),
 
+    // Histogram-CDF quantile sketch — the third of the mergeable
+    // sketch family (q79 KMV distinct, q83 HLL registers): 64
+    // equal-width bins over the global value range; per-group bin
+    // counts are the sketch state (merge = vector add), and the
+    // p-quantile estimate is the midpoint of the first bin whose
+    // cumulative count reaches ceil(p·n). Estimation error is bounded
+    // by bin width — the classic fixed-memory streaming-quantile
+    // trade; everything up to the final midpoint formula is integer
+    // arithmetic, so cross-engine parity is exact. The range scan is
+    // one pass, the bounds are a 1-row broadcast.
+    Q("q91_quantile_sketch",
+      (s, dir) => {
+        val b = 64
+        val ev = events(s, dir).filter(col("value").isNotNull)
+          .select(col("event_type"), col("value"))
+        val mm = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+        val width = (col("vmax") - col("vmin")) / lit(b.toDouble)
+        val binned = ev.crossJoin(broadcast(mm))
+          .withColumn("bin",
+            least(floor((col("value") - col("vmin")) / width).cast(IntegerType),
+              lit(b - 1)))
+          .groupBy(col("event_type"), col("bin"))
+          .agg(count(lit(1)).as("cnt"))
+        val wCum = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type")).orderBy(col("bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val wAll = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        val cum = binned
+          .withColumn("cum", sum(col("cnt")).over(wCum))
+          .withColumn("n", sum(col("cnt")).over(wAll))
+        cum.withColumn("p", explode(array(lit(0.5), lit(0.9), lit(0.99))))
+          .filter(col("cum") >= ceil(col("p") * col("n")).cast(LongType))
+          .groupBy(col("event_type"), col("p"))
+          .agg(min(col("bin")).as("qbin"))
+          .crossJoin(broadcast(mm))
+          .select(col("event_type"), col("p"),
+            round(col("vmin") + (col("qbin") + lit(0.5)) * width, 6)
+              .as("est_value"))
+          .orderBy(col("event_type"), col("p"))
+      },
+      Some("""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+             |mm AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM e),
+             |b AS (SELECT event_type,
+             |    least(CAST(floor((value - vmin) /
+             |      ((vmax - vmin) / CAST(64 AS DOUBLE))) AS INT), 63) AS bin
+             |  FROM e, mm),
+             |c AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
+             |  FROM b GROUP BY 1, 2),
+             |cum AS (SELECT event_type, bin,
+             |    CAST(SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             |    CAST(SUM(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+             |  FROM c),
+             |ps AS (SELECT * FROM (VALUES (CAST(0.5 AS DOUBLE)),
+             |    (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS t(p)),
+             |sel AS (SELECT event_type, p, MIN(bin) AS qbin
+             |  FROM cum, ps WHERE cum >= CAST(ceil(p * n) AS BIGINT)
+             |  GROUP BY 1, 2)
+             |SELECT event_type, p,
+             |  round(vmin + (qbin + CAST(0.5 AS DOUBLE))
+             |    * ((vmax - vmin) / CAST(64 AS DOUBLE)), 6) AS est_value
+             |FROM sel, mm ORDER BY event_type, p""".stripMargin)),
+
     // Privacy-preserving export: salted-hash pseudonymization of the
     // user id (deterministic tokenization — joinable across exports,
     // unlinkable to the raw id without the pepper) plus k-anonymity

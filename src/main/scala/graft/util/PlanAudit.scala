@@ -17,7 +17,8 @@ object PlanAudit {
     "q69_range_join",   // 3-interval tier dim broadcast (range condition)
     "q76_tfidf_topterms", // 1-row doc-count scalar broadcast into every task
     "q78_int8_quant",   // |Q|=10 broadcast × corpus — q26's exact-baseline shape
-    "q89_kmeans_step")  // k=8 centroid broadcast × corpus — Lloyd assignment
+    "q89_kmeans_step",  // k=8 centroid broadcast × corpus — Lloyd assignment
+    "q91_quantile_sketch") // 1-row min/max bounds broadcast into the bin scan
 
   def main(args: Array[String]): Unit = {
     val spark = Tables.session("audit")
