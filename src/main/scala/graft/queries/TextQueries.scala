@@ -513,45 +513,53 @@ object TextQueries {
 
     // Sequence packing for pretraining batches: fill 2048-token
     // context windows with documents in deterministic doc_id order
-    // WITHIN each source shard (window partitioned by source — no
-    // global sort, unlike q84's global PrefixSum form), sequence id =
-    // cumulative-tokens-before div 2048. fill_ratio divides by a
-    // power of two, so the double is exact. The per-source last bin
-    // underfills — exactly the padding waste a packing report exists
-    // to surface.
+    // within each (source, shard) packing unit; sequence id =
+    // cumulative-tokens-before div 2048. The shard dimension
+    // (fixed-size doc_id blocks) is the scale guard: a window
+    // partitioned by source alone would funnel an entire source —
+    // terabytes in a real corpus — through ONE task, while shards cap
+    // every window group at a constant row count, and sequence
+    // boundaries never needed cross-shard continuity in the first
+    // place (each training sequence is independent). fill_ratio
+    // divides by a power of two, so the double is exact; each shard's
+    // last bin underfills — exactly the padding waste a packing
+    // report exists to surface.
     Q("q88_sequence_packing",
       (s, dir) => {
+        val shardDocs = 200L // docs per packing unit — bounds any window group
         val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("doc_id"))
+          .partitionBy(col("source"), col("shard_id")).orderBy(col("doc_id"))
           .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
             org.apache.spark.sql.expressions.Window.currentRow)
         Tables(s, dir, "documents")
           .select(col("source"), col("doc_id"),
             TextFns.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+          .withColumn("shard_id", expr(s"doc_id div $shardDocs"))
           .withColumn("cum", sum(col("n_tokens")).over(w))
           .withColumn("seq_id", expr("(cum - n_tokens) div 2048"))
-          .groupBy(col("source"), col("seq_id"))
+          .groupBy(col("source"), col("shard_id"), col("seq_id"))
           .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("seq_tokens"),
             min(col("doc_id")).as("first_doc"))
-          .select(col("source"), col("seq_id"), col("n_docs"), col("seq_tokens"),
+          .select(col("source"), col("shard_id"), col("seq_id"), col("n_docs"),
+            col("seq_tokens"),
             round(col("seq_tokens").cast(DoubleType) / lit(2048.0), 6)
               .as("fill_ratio"), col("first_doc"))
-          .orderBy(col("source"), col("seq_id"))
+          .orderBy(col("source"), col("shard_id"), col("seq_id"))
       },
-      Some("""WITH t AS (SELECT source, doc_id,
+      Some("""WITH t AS (SELECT source, doc_id, doc_id // 200 AS shard_id,
              |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
              |  FROM documents),
-             |c AS (SELECT source, doc_id, n_tokens,
-             |    CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
-             |p AS (SELECT source, doc_id, n_tokens,
+             |c AS (SELECT source, shard_id, doc_id, n_tokens,
+             |    CAST(SUM(n_tokens) OVER (PARTITION BY source, shard_id
+             |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+             |p AS (SELECT source, shard_id, doc_id, n_tokens,
              |    (cum - n_tokens) // 2048 AS seq_id FROM c)
-             |SELECT source, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |SELECT source, shard_id, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
              |  round(CAST(SUM(n_tokens) AS DOUBLE) / CAST(2048 AS DOUBLE), 6) AS fill_ratio,
              |  MIN(doc_id) AS first_doc
-             |FROM p GROUP BY source, seq_id
-             |ORDER BY source, seq_id""".stripMargin)),
+             |FROM p GROUP BY source, shard_id, seq_id
+             |ORDER BY source, shard_id, seq_id""".stripMargin)),
 
     // Corpus DATACARD rollup (the release artifact every corpus ships
     // with — Dolma/RedPajama-style): per (lang × quality-quintile)

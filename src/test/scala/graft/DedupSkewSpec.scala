@@ -146,6 +146,19 @@ class DedupSkewSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
   }
 
+  test("winnowing drops over-common fingerprints before the pair join (maxDf guard)") {
+    // 500 byte-identical documents — the boilerplate-flood hot key:
+    // every fingerprint has df=500 > maxDf, so ALL are dropped and the
+    // inverted-index join emits ZERO pairs instead of ~125k. (Exact
+    // duplicates are exact-dedup/minhash territory; winnowing's df
+    // filter deliberately blinds it to universal content.)
+    val boiler = "this exact boilerplate footer appears in every single document"
+    val docs = (1L to 500L).map(i => (i, boiler)).toDF("doc_id", "text")
+    val pairs = graft.operators.Dedup.winnowingPairs(
+      docs, "doc_id", "text", maxDf = 50, minShared = 1)
+    assert(pairs.count() == 0)
+  }
+
   test("embedding hot bucket emits linear star pairs at cosine 1") {
     val nDup = 3000
     val base = Array.fill(8)(0.5f)
