@@ -300,19 +300,21 @@ object EventQueries {
     // suppression over the quasi-identifier pair (event_type, date):
     // any group with fewer than k=5 events gets its token withheld,
     // so no released row is identifiable within a group smaller than
-    // k. One window over the quasi-identifier keys; the token is a
-    // codegen'd sha2 — nothing leaves the executors.
+    // k. Group sizes come from a partial-aggregable groupBy broadcast
+    // back onto the rows (a window over the quasi-identifier keys
+    // would buffer a whole type-day in one task at corpus scale); the
+    // token is a codegen'd sha2 — nothing leaves the executors.
     Q("q85_pseudonymize",
       (s, dir) => {
         val k = 5
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_type"), col("event_date"))
-        events(s, dir).filter(col("user_id").isNotNull)
+        val ev = events(s, dir).filter(col("user_id").isNotNull)
           .select(col("event_id"), col("event_type"),
             to_date(col("ts")).as("event_date"),
             substring(sha2(concat(lit("pepper:"),
               col("user_id").cast(StringType)), 256), 1, 16).as("_tok"))
-          .withColumn("grp_n", count(lit(1)).over(w))
+        val sizes = ev.groupBy(col("event_type"), col("event_date"))
+          .agg(count(lit(1)).as("grp_n"))
+        ev.join(broadcast(sizes), Seq("event_type", "event_date"))
           .select(col("event_id"), col("event_type"), col("event_date"),
             when(col("grp_n") < k, lit("SUPPRESSED")).otherwise(col("_tok"))
               .as("user_token"),
