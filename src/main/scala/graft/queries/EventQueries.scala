@@ -247,9 +247,13 @@ object EventQueries {
         val mm = ev.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
         val width = (col("vmax") - col("vmin")) / lit(b.toDouble)
         val binned = ev.crossJoin(broadcast(mm))
+          // degenerate range (all values equal → width 0) pins bin 0;
+          // without the guard 0/0 = NaN diverges across engines
           .withColumn("bin",
-            least(floor((col("value") - col("vmin")) / width).cast(IntegerType),
-              lit(b - 1)))
+            when(col("vmax") === col("vmin"), lit(0))
+              .otherwise(least(
+                floor((col("value") - col("vmin")) / width).cast(IntegerType),
+                lit(b - 1))))
           .groupBy(col("event_type"), col("bin"))
           .agg(count(lit(1)).as("cnt"))
         val wCum = org.apache.spark.sql.expressions.Window
@@ -274,8 +278,9 @@ object EventQueries {
       Some("""WITH e AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
              |mm AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM e),
              |b AS (SELECT event_type,
-             |    least(CAST(floor((value - vmin) /
-             |      ((vmax - vmin) / CAST(64 AS DOUBLE))) AS INT), 63) AS bin
+             |    CASE WHEN vmax = vmin THEN 0
+             |      ELSE least(CAST(floor((value - vmin) /
+             |        ((vmax - vmin) / CAST(64 AS DOUBLE))) AS INT), 63) END AS bin
              |  FROM e, mm),
              |c AS (SELECT event_type, bin, CAST(COUNT(*) AS BIGINT) AS cnt
              |  FROM b GROUP BY 1, 2),
@@ -298,9 +303,10 @@ object EventQueries {
     // user id (deterministic tokenization — joinable across exports,
     // unlinkable to the raw id without the pepper) plus k-anonymity
     // suppression over the quasi-identifier pair (event_type, date):
-    // any group with fewer than k=5 events gets its token withheld,
-    // so no released row is identifiable within a group smaller than
-    // k. Group sizes come from a partial-aggregable groupBy broadcast
+    // any group whose anonymity set — DISTINCT individuals, not event
+    // rows (one chatty user with 5 events is still an anonymity set
+    // of 1) — is smaller than k=5 gets its tokens withheld. Group
+    // sizes come from a partial-aggregable distinct-count broadcast
     // back onto the rows (a window over the quasi-identifier keys
     // would buffer a whole type-day in one task at corpus scale); the
     // token is a codegen'd sha2 — nothing leaves the executors.
@@ -308,12 +314,12 @@ object EventQueries {
       (s, dir) => {
         val k = 5
         val ev = events(s, dir).filter(col("user_id").isNotNull)
-          .select(col("event_id"), col("event_type"),
+          .select(col("event_id"), col("event_type"), col("user_id"),
             to_date(col("ts")).as("event_date"),
             substring(sha2(concat(lit("pepper:"),
               col("user_id").cast(StringType)), 256), 1, 16).as("_tok"))
         val sizes = ev.groupBy(col("event_type"), col("event_date"))
-          .agg(count(lit(1)).as("grp_n"))
+          .agg(countDistinct(col("user_id")).as("grp_n"))
         ev.join(broadcast(sizes), Seq("event_type", "event_date"))
           .select(col("event_id"), col("event_type"), col("event_date"),
             when(col("grp_n") < k, lit("SUPPRESSED")).otherwise(col("_tok"))
@@ -321,15 +327,17 @@ object EventQueries {
             col("grp_n"), (col("grp_n") < k).as("suppressed"))
           .orderBy(col("event_id"))
       },
-      Some("""WITH e AS (SELECT event_id, event_type,
+      Some("""WITH e AS (SELECT event_id, event_type, user_id,
              |    CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
              |    substr(sha256('pepper:' || CAST(user_id AS VARCHAR)), 1, 16) AS tok
              |  FROM events WHERE user_id IS NOT NULL),
-             |g AS (SELECT *, CAST(COUNT(*) OVER (PARTITION BY event_type, event_date) AS BIGINT) AS grp_n
-             |  FROM e)
-             |SELECT event_id, event_type, event_date,
+             |g AS (SELECT event_type, event_date,
+             |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS grp_n
+             |  FROM e GROUP BY 1, 2)
+             |SELECT event_id, e.event_type, e.event_date,
              |  CASE WHEN grp_n < 5 THEN 'SUPPRESSED' ELSE tok END AS user_token,
              |  grp_n, grp_n < 5 AS suppressed
-             |FROM g ORDER BY event_id""".stripMargin))
+             |FROM e JOIN g ON e.event_type = g.event_type AND e.event_date = g.event_date
+             |ORDER BY event_id""".stripMargin))
   )
 }

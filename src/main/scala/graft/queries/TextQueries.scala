@@ -47,6 +47,32 @@ object TextQueries {
   private val matchCount = (0 until Bands * RowsPerBand)
     .map(i => s"CASE WHEN sa.s$i = sb.s$i THEN 1 ELSE 0 END").mkString(" + ")
 
+  /** DuckDB CTE chain ending in `qx(<carry>, n_tokens, quality)` —
+    * TextFns.qualityScore replayed ONCE for every oracle that needs it
+    * (q25 row-level, q90 datacard rollup). `carry` is the column list
+    * threaded through unchanged. */
+  private def qualitySql(carry: String): String = {
+    val sw = TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")
+    s"""toks AS (SELECT $carry, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+       |m AS (SELECT $carry, CAST(len(t) AS BIGINT) AS n_tokens,
+       |  CAST(len(t) AS DOUBLE) AS nt,
+       |  CAST(len(list_filter(t, x -> x IN ($sw))) AS DOUBLE) AS hits,
+       |  CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) AS sumlen
+       |FROM toks),
+       |sc AS (SELECT $carry, n_tokens,
+       |  CASE WHEN nt < 5 THEN nt / 5.0 WHEN nt > 500 THEN 500.0 / nt ELSE 1.0 END AS len_score,
+       |  CASE WHEN nt = 0 THEN 0.0 ELSE hits / nt END AS swr,
+       |  CASE WHEN nt = 0 THEN 0.0 ELSE sumlen / nt END AS mtl
+       |FROM m),
+       |sc2 AS (SELECT $carry, n_tokens, len_score,
+       |  CASE WHEN swr > 0.5 THEN 1.0 - swr ELSE swr * 2.0 END AS sw_score,
+       |  CASE WHEN mtl >= 3 AND mtl <= 8 THEN 1.0 WHEN mtl < 3 THEN mtl / 3.0 ELSE 8.0 / mtl END AS mtl_score
+       |FROM sc),
+       |qx AS (SELECT $carry, n_tokens,
+       |  round(len_score * 0.4 + least(sw_score, 1.0) * 0.3 + mtl_score * 0.3, 6) AS quality
+       |FROM sc2)""".stripMargin
+  }
+
   /** DuckDB expression for the 16-bit md5-vote simhash over token list `t`
     * (mirrors VectorFns.simhash). */
   private def simhashSql(bits: Int): String =
@@ -224,8 +250,11 @@ object TextQueries {
     // with the generic ClusterUnify.components kernel (pointer-jumping
     // min-label propagation, O(log diameter) rounds) — transitive
     // closure, so A~B and B~C dedupe A,B,C even when A,C never
-    // collided in any band. The oracle replays the identical signature
-    // pipeline plus a recursive-CTE reachability closure.
+    // collided in any band. The oracle replays the UNGUARDED signature
+    // pipeline plus a recursive-CTE reachability closure; parity holds
+    // below minhashCandidates' maxBucket cap (no bucket approaches it
+    // at oracle scale) — the hot-bucket star fallback beyond it is
+    // pinned by DedupSkewSpec, not by this oracle.
     Q("q86_dedup_survivors",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
@@ -457,9 +486,10 @@ object TextQueries {
     // The fractional part is decided by an integer hash threshold
     // (first 8 md5 hex digits vs floor(frac(w)·2^32)) — no RNG state,
     // so the mixture is reproducible and any shard can be rebuilt
-    // independently at 100 TB. Replicas materialize via
-    // explode(sequence(1, copies)) with a replica index — the shape a
-    // downstream epoch-aware shuffler consumes.
+    // independently at 100 TB. A consumer materializes replicas with
+    // explode(sequence(1, copies)); this report aggregates the copy
+    // counts directly (copies >= 0 always, so sum(copies) IS the
+    // emitted-row count — no explode needed to count it).
     Q("q87_source_mixture",
       (s, dir) => {
         // weights: src0→2.5, src1→1.0, src2→0.5, src3→0.25, rest→0.1
@@ -477,15 +507,10 @@ object TextQueries {
               .cast(LongType).as("hv"))
           .withColumn("copies",
             base + when(col("hv") < thr, 1L).otherwise(0L))
-        val emitted = docs.filter(col("copies") > 0)
-          .select(col("source"),
-            explode(sequence(lit(1L), col("copies"))).as("replica"))
-          .groupBy(col("source")).agg(count(lit(1)).as("n_emitted"))
-        docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-          .join(emitted, Seq("source"), "left")
-          .select(col("source"), col("n_docs"),
-            coalesce(col("n_emitted"), lit(0L)).as("n_emitted"),
-            round(coalesce(col("n_emitted"), lit(0L)).cast(DoubleType) /
+        docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("copies")).as("n_emitted"))
+          .select(col("source"), col("n_docs"), col("n_emitted"),
+            round(col("n_emitted").cast(DoubleType) /
               col("n_docs").cast(DoubleType), 4).as("effective_rate"))
           .orderBy(col("source"))
       },
@@ -498,18 +523,12 @@ object TextQueries {
              |        WHEN 'src0' THEN 2147483648 WHEN 'src1' THEN 0
              |        WHEN 'src2' THEN 2147483648 WHEN 'src3' THEN 1073741824
              |        ELSE 429496729 END) THEN 1 ELSE 0 END) AS copies
-             |  FROM d),
-             |em AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_emitted
-             |  FROM c, unnest(generate_series(1, copies)) AS u(r)
-             |  WHERE copies > 0 GROUP BY source),
-             |nd AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
-             |  FROM c GROUP BY source)
-             |SELECT nd.source, n_docs,
-             |  COALESCE(n_emitted, 0) AS n_emitted,
-             |  round(CAST(COALESCE(n_emitted, 0) AS DOUBLE)
-             |    / CAST(n_docs AS DOUBLE), 4) AS effective_rate
-             |FROM nd LEFT JOIN em ON nd.source = em.source
-             |ORDER BY nd.source""".stripMargin)),
+             |  FROM d)
+             |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(copies) AS BIGINT) AS n_emitted,
+             |  round(CAST(SUM(copies) AS DOUBLE)
+             |    / CAST(COUNT(*) AS DOUBLE), 4) AS effective_rate
+             |FROM c GROUP BY source ORDER BY source""".stripMargin)),
 
     // Sequence packing for pretraining batches: fill 2048-token
     // context windows with documents in deterministic doc_id order
@@ -588,36 +607,16 @@ object TextQueries {
             col("n_docs"), col("total_tokens"), col("sum_quality"))
           .orderBy(col("lang"), col("quality_bucket"))
       },
-      Some {
-        val sw = TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")
-        s"""WITH toks AS (SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-           |m AS (SELECT doc_id, lang, CAST(len(t) AS BIGINT) AS n_tokens,
-           |  CAST(len(t) AS DOUBLE) AS nt,
-           |  CAST(len(list_filter(t, x -> x IN ($sw))) AS DOUBLE) AS hits,
-           |  CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) AS sumlen
-           |FROM toks),
-           |sc AS (SELECT doc_id, lang, n_tokens,
-           |  CASE WHEN nt < 5 THEN nt / 5.0 WHEN nt > 500 THEN 500.0 / nt ELSE 1.0 END AS len_score,
-           |  CASE WHEN nt = 0 THEN 0.0 ELSE hits / nt END AS swr,
-           |  CASE WHEN nt = 0 THEN 0.0 ELSE sumlen / nt END AS mtl
-           |FROM m),
-           |sc2 AS (SELECT doc_id, lang, n_tokens, len_score,
-           |  CASE WHEN swr > 0.5 THEN 1.0 - swr ELSE swr * 2.0 END AS sw_score,
-           |  CASE WHEN mtl >= 3 AND mtl <= 8 THEN 1.0 WHEN mtl < 3 THEN mtl / 3.0 ELSE 8.0 / mtl END AS mtl_score
-           |FROM sc),
-           |qx AS (SELECT lang, n_tokens,
-           |  round(len_score * 0.4 + least(sw_score, 1.0) * 0.3 + mtl_score * 0.3, 6) AS q
-           |FROM sc2),
-           |b AS (SELECT lang, least(CAST(floor(q * 5) AS INT), 4) AS qbucket,
-           |  n_tokens, q FROM qx)
-           |SELECT coalesce(lang, 'ALL') AS lang,
-           |  coalesce(qbucket, -1) AS quality_bucket,
-           |  COUNT(*) AS n_docs,
-           |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-           |  CAST(SUM(CAST(q AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
-           |FROM b GROUP BY ROLLUP (lang, qbucket)
-           |ORDER BY lang, quality_bucket""".stripMargin
-      }),
+      Some(s"""WITH ${qualitySql("lang")},
+             |b AS (SELECT lang, least(CAST(floor(quality * 5) AS INT), 4) AS qbucket,
+             |  n_tokens, quality FROM qx)
+             |SELECT coalesce(lang, 'ALL') AS lang,
+             |  coalesce(qbucket, -1) AS quality_bucket,
+             |  COUNT(*) AS n_docs,
+             |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+             |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS sum_quality
+             |FROM b GROUP BY ROLLUP (lang, qbucket)
+             |ORDER BY lang, quality_bucket""".stripMargin)),
 
     // Composite quality score (north-star text op; identical IEEE
     // double expression tree on both sides).
@@ -627,26 +626,7 @@ object TextQueries {
           TextFns.qualityScore(col("text"), TextFns.langStopwords.head._2)
             .as("quality"))
         .orderBy(col("doc_id")),
-      Some {
-        val sw = TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")
-        s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
-           |m AS (SELECT doc_id,
-           |  CAST(len(t) AS DOUBLE) AS nt,
-           |  CAST(len(list_filter(t, x -> x IN ($sw))) AS DOUBLE) AS hits,
-           |  CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) AS sumlen
-           |FROM toks),
-           |sc AS (SELECT doc_id,
-           |  CASE WHEN nt < 5 THEN nt / 5.0 WHEN nt > 500 THEN 500.0 / nt ELSE 1.0 END AS len_score,
-           |  CASE WHEN nt = 0 THEN 0.0 ELSE hits / nt END AS swr,
-           |  CASE WHEN nt = 0 THEN 0.0 ELSE sumlen / nt END AS mtl
-           |FROM m),
-           |sc2 AS (SELECT doc_id, len_score,
-           |  CASE WHEN swr > 0.5 THEN 1.0 - swr ELSE swr * 2.0 END AS sw_score,
-           |  CASE WHEN mtl >= 3 AND mtl <= 8 THEN 1.0 WHEN mtl < 3 THEN mtl / 3.0 ELSE 8.0 / mtl END AS mtl_score
-           |FROM sc)
-           |SELECT doc_id,
-           |  round(len_score * 0.4 + least(sw_score, 1.0) * 0.3 + mtl_score * 0.3, 6) AS quality
-           |FROM sc2 ORDER BY doc_id""".stripMargin
-      })
+      Some(s"""WITH ${qualitySql("doc_id")}
+             |SELECT doc_id, quality FROM qx ORDER BY doc_id""".stripMargin))
   )
 }
