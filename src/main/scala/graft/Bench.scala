@@ -15,9 +15,15 @@ object Bench {
     // so the alphabetically-first timed queries don't absorb
     // first-use codegen/classloading cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // prefer the smallest SF for warmup; fall back to the bench dir so
+    // the warmup never silently no-ops on a different data layout
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory)
+        "/root/testdata/sf0.001"
+      else sfDir
     Seq("q01_pricing_summary", "q22_minhash_lsh", "q74_simhash_neardup",
       "q75_winnowing", "q76_tfidf_topterms", "q86_dedup_survivors").foreach { q =>
-      try SparkEntry.queries(q)(spark, "/root/testdata/sf0.001").count()
+      try SparkEntry.queries(q)(spark, warmDir).count()
       catch { case _: Throwable => }
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -1,9 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
 /** Tight-loop kernel for the scaled-long dot product. */
 object VectorKernels {
@@ -76,8 +77,27 @@ object VectorKernels {
   * with identical values (same IEEE products, same HALF_UP rounding,
   * same exact long accumulation). Arrays must be non-null element-wise
   * (embedding columns are). */
+object DotScaledExpr {
+  /** Analysis-time gate shared by the float-array kernels. */
+  private[functions] def requireFloatArrays(
+      fn: String, inputs: Seq[Expression]): TypeCheckResult = {
+    val bad = inputs.map(_.dataType).filterNot {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$fn expects ARRAY<FLOAT> inputs, got ${bad.map(_.catalogString).mkString(", ")}")
+  }
+}
+
 case class DotScaledExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  // the kernel reads 4-byte floats from ArrayData: any other element
+  // width would silently return garbage, so analysis must reject it
+  // (the SQL registry exposes this expression to arbitrary SQL text)
+  override def checkInputDataTypes(): TypeCheckResult =
+    DotScaledExpr.requireFloatArrays("dot_scaled", Seq(left, right))
   override def dataType: DataType = LongType
   override protected def nullSafeEval(l: Any, r: Any): Any =
     VectorKernels.dotScaled(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
@@ -92,6 +112,8 @@ case class DotScaledExpr(left: Expression, right: Expression)
 /** Codegen'd symmetric int8 quantization: ARRAY<FLOAT> → ARRAY<BIGINT>
   * in [-127, 127] (see [[VectorKernels.quantizeInt8]]). */
 case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    DotScaledExpr.requireFloatArrays("quantize_int8", Seq(child))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override protected def nullSafeEval(input: Any): Any =
     VectorKernels.quantizeInt8(input.asInstanceOf[ArrayData])
@@ -106,6 +128,15 @@ case class QuantizeInt8Expr(child: Expression) extends UnaryExpression {
   * (quantized embeddings). Same kernel shape as [[DotScaledExpr]]. */
 case class DotLongExpr(left: Expression, right: Expression)
     extends BinaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).filterNot {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_long expects ARRAY<BIGINT> inputs, got ${bad.map(_.catalogString).mkString(", ")}")
+  }
   override def dataType: DataType = LongType
   override protected def nullSafeEval(l: Any, r: Any): Any =
     VectorKernels.dotLong(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])

@@ -25,9 +25,18 @@ object Compaction {
 
   def compact(spark: SparkSession, inDir: String, outDir: String,
               targetBytes: Long, sortCol: Option[String] = None): Result = {
+    require(new Path(inDir) != new Path(outDir),
+      s"compaction cannot overwrite its own input ($inDir)")
     val fs = new Path(inDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new Path(inDir))
+    // recursive: partitioned layouts keep their data files under
+    // key=value subdirectories — a top-level listing would see only
+    // directories, compute totalBytes = 0, and pack everything into
+    // one file
+    val it = fs.listFiles(new Path(inDir), true)
+    val parts = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .toArray
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(inDir)

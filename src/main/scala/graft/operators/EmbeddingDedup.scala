@@ -43,8 +43,12 @@ object EmbeddingDedup {
         .otherwise(lit("0"))
     }: _*)
 
+    // materialize once: the nPlanes+1 scaled-dot projections feed the
+    // bucket aggregate, both cold self-join sides, and the star branch
+    // — same reason Dedup's kernels checkpoint their fingerprint scans
     val signs = vectors.select(col(idCol), col(vecCol),
         VectorFns.normSqScaled(col(vecCol)).as("_n"), bucket.as("bucket"))
+      .localCheckpoint()
 
     // one hash aggregate carries bucket size + min-id hub; its bucket
     // exchange is the same one the self-join needs (no window sort)

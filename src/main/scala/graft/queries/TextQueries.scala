@@ -302,11 +302,11 @@ object TextQueries {
            |SELECT doc_id, CAST(${simhashSql(16)} AS BIGINT) AS simhash
            |FROM toks ORDER BY doc_id""".stripMargin)),
 
-    // SimHash near-dup pairs within Hamming distance 2 via the banding
-    // pigeonhole (3 bands of 6/5/5 bits — agreement on one band is
-    // NECESSARY for distance <= 2, so the bucket equi-join has perfect
-    // recall); candidates verified with bit_count(xor). No cross join
-    // on either side.
+    // SimHash near-dup pairs within Hamming distance 3 via the banding
+    // pigeonhole (60-bit fingerprint, 4 bands of 15 bits — a pair
+    // within distance 3 must agree exactly on one of the 4 bands, so
+    // the bucket equi-join has perfect recall); candidates verified
+    // with bit_count(xor). No cross join on either side.
     Q("q74_simhash_neardup",
       (s, dir) => graft.operators.Dedup.simhashPairsWide(
         Tables(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
@@ -409,7 +409,7 @@ object TextQueries {
           .orderBy(col("doc_id"), col("rnk"))
       },
       Some("""WITH terms AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
-             |  FROM documents),
+             |  FROM documents WHERE trim(text) <> ''),
              |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
              |  FROM terms GROUP BY doc_id, term),
              |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs

@@ -211,9 +211,7 @@ object VectorQueries {
         val cents = subs.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("sub"), col("sv").as("cv"))
         val dists = subs.join(broadcast(cents), "sub")
-          .withColumn("dist",
-            VectorFns.normSqScaled(col("sv")) + VectorFns.normSqScaled(col("cv"))
-              - lit(2L) * VectorFns.dotScaled(col("sv"), col("cv")))
+          .withColumn("dist", VectorFns.l2SqScaled(col("sv"), col("cv")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id"), col("sub"))
           .orderBy(col("dist"), col("cid"))
@@ -255,9 +253,7 @@ object VectorQueries {
         val cents = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
         val dists = emb.crossJoin(broadcast(cents))
-          .withColumn("dist",
-            VectorFns.normSqScaled(col("embedding")) + VectorFns.normSqScaled(col("cv"))
-              - lit(2L) * VectorFns.dotScaled(col("embedding"), col("cv")))
+          .withColumn("dist", VectorFns.l2SqScaled(col("embedding"), col("cv")))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
         val assigned = dists.withColumn("rn", row_number().over(w))
