@@ -251,16 +251,19 @@ object SurfaceQueries {
 
     // Balanced per-class downsample: cap every language at N docs,
     // membership decided by md5-hash order (deterministic, no RNG) —
-    // the class-balancing step for skewed training corpora. One
-    // window shuffle on the class key.
+    // the class-balancing step for skewed training corpora. Runs
+    // through the custom bounded-buffer top-k physical operator: a
+    // window would SORT each whole language partition in one task,
+    // and a language is corpus-scale at 100 TB; the operator keeps
+    // only k rows per group per task instead.
     Q("q72_balanced_sample",
       (s, dir) => {
         val h = graft.operators.Dedup.md5Int32(col("doc_id").cast(StringType))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang")).orderBy(h, col("doc_id"))
-        s.read.parquet(s"$dir/documents.parquet")
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") <= 50)
+        graft.plans.TopKPhysical.topK(
+          s.read.parquet(s"$dir/documents.parquet").withColumn("_h", h),
+          groupBy = Seq("lang"),
+          orderBy = Seq(("_h", true), ("doc_id", true)), k = 50,
+          rankName = "rn")
           .select(col("lang"), col("rn"), col("doc_id"))
           .orderBy(col("lang"), col("rn"))
       },
