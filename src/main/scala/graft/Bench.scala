@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  // Locale.ROOT: a comma decimal separator would corrupt the JSON
+  private def fmt(v: Double): String =
+    "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -30,11 +35,28 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    val total = results.map(_._2).sum
+    def qsJson(qs: Seq[(String, Double)]): String =
+      qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    // full per-query detail goes to a file: at 92 queries the map is
+    // ~3 KB, which overflows the driver's fixed-size stdout tail
+    // capture and makes the final line unparseable. The LAST stdout
+    // line is a compact summary (total + top-5 slowest), kept well
+    // under the 2,000-byte window.
+    val detailPath = "bench_detail.json"
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
+        s""""queries":${qsJson(results)},"sf":"$sfDir"}"""
+    val pw = new java.io.PrintWriter(detailPath)
+    try pw.println(detail) finally pw.close()
+    val slowest = results.sortBy(-_._2).take(5)
+    val summary =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
+        s""""queries":${qsJson(slowest)},"detail":"$detailPath","sf":"$sfDir"}"""
+    assert(summary.getBytes("UTF-8").length < 1500,
+      s"bench summary line must stay under the driver's tail window: $summary")
+    println(summary)
     spark.stop()
   }
 }

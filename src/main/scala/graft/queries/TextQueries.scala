@@ -53,7 +53,8 @@ object TextQueries {
     * threaded through unchanged. */
   private def qualitySql(carry: String): String = {
     val sw = TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")
-    s"""toks AS (SELECT $carry, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    s"""toks AS (SELECT $carry, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+       |    ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents),
        |m AS (SELECT $carry, CAST(len(t) AS BIGINT) AS n_tokens,
        |  CAST(len(t) AS DOUBLE) AS nt,
        |  CAST(len(list_filter(t, x -> x IN ($sw))) AS DOUBLE) AS hits,
@@ -566,7 +567,8 @@ object TextQueries {
           .orderBy(col("source"), col("shard_id"), col("seq_id"))
       },
       Some("""WITH t AS (SELECT source, doc_id, doc_id // 200 AS shard_id,
-             |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+             |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
+             |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens
              |  FROM documents),
              |c AS (SELECT source, shard_id, doc_id, n_tokens,
              |    CAST(SUM(n_tokens) OVER (PARTITION BY source, shard_id

@@ -104,6 +104,45 @@ class WritePathSpec extends SparkSpec {
     }
   }
 
+  test("compaction preserves a partitioned layout and rejects self-overwrite aliases") {
+    import graft.operators.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toString
+    val docs = graft.util.Tables(spark, sf001, "documents")
+      .withColumn("client_id", concat(lit("client_"), col("doc_id") % 3))
+    docs.repartition(12).write.mode("overwrite")
+      .partitionBy("client_id").parquet(s"$dir/small")
+
+    // dot-segment alias of the input must be caught by the qualified
+    // path guard, not clobber the table mid-read
+    intercept[IllegalArgumentException] {
+      Compaction.compact(spark, s"$dir/small", s"$dir/./small", 1L)
+    }
+
+    val res = Compaction.compact(spark, s"$dir/small", s"$dir/packed",
+      targetBytes = Long.MaxValue)
+    assert(res.partitionCols == Seq("client_id"))
+    // layout preserved: key=value subdirs exist and pruning still works
+    val sub = new java.io.File(s"$dir/packed").listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("client_id=")).sorted
+    assert(sub.length == 3, s"partition dirs: ${sub.mkString(",")}")
+    val pruned = spark.read.parquet(s"$dir/packed")
+      .filter(col("client_id") === "client_1")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("client_1"),
+      s"no partition pruning after compaction:\n$plan")
+    // content preserved exactly
+    val packed = spark.read.parquet(s"$dir/packed")
+      .select(docs.columns.map(col).toSeq: _*)
+    assert(packed.exceptAll(docs).isEmpty && docs.exceptAll(packed).isEmpty)
+    // compacted: each partition dir holds one packed file, not a
+    // stripe from each of the 12 write tasks
+    sub.foreach { d =>
+      val n = new java.io.File(s"$dir/packed/$d").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(n <= 2, s"$d has $n files")
+    }
+  }
+
   // aim for ~5 output files regardless of sf0.001 byte size
   private def res0Target(dir: String): Long = {
     val total = new java.io.File(s"$dir/small").listFiles()
