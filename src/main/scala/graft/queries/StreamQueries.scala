@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Driver-verifiable Structured Streaming surface (ST1–ST4).
+  *
+  * Each query here runs a REAL streaming pipeline to completion inside
+  * the query function — a file source split into several micro-batches
+  * (the reference's poll-until-empty drain loop,
+  * properties_poi_matcher.py:156-163, becomes Trigger.AvailableNow) —
+  * and returns the materialized result, so the DuckDB oracle checks
+  * streaming semantics, not just the batch twins.
+  *
+  * Memory sinks are the harness endpoint only (bounded: windowed-agg
+  * snapshots or slim key projections); the production sink path is
+  * foreachBatch → parquet, which q94 exercises end-to-end with exact
+  * decimal partials so the per-batch/final-combine split cannot change
+  * the emitted doubles.
+  */
+object StreamQueries {
+
+  // one staging of the µs-converted events per (JVM, sf dir): the file
+  // streaming source needs a directory of several files to form a real
+  // multi-batch drain, and re-staging per query would triple the I/O
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def staged(s: SparkSession, dir: String): String =
+    stagedDirs.computeIfAbsent(dir, { _ =>
+      val out = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+      EventQueries.events(s, dir).repartition(8)
+        .write.mode("overwrite").parquet(out)
+      out
+    })
+
+  private def source(s: SparkSession, dir: String): DataFrame =
+    s.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "2") // 8 files → 4 micro-batch polls
+      .parquet(staged(s, dir))
+
+  // q93's source: the events staged TWICE (append of a second full
+  // copy), so every row has a cross-micro-batch duplicate and the
+  // dedup state genuinely halves the stream — a single-copy source
+  // would make dropDuplicates vacuously equal to the input
+  private def dupSource(s: SparkSession, dir: String): DataFrame = {
+    val out = stagedDirs.computeIfAbsent("dup:" + dir, { _ =>
+      val d = java.nio.file.Files.createTempDirectory("graft_stream_dup").toString
+      val ev = EventQueries.events(s, dir).repartition(8)
+      ev.write.mode("overwrite").parquet(d)
+      ev.write.mode("append").parquet(d)
+      d
+    })
+    s.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "4") // 16 files → 4 polls
+      .parquet(out)
+  }
+
+  private def uniq(prefix: String): String =
+    prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
+
+  /** Tumbling hourly aggregate oracle — q92 (stream) and q94
+    * (foreachBatch partials) intentionally share q15's batch-twin SQL:
+    * the streaming pipelines must reproduce the batch result exactly. */
+  private def hourlySql: String =
+    """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_start, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // ST1 + ST4: the drain loop itself — file source consumed in
+    // micro-batches under a 60 s watermark until empty, windowed state
+    // in the state store, final snapshot returned. Complete mode keeps
+    // every window in the emitted table (the finite-drain analog of
+    // the reference's full-table refresh); the watermark's append-mode
+    // drop semantics are pinned by StreamingSpec.
+    Q("q92_streaming_drain",
+      (s, dir) => {
+        val agg = EventStreams.hourlyByType(source(s, dir))
+        EventStreams.runAvailableNow(s, agg, uniq("q92"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      Some(hourlySql)),
+
+    // ST3: stateful content-hash dedupe inside the stream (the
+    // loader's hash-gated skip, loader_v2.py:204) — dropDuplicates
+    // over (content-hash, ts) in append mode, so each first-seen hash
+    // passes exactly once across micro-batches. Projects just the key
+    // pair: the surviving payload row per hash is order-dependent in
+    // any engine, the key set is not.
+    Q("q93_streaming_dedupe",
+      (s, dir) => {
+        val hashed = dupSource(s, dir)
+          .withColumn("h", md5(concat(col("event_type"), col("props"))))
+        // horizon = the whole drain span: a catch-up drain replays
+        // files in arbitrary order, so a short watermark would drop
+        // genuinely-old rows as "late". The dedup key embeds ts, so
+        // duplicates are always co-timed and ANY horizon ≥ the input
+        // disorder gives batch-DISTINCT semantics; continuous ingest
+        // with roughly time-ordered arrival runs the 1 h default, and
+        // StreamingSpec pins the late-drop behavior that implies.
+        val deduped = EventStreams.dedupByHash(hashed, "h", watermark = "3650 days")
+          .select(col("h"), col("ts"))
+        EventStreams.runAvailableNow(s, deduped, uniq("q93"), outputMode = "append")
+          .orderBy(col("h"), col("ts"))
+      },
+      Some("""SELECT DISTINCT md5(event_type || props) AS h, CAST(ts AS TIMESTAMP) AS ts
+             |FROM events ORDER BY h, ts""".stripMargin)),
+
+    // ST2: the async queue/worker sink — each micro-batch drain writes
+    // a PARTIAL hourly aggregate to the parquet sink (append), and the
+    // read-back combines partials. Counts add; sums accumulate as
+    // DECIMAL(18,2) end-to-end and cast to double only once at the
+    // final combine, so batch boundaries can't perturb the result.
+    Q("q94_streaming_sink",
+      (s, dir) => {
+        val sink = java.nio.file.Files.createTempDirectory("graft_q94_sink").toString
+        val q = source(s, dir).writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"))
+              .select(col("w.start").as("hour_start"), col("event_type"),
+                col("n"), col("sum_dec"))
+              .write.mode("append").parquet(sink)
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        s.read.parquet(sink)
+          .groupBy(col("hour_start"), col("event_type"))
+          .agg(sum(col("n")).as("n"),
+            sum(col("sum_dec")).cast(DoubleType).as("sum_value"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      Some(hourlySql)))
+}
