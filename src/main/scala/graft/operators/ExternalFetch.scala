@@ -41,7 +41,28 @@ object ExternalFetch {
     }
   }
 
-  /** @param fetch    the transport: input → payload (throws on failure)
+  /** One rate-limited call with bounded exponential-backoff retries:
+    * (payload, error, attempts) — exactly one of payload/error set. */
+  private def attemptCall(limiter: RateLimiter, maxRetries: Int, backoffMs: Long,
+                          sleeper: Long => Unit)(
+      call: () => String): (Option[String], Option[String], Int) = {
+    var attempt = 0
+    var out: (Option[String], Option[String], Int) = null
+    while (out == null) {
+      attempt += 1
+      limiter.acquire()
+      try out = (Some(call()), None, attempt)
+      catch {
+        case scala.util.control.NonFatal(ex) =>
+          if (attempt > maxRetries) out = (None, Some(ex.getMessage), attempt)
+          else sleeper(backoffMs << (attempt - 1))
+      }
+    }
+    out
+  }
+
+  /** S3 per-record detail fetch.
+    * @param fetch    the transport: input → payload (throws on failure)
     * @param ratePerSec per-partition request budget
     * @param maxRetries attempts = maxRetries + 1
     * @param backoffMs  base backoff, doubled per retry */
@@ -54,20 +75,46 @@ object ExternalFetch {
       // per-task setup: client + limiter initialized once
       val limiter = new RateLimiter(ratePerSec, sleeper)
       it.map { in =>
-        var attempt = 0
-        var result: FetchResult[B] = null
-        while (result == null) {
-          attempt += 1
-          limiter.acquire()
-          try result = FetchResult(in, Some(fetch(in)), None, attempt)
-          catch {
-            case scala.util.control.NonFatal(ex) =>
-              if (attempt > maxRetries)
-                result = FetchResult(in, None, Some(ex.getMessage), attempt)
-              else sleeper(backoffMs << (attempt - 1))
+        val (payload, error, attempts) =
+          attemptCall(limiter, maxRetries, backoffMs, sleeper)(() => fetch(in))
+        FetchResult(in, payload, error, attempts)
+      }
+    }
+  }
+
+  final case class PageResult[B](cursor: B, page: Int, payload: Option[String],
+                                 error: Option[String], attempts: Int)
+
+  /** S2 paginated API scan (reference provider loop,
+    * realhomes_provider.py:21-67): PARALLEL across cursors (one
+    * provider/city/shard each), SEQUENTIAL within a cursor — page N+1
+    * is only known to exist after page N arrives, so the walk is an
+    * iterator inside the task, never a driver loop. Each page is a
+    * row; `isLast` (e.g. empty JSON array) ends the walk, `maxPages`
+    * is the runaway guard, and a post-retry failure ends the walk as
+    * an error ROW — a dead endpoint must not kill the scan of the
+    * other thousand cursors. */
+  def paginateAll[B: Encoder](cursors: Dataset[B], fetchPage: (B, Int) => String,
+                              isLast: String => Boolean, maxPages: Int = 1000,
+                              ratePerSec: Double = 10.0, maxRetries: Int = 2,
+                              backoffMs: Long = 100L,
+                              sleeper: Long => Unit = Thread.sleep)(
+      implicit e: Encoder[PageResult[B]]): Dataset[PageResult[B]] = {
+    cursors.mapPartitions { it =>
+      val limiter = new RateLimiter(ratePerSec, sleeper)
+      it.flatMap { c =>
+        new Iterator[PageResult[B]] {
+          private var page = 0
+          private var done = false
+          def hasNext: Boolean = !done && page < maxPages
+          def next(): PageResult[B] = {
+            page += 1
+            val (payload, error, attempts) =
+              attemptCall(limiter, maxRetries, backoffMs, sleeper)(() => fetchPage(c, page))
+            if (error.isDefined || payload.exists(isLast)) done = true
+            PageResult(c, page, payload, error, attempts)
           }
         }
-        result
       }
     }
   }
