@@ -1,0 +1,59 @@
+package graft.functions
+
+/** Shared primitives for the one-pass text kernels (ShingleHash,
+  * SimHashWide, WinnowFingerprint). Every kernel must stay
+  * bit-identical to its composed-column form AND to the DuckDB
+  * oracle's SQL md5 arithmetic, so the three building blocks live in
+  * exactly one place:
+  *
+  *  - Spark-exact trim: strips 0x20 ONLY (Spark's `trim`; Java's
+  *    `String.trim` strips all <= U+0020 — a doc edged with \t or \n
+  *    must tokenize identically to the column form);
+  *  - `\s+` tokenization with limit -1 (Spark's `split` keeps
+  *    trailing empty tokens, Java's default drops them);
+  *  - md5-prefix integers: the first 4 digest bytes as an unsigned
+  *    32-bit value (= SQL `('0x' || substr(md5(x),1,8))::BIGINT`), or
+  *    the first 15 hex digits as a non-negative 60-bit value (=
+  *    `substr(md5(x),1,15)` — 60 not 64 so no sign handling on either
+  *    engine).
+  */
+private[functions] object Md5Kernel {
+
+  val ws: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
+
+  private val digest = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Spark-exact trim (0x20 only). */
+  def sparkTrim(s0: String): String = {
+    var b = 0; var e = s0.length
+    while (b < e && s0.charAt(b) == ' ') b += 1
+    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
+    s0.substring(b, e)
+  }
+
+  /** md5 digest of the UTF-8 bytes, via a per-thread reused instance. */
+  def md5(s: String): Array[Byte] = {
+    val md = digest.get()
+    md.reset()
+    md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** First 8 md5 hex digits (4 digest bytes) as an unsigned 32-bit long. */
+  def md5Int32(s: String): Long = {
+    val d = md5(s)
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** First 15 md5 hex digits (60 bits) as a non-negative long. */
+  def md5Int60(s: String): Long = {
+    val d = md5(s)
+    ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
+      ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
+      ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
+      ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+}

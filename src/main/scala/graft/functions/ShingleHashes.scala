@@ -22,27 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object ShingleHash {
 
-  private val ws = java.util.regex.Pattern.compile("\\s+")
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   def hashes(text: UTF8String, n: Int): ArrayData = {
-    // Spark-exact tokenization, NOT java.lang.String defaults: Spark's
-    // trim strips ONLY 0x20 (Java trim strips all <= U+0020) and
-    // Spark's split keeps leading/trailing empty tokens (limit -1,
-    // Java's default drops trailing ones). A doc edged with \t or \n
-    // must shingle identically to the composed column form.
-    val s0 = text.toString
-    var b = 0; var e = s0.length
-    while (b < e && s0.charAt(b) == ' ') b += 1
-    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
-    val t = s0.substring(b, e)
+    // Spark-exact tokenization via Md5Kernel, NOT java.lang.String
+    // defaults — see that object's contract notes.
+    val t = Md5Kernel.sparkTrim(text.toString)
     if (t.isEmpty) return new GenericArrayData(Array.empty[Long])
-    val toks = ws.split(t, -1)
+    val toks = Md5Kernel.ws.split(t, -1)
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
-    val md = digest.get()
     val out = new Array[Long](toks.length - n + 1)
     var i = 0
     while (i <= toks.length - n) {
@@ -53,10 +39,7 @@ object ShingleHash {
         sb.append(toks(i + j))
         j += 1
       }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      out(i) = Md5Kernel.md5Int32(sb.toString)
       i += 1
     }
     new GenericArrayData(out)

@@ -34,31 +34,14 @@ object SimHashWide {
 
   val Bits = 60
 
-  private val ws = java.util.regex.Pattern.compile("\\s+")
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   def simhash60(text: UTF8String): Long = {
-    val s0 = text.toString
-    var b = 0; var e = s0.length
-    while (b < e && s0.charAt(b) == ' ') b += 1
-    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
-    val t = s0.substring(b, e)
+    val t = Md5Kernel.sparkTrim(text.toString)
     if (t.isEmpty) return 0L
-    val toks = ws.split(t, -1)
+    val toks = Md5Kernel.ws.split(t, -1)
     val votes = new Array[Int](Bits)
-    val md = digest.get()
     var i = 0
     while (i < toks.length) {
-      md.reset()
-      val d = md.digest(toks(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 15 hex digits of the digest = top 60 bits, as a long
-      val h = ((d(0) & 0xffL) << 52) | ((d(1) & 0xffL) << 44) |
-        ((d(2) & 0xffL) << 36) | ((d(3) & 0xffL) << 28) |
-        ((d(4) & 0xffL) << 20) | ((d(5) & 0xffL) << 12) |
-        ((d(6) & 0xffL) << 4) | ((d(7) & 0xf0L) >> 4)
+      val h = Md5Kernel.md5Int60(toks(i))
       var bit = 0
       while (bit < Bits) {
         if (((h >> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1

@@ -33,28 +33,14 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object WinnowFingerprint {
 
-  private val digest = new ThreadLocal[java.security.MessageDigest] {
-    override def initialValue(): java.security.MessageDigest =
-      java.security.MessageDigest.getInstance("MD5")
-  }
-
   def fingerprints(text: UTF8String, k: Int, w: Int): ArrayData = {
-    val s0 = text.toString
-    var b = 0; var e = s0.length
-    while (b < e && s0.charAt(b) == ' ') b += 1
-    while (e > b && s0.charAt(e - 1) == ' ') e -= 1
-    val cps = s0.substring(b, e).codePoints().toArray
+    val cps = Md5Kernel.sparkTrim(text.toString).codePoints().toArray
     val n = cps.length - k + 1 // number of k-grams
     if (n < w) return new GenericArrayData(Array.empty[Long])
-    val md = digest.get()
     val h = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val gram = new String(cps, i, k)
-      md.reset()
-      val d = md.digest(gram.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      h(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      h(i) = Md5Kernel.md5Int32(new String(cps, i, k))
       i += 1
     }
     val out = new java.util.TreeSet[java.lang.Long]()
