@@ -131,27 +131,7 @@ object Dedup {
             .as("bsig"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bsig"))
-    // bucket-size accounting: ONE hash aggregate carries both the
-    // count and the min-id hub (no window sort, no second hot-side
-    // join); the (band, bsig) exchange it introduces is the same one
-    // the bucket join needs, so it's reused
-    val bucketInfo = banded.groupBy(col("band"), col("bsig"))
-      .agg(count(lit(1)).as("_bn"),
-        min_by(struct(col("id"), col("sig")), col("id")).as("_hub"))
-    val enriched = banded.join(bucketInfo, Seq("band", "bsig"))
-    val cold = enriched.filter(col("_bn") <= maxBucket)
-    val a = cold.select(col("band"), col("bsig"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = cold.select(col("band"), col("bsig"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    val coldPairs = a.join(b, Seq("band", "bsig"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
-    val starPairs = enriched
-      .filter(col("_bn") > maxBucket && col("id") =!= col("_hub.id"))
-      .select(col("_hub.id").as("id_a"), col("id").as("id_b"),
-        col("_hub.sig").as("sig_a"), col("sig").as("sig_b"))
-    coldPairs.unionByName(starPairs)
+    starCappedPairs(banded, Seq("band", "bsig"), Seq("sig"), maxBucket)
       .select(col("id_a"), col("id_b"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
           when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
@@ -307,27 +287,47 @@ object Dedup {
             .as("bval"))
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.bval"))
-    val bucketInfo = banded.groupBy(col("band"), col("bval"))
-      .agg(count(lit(1)).as("_bn"),
-        min_by(struct(col("id"), col("simhash")), col("id")).as("_hub"))
-    val enriched = banded.join(bucketInfo, Seq("band", "bval"))
-    val cold = enriched.filter(col("_bn") <= maxBucket)
-    val a = cold.select(col("band"), col("bval"),
-      col("id").as("id_a"), col("simhash").as("sh_a"))
-    val b = cold.select(col("band"), col("bval"),
-      col("id").as("id_b"), col("simhash").as("sh_b"))
-    val coldPairs = a.join(b, Seq("band", "bval"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-    val starPairs = enriched
-      .filter(col("_bn") > maxBucket && col("id") =!= col("_hub.id"))
-      .select(col("_hub.id").as("id_a"), col("id").as("id_b"),
-        col("_hub.simhash").as("sh_a"), col("simhash").as("sh_b"))
-    coldPairs.unionByName(starPairs)
+    starCappedPairs(banded, Seq("band", "bval"), Seq("simhash"), maxBucket)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+        bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** The shared candidate-pair shape of [[minhashCandidates]],
+    * [[hammingPairs]], and [[EmbeddingDedup]]: `banded` carries the
+    * bucket-key columns plus `id` and `payload` columns. ONE hash
+    * aggregate per bucket computes size + min-id hub (its exchange is
+    * the same one the self-join needs — no window sort, no second
+    * hot-side join); buckets <= `maxBucket` emit all unordered pairs
+    * (id_a < id_b) via the key equi-join, larger buckets emit STAR
+    * pairs around the hub — O(bucket), not O(bucket²), so one hot key
+    * can't quadratically explode a task. Output: id_a, id_b, and each
+    * payload column suffixed _a/_b. Multi-band callers dedup
+    * (id_a, id_b) afterwards; single-bucket callers must not pay that
+    * shuffle. Recall trade of the cap: see [[minhashCandidates]]. */
+  private[operators] def starCappedPairs(banded: DataFrame, keys: Seq[String],
+                                         payload: Seq[String],
+                                         maxBucket: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val bucketInfo = banded.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("_bn"),
+        min_by(struct(col("id") +: payload.map(col): _*), col("id")).as("_hub"))
+    val enriched = banded.join(bucketInfo, keys)
+    val cold = enriched.filter(col("_bn") <= maxBucket)
+    def side(sfx: String): DataFrame = cold.select(
+      (keyCols :+ col("id").as("id" + sfx)) ++
+        payload.map(p => col(p).as(p + sfx)): _*)
+    val coldPairs = side("_a").join(side("_b"), keys)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a") +: col("id_b") +:
+        payload.flatMap(p => Seq(col(p + "_a"), col(p + "_b"))): _*)
+    val starPairs = enriched
+      .filter(col("_bn") > maxBucket && col("id") =!= col("_hub.id"))
+      .select(col("_hub.id").as("id_a") +: col("id").as("id_b") +:
+        payload.flatMap(p =>
+          Seq(col("_hub." + p).as(p + "_a"), col(p).as(p + "_b"))): _*)
+    coldPairs.unionByName(starPairs)
   }
 }

@@ -50,32 +50,17 @@ object EmbeddingDedup {
         VectorFns.normSqScaled(col(vecCol)).as("_n"), bucket.as("bucket"))
       .localCheckpoint()
 
-    // one hash aggregate carries bucket size + min-id hub; its bucket
-    // exchange is the same one the self-join needs (no window sort)
-    val bucketInfo = signs.groupBy(col("bucket"))
-      .agg(count(lit(1)).as("_bn"),
-        min_by(struct(col(idCol).as("id"), col(vecCol).as("vec"),
-          col("_n").as("n")), col(idCol)).as("_hub"))
-    val enriched = signs.join(bucketInfo, "bucket")
-    val cold = enriched.filter(col("_bn") <= maxBucket)
-    val a = cold.select(col("bucket"), col(idCol).as("id_a"),
-      col(vecCol).as("vec_a"), col("_n").as("_na"))
-    val b = cold.select(col("bucket"), col(idCol).as("id_b"),
-      col(vecCol).as("vec_b"), col("_n").as("_nb"))
-    val coldPairs = a.join(b, "bucket")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        col("vec_a"), col("vec_b"), col("_na"), col("_nb"))
-    val starPairs = enriched
-      .filter(col("_bn") > maxBucket && col(idCol) =!= col("_hub.id"))
-      .select(col("_hub.id").as("id_a"), col(idCol).as("id_b"),
-        col("_hub.vec").as("vec_a"), col(vecCol).as("vec_b"),
-        col("_hub.n").as("_na"), col("_n").as("_nb"))
-    coldPairs.unionByName(starPairs)
+    // shared pair shape (one bucket aggregate + star fallback) lives
+    // in Dedup.starCappedPairs; a doc sits in exactly ONE sign-bucket
+    // here, so pairs are already unique and no multi-band dedup
+    // shuffle is paid
+    val banded = signs.select(col("bucket"), col(idCol).as("id"),
+      col(vecCol).as("vec"), col("_n"))
+    Dedup.starCappedPairs(banded, Seq("bucket"), Seq("vec", "_n"), maxBucket)
       .withColumn("cosine",
-        when(col("_na") === 0 || col("_nb") === 0, lit(null).cast("double"))
+        when(col("_n_a") === 0 || col("_n_b") === 0, lit(null).cast("double"))
           .otherwise(VectorFns.dotScaled(col("vec_a"), col("vec_b")).cast("double") /
-            sqrt(col("_na").cast("double") * col("_nb").cast("double"))))
+            sqrt(col("_n_a").cast("double") * col("_n_b").cast("double"))))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }

@@ -27,7 +27,7 @@ object ScaleTrial {
     "embeddings" -> Seq("vec_id" -> "vec"))
 
   def replicate(spark: SparkSession, srcDir: String, outDir: String,
-                replicas: Int): Unit = {
+                replicas: Int, tables: Seq[String] = Tables.names): Unit = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // offset = next power of 10 above the max key, per domain
     val domains = scala.collection.mutable.Map.empty[String, Long]
@@ -37,7 +37,7 @@ object ScaleTrial {
           .agg(max(col(colName))).head().getLong(0)
         math.pow(10, math.ceil(math.log10(m.toDouble + 1))).toLong
       })
-    Tables.names.foreach { t =>
+    tables.foreach { t =>
       val base = spark.read.parquet(s"$srcDir/$t.parquet")
       val copies = (0 until replicas).map { i =>
         keyCols(t).foldLeft(base) { case (df, (c, dom)) =>
@@ -49,16 +49,23 @@ object ScaleTrial {
     }
   }
 
+  /** Usage: ScaleTrial [replicas] [outDir] [queriesCsv] [tablesCsv]
+    * — queriesCsv restricts the run list (e.g. the dedup family for a
+    * 100× spot-trial), tablesCsv restricts replication to the tables
+    * those queries read (replicating lineitem 100× to test a
+    * documents-only operator would swamp the trial in write time). */
   def main(args: Array[String]): Unit = {
     val replicas = if (args.nonEmpty) args(0).toInt else 10
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
+    val only = if (args.length > 2) args(2).split(',').toSeq else Seq.empty
+    val tables = if (args.length > 3) args(3).split(',').toSeq else Tables.names
     val spark = Tables.session("scaletrial")
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
-    println(s"replicating sf0.1 x$replicas → $outDir")
-    replicate(spark, src, outDir, replicas)
+    println(s"replicating ${tables.mkString(",")} x$replicas → $outDir")
+    replicate(spark, src, outDir, replicas, tables)
 
-    val headline = Registry.all.filter(_.headline).map(_.name) ++
+    val defaultHeadline = Registry.all.filter(_.headline).map(_.name) ++
       Seq("q22_minhash_lsh", "q41_cluster_unify", "q47_embedding_neardup",
         "q31_merge_upsert", "q16_sessionize", "q53_asof_join",
         "q74_simhash_neardup", "q75_winnowing", "q76_tfidf_topterms",
@@ -66,16 +73,20 @@ object ScaleTrial {
         "q83_hll_registers", "q84_compaction_plan", "q85_pseudonymize",
         "q86_dedup_survivors", "q87_source_mixture", "q88_sequence_packing",
         "q89_kmeans_step")
-    def time(name: String, dir: String): Double = {
+    val headline = if (only.nonEmpty) only else defaultHeadline
+    def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
-      Registry.byName(name).run(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val rows = Registry.byName(name).run(spark, dir).count()
+      ((System.nanoTime() - t0) / 1e9, rows)
     }
-    println(f"${"query"}%-26s ${"sf0.1"}%8s ${"x" + replicas}%8s ratio")
+    // output rows at both scales distinguish output-bound growth (the
+    // true answer got bigger — replication makes every replica a
+    // genuine duplicate) from a plan hazard
+    println(f"${"query"}%-26s ${"sf0.1"}%8s ${"x" + replicas}%8s ratio ${"rows"}%10s ${"rows'"}%10s")
     headline.distinct.foreach { n =>
-      val a = time(n, src)
-      val b = time(n, outDir)
-      println(f"$n%-26s $a%8.2f $b%8.2f ${b / a}%5.1f")
+      val (a, ra) = time(n, src)
+      val (b, rb) = time(n, outDir)
+      println(f"$n%-26s $a%8.2f $b%8.2f ${b / a}%5.1f $ra%10d $rb%10d")
     }
     spark.stop()
   }
