@@ -252,13 +252,16 @@ object VectorQueries {
         val emb = Tables(s, dir, "embeddings")
         val cents = emb.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        val dists = emb.crossJoin(broadcast(cents))
+        // argmin via min_by (same (dist, cid) tie-break as a window
+        // rank): the map-side combine collapses each vector's k
+        // candidate rows before the exchange — a window would shuffle
+        // |corpus| × k rows (see SimilaritySearch.assignCells)
+        val assigned = emb.crossJoin(broadcast(cents))
           .withColumn("dist", VectorFns.l2SqScaled(col("embedding"), col("cv")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id")).orderBy(col("dist"), col("cid"))
-        val assigned = dists.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("cid").as("cluster_id"), col("embedding"))
+          .groupBy(col("vec_id"))
+          .agg(min_by(col("cid"), struct(col("dist"), col("cid"))).as("cluster_id"),
+            first(col("embedding")).as("embedding"))
+          .select(col("cluster_id"), col("embedding"))
         assigned
           .select(col("cluster_id"),
             posexplode(col("embedding")).as(Seq("dim_idx", "x")))
