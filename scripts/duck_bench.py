@@ -21,7 +21,9 @@ con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
 t0 = time.time()
-rows = len(con.execute(sql).fetchall())
+# count server-side: the Spark bench times .count(), so materializing
+# every row into Python tuples here would tax DuckDB asymmetrically
+rows = con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
 print(json.dumps({"sec": time.time() - t0, "rows": rows}))
 """
 

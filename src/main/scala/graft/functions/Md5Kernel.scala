@@ -34,6 +34,15 @@ private[functions] object Md5Kernel {
     s0.substring(b, e)
   }
 
+  /** Tokenize per the engine contract ([[graft.functions.TextFns.tokens]]):
+    * trim (0x20 only), split on `\s+`, drop empty tokens — text edged
+    * with \t/\n would otherwise contribute "" tokens. */
+  def tokenize(s0: String): Array[String] = {
+    val t = sparkTrim(s0)
+    if (t.isEmpty) Array.empty[String]
+    else ws.split(t, -1).filter(_.nonEmpty)
+  }
+
   /** md5 digest of the UTF-8 bytes, via a per-thread reused instance. */
   def md5(s: String): Array[Byte] = {
     val md = digest.get()

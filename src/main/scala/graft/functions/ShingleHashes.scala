@@ -25,9 +25,7 @@ object ShingleHash {
   def hashes(text: UTF8String, n: Int): ArrayData = {
     // Spark-exact tokenization via Md5Kernel, NOT java.lang.String
     // defaults — see that object's contract notes.
-    val t = Md5Kernel.sparkTrim(text.toString)
-    if (t.isEmpty) return new GenericArrayData(Array.empty[Long])
-    val toks = Md5Kernel.ws.split(t, -1)
+    val toks = Md5Kernel.tokenize(text.toString)
     if (toks.length < n) return new GenericArrayData(Array.empty[Long])
     val out = new Array[Long](toks.length - n + 1)
     var i = 0

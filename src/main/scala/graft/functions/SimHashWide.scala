@@ -35,9 +35,8 @@ object SimHashWide {
   val Bits = 60
 
   def simhash60(text: UTF8String): Long = {
-    val t = Md5Kernel.sparkTrim(text.toString)
-    if (t.isEmpty) return 0L
-    val toks = Md5Kernel.ws.split(t, -1)
+    val toks = Md5Kernel.tokenize(text.toString)
+    if (toks.isEmpty) return 0L
     val votes = new Array[Int](Bits)
     var i = 0
     while (i < toks.length) {

@@ -51,12 +51,15 @@ object TextFns {
   def normalizeText(c: Column): Column =
     ColumnBridge.column(NormalizeTextExpr(ColumnBridge.expression(c)))
 
-  /** Whitespace tokenization; empty string → empty array. */
-  def tokens(text: Column): Column = {
-    val t = trim(text)
-    when(t === "", array().cast("array<string>"))
-      .otherwise(split(t, "\\s+"))
-  }
+  /** Whitespace tokenization. Contract (engine-wide, kernels
+    * included): NO empty tokens, ever. Spark's trim strips 0x20 only,
+    * so text edged with \t or \n survives the trim and `split` on
+    * `\s+` would emit leading/trailing "" tokens; the filter removes
+    * them, which also covers the empty/whitespace-only document (→
+    * zero tokens). DuckDB oracles mirror this with
+    * `list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')`. */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 

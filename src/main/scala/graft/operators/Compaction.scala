@@ -79,6 +79,14 @@ object Compaction {
     val writer = packed.write.mode("overwrite")
     (if (partCols.nonEmpty) writer.partitionBy(partCols: _*) else writer)
       .parquet(outDir)
-    Result(parts.length, nOut, totalBytes, partCols)
+    // report the ACTUAL file population: with partitionBy, a range
+    // task writes one file per partition value it holds, so the real
+    // count can exceed the nOut plan
+    val qOut = canonical(outDir)
+    val outIt = qOut.getFileSystem(conf).listFiles(qOut, true)
+    val written = Iterator.continually(outIt)
+      .takeWhile(_.hasNext).map(_.next())
+      .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    Result(parts.length, written, totalBytes, partCols)
   }
 }

@@ -54,7 +54,11 @@ object ExternalFetch {
       try out = (Some(call()), None, attempt)
       catch {
         case scala.util.control.NonFatal(ex) =>
-          if (attempt > maxRetries) out = (None, Some(ex.getMessage), attempt)
+          if (attempt > maxRetries)
+            // getMessage may be null (e.g. bare NPE) — an error row
+            // with a null error column would masquerade as a success
+            out = (None, Some(Option(ex.getMessage).getOrElse(ex.getClass.getName)),
+              attempt)
           else sleeper(backoffMs << (attempt - 1))
       }
     }

@@ -249,7 +249,7 @@ object ExtraQueries {
           .orderBy(col("doc_id"))
       },
       Some("""WITH t AS (SELECT doc_id,
-             |    string_split_regex(trim(text), '\s+') AS toks FROM documents
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks FROM documents
              |  WHERE doc_id < 100),
              |d AS (SELECT doc_id, toks,
              |    list_sort(list_distinct(toks)) AS sv FROM t)
@@ -290,7 +290,7 @@ object ExtraQueries {
         .withColumn("chunk_id",
           concat(lit("doc_"), col("doc_id"), lit("_part_"), col("token_no")))
         .orderBy(col("doc_id"), col("token_no")),
-      Some("""WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
              |  FROM documents WHERE doc_id < 20)
              |SELECT doc_id, CAST(i AS INT) AS token_no, toks[i] AS token,
              |  'doc_' || CAST(doc_id AS VARCHAR) || '_part_' || CAST(i AS VARCHAR) AS chunk_id

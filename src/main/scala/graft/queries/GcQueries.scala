@@ -49,7 +49,7 @@ object GcQueries {
           graft.functions.TextFns.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy(col("doc_id")),
       Some(s"""SELECT doc_id,
-             |  len(string_split_regex(trim(text), '\\s+')) AS ws_tokens,
+             |  len(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS ws_tokens,
              |  len(regexp_extract_all(text, '${graft.functions.TextFns.BpePattern}')) AS bpe_tokens
              |FROM documents ORDER BY doc_id""".stripMargin))
   )

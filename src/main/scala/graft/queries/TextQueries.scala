@@ -27,7 +27,7 @@ object TextQueries {
     val sigCols = params.zipWithIndex.map { case ((a, b), i) =>
       s"CAST(MIN((hv * CAST($a AS BIGINT) + CAST($b AS BIGINT)) % ${Dedup.HashPrime}) AS BIGINT) AS s$i"
     }.mkString(",\n    ")
-    s"""toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    s"""toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents),
        |sh AS (SELECT doc_id, array_to_string(list_slice(t, i, i + ${ShingleN - 1}), ' ') AS s
        |  FROM toks, unnest(generate_series(1, len(t) - ${ShingleN - 1})) AS u(i)
        |  WHERE len(t) >= $ShingleN),
@@ -53,8 +53,9 @@ object TextQueries {
     * threaded through unchanged. */
   private def qualitySql(carry: String): String = {
     val sw = TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")
-    s"""toks AS (SELECT $carry, CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-       |    ELSE string_split_regex(trim(text), '\\s+') END AS t FROM documents),
+    s"""toks AS (SELECT $carry,
+       |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
        |m AS (SELECT $carry, CAST(len(t) AS BIGINT) AS n_tokens,
        |  CAST(len(t) AS DOUBLE) AS nt,
        |  CAST(len(list_filter(t, x -> x IN ($sw))) AS DOUBLE) AS hits,
@@ -96,10 +97,10 @@ object TextQueries {
           round(TextFns.meanTokenLen(col("text")), 6).as("mean_token_len"))
         .orderBy(col("doc_id")),
       Some(s"""WITH toks AS (SELECT doc_id, length(text) AS len_chars,
-             |  string_split_regex(trim(text), '\\s+') AS t FROM documents)
+             |  list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents)
              |SELECT doc_id, len(t) AS n_tokens, len_chars,
              |  len(list_filter(t, x -> x IN (${TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")}))) AS stop_hits,
-             |  round(CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(t), 6) AS mean_token_len
+             |  CASE WHEN len(t) = 0 THEN 0.0 ELSE round(CAST(list_sum(list_transform(t, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) / len(t), 6) END AS mean_token_len
              |FROM toks ORDER BY doc_id""".stripMargin)),
 
     // Stopword-argmax language ID (engine-defined heuristic, same
@@ -116,7 +117,7 @@ object TextQueries {
         val pick = TextFns.langStopwords.map { case (lang, _) =>
           s"WHEN h_$lang = best AND best > 0 THEN '$lang'"
         }.mkString(" ")
-        s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+        s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents),
            |hits AS (SELECT doc_id,
            |  $hitsCols
            |FROM toks),
@@ -146,7 +147,7 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some("""WITH base AS (SELECT doc_id,
-             |    string_split_regex(trim(text), '\s+') AS t,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t,
              |    string_split(text, chr(10)) AS l
              |  FROM documents),
              |r AS (SELECT doc_id,
@@ -169,7 +170,7 @@ object TextQueries {
         .orderBy(col("n").desc, col("word"))
         .limit(50),
       Some("""SELECT word, COUNT(*) AS n
-             |FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+             |FROM (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word FROM documents)
              |GROUP BY word ORDER BY n DESC, word LIMIT 50""".stripMargin)),
 
     // Exact dedup on a derived key (first-3-token prefix): keep the
@@ -185,7 +186,7 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some("""WITH k AS (SELECT doc_id,
-             |  array_to_string(list_slice(string_split_regex(trim(text), '\s+'), 1, 3), ' ') AS prefix
+             |  COALESCE(array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), 1, 3), ' '), '') AS prefix
              |  FROM documents)
              |SELECT MIN(doc_id) AS doc_id, prefix FROM k GROUP BY prefix
              |ORDER BY doc_id""".stripMargin)),
@@ -299,7 +300,7 @@ object TextQueries {
         Tables(s, dir, "documents"), "doc_id", "text", bits = 16)
         .orderBy(col("doc_id")),
       Some(
-        s"""WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents)
+        s"""WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t FROM documents)
            |SELECT doc_id, CAST(${simhashSql(16)} AS BIGINT) AS simhash
            |FROM toks ORDER BY doc_id""".stripMargin)),
 
@@ -327,8 +328,7 @@ object TextQueries {
           s"SELECT doc_id, sh, $b AS band, (sh >> ${b * 15}) & ${(1L << 15) - 1} AS bval FROM sim"
         }.mkString("\n  UNION ALL\n  ")
         s"""WITH toks AS (SELECT doc_id,
-           |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-           |      ELSE string_split_regex(trim(text), '\\s+') END AS t
+           |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
            |  FROM documents),
            |hs AS (SELECT doc_id,
            |    list_transform(t, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT) AS hv
@@ -409,7 +409,7 @@ object TextQueries {
             col("rnk"))
           .orderBy(col("doc_id"), col("rnk"))
       },
-      Some("""WITH terms AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      Some("""WITH terms AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
              |  FROM documents WHERE trim(text) <> ''),
              |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
              |  FROM terms GROUP BY doc_id, term),
@@ -462,7 +462,7 @@ object TextQueries {
           .orderBy(col("doc_id"))
       },
       Some("""WITH toks AS (SELECT doc_id, source,
-             |    string_split_regex(trim(text), '\s+') AS t FROM documents),
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t FROM documents),
              |sh AS (SELECT doc_id, source,
              |    array_to_string(list_slice(t, i, i + 12), ' ') AS s
              |  FROM toks, unnest(generate_series(1, len(t) - 12)) AS u(i)
@@ -567,8 +567,7 @@ object TextQueries {
           .orderBy(col("source"), col("shard_id"), col("seq_id"))
       },
       Some("""WITH t AS (SELECT source, doc_id, doc_id // 200 AS shard_id,
-             |    CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT)
-             |      ELSE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) END AS n_tokens
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
              |  FROM documents),
              |c AS (SELECT source, shard_id, doc_id, n_tokens,
              |    CAST(SUM(n_tokens) OVER (PARTITION BY source, shard_id

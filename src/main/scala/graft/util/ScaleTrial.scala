@@ -59,6 +59,16 @@ object ScaleTrial {
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_scale"
     val only = if (args.length > 2) args(2).split(',').toSeq else Seq.empty
     val tables = if (args.length > 3) args(3).split(',').toSeq else Tables.names
+    val unknown = tables.filterNot(keyCols.contains)
+    require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(",")}; " +
+      s"valid: ${Tables.names.mkString(",")}")
+    // a partial replicate into a dir holding OTHER tables from an
+    // earlier run would silently mix scales — queries read the stale
+    // copies without error and every printed ratio is bogus
+    val stale = Tables.names.filterNot(tables.contains)
+      .filter(t => new java.io.File(s"$outDir/$t.parquet").exists())
+    require(stale.isEmpty, s"outDir already holds non-replicated table(s) " +
+      s"${stale.mkString(",")} from a previous run — use a fresh outDir")
     val spark = Tables.session("scaletrial")
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.1"
