@@ -17,7 +17,7 @@ package graft.functions
   *    `substr(md5(x),1,15)` — 60 not 64 so no sign handling on either
   *    engine).
   */
-private[functions] object Md5Kernel {
+private[graft] object Md5Kernel {
 
   val ws: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
 

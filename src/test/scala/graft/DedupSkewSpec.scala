@@ -20,6 +20,8 @@ class DedupSkewSpec extends SparkSpec {
       "trailing newline after words\n", // → edge \t/\n must match too
       "short one",            // < n tokens → empty
       "",                     // empty → empty
+      "   ",                  // space-only → empty
+      "\t\n ",                // non-0x20 whitespace only → empty
       "Cañón José über naïve façade résumé test").toDF("text")
     val viaKernel = docs.select(ShingleHashes(col("text"), 3).as("h"))
       .collect().map(_.getSeq[Long](0))
@@ -29,6 +31,19 @@ class DedupSkewSpec extends SparkSpec {
       .collect().map(_.getSeq[Long](0))
     assert(viaKernel.toSeq == viaColumns.toSeq)
     assert(viaKernel(0).nonEmpty && viaKernel(4).isEmpty && viaKernel(5).isEmpty)
+    assert(viaKernel(6).isEmpty && viaKernel(7).isEmpty)
+  }
+
+  test("tokenization contract: no empty tokens from any whitespace shape") {
+    import graft.functions.TextFns
+    val docs = Seq("", "   ", "\t\n ", "\ta b\n", " x ").toDF("text")
+    // composed form and kernel agree, and neither ever emits ""
+    val composed = docs.select(TextFns.tokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0))
+    assert(composed.toSeq == Seq(Nil, Nil, Nil, Seq("a", "b"), Seq("x")))
+    val viaKernel = Seq("", "   ", "\t\n ", "\ta b\n", " x ")
+      .map(s => graft.functions.Md5Kernel.tokenize(s).toSeq)
+    assert(viaKernel == composed.map(_.toSeq).toSeq)
   }
 
   test("minhash hot bucket emits linear star pairs, not quadratic") {
@@ -61,6 +76,7 @@ class DedupSkewSpec extends SparkSpec {
       "trailing newline after words\n",
       "single",
       "",                     // empty → fingerprint 0
+      "\t\n ",                // whitespace-only → fingerprint 0
       "Cañón José über naïve façade résumé test").toDF("text")
     val viaKernel = docs.select(SimHashWide(col("text")).as("sh"))
       .collect().map(_.getLong(0))
@@ -75,7 +91,7 @@ class DedupSkewSpec extends SparkSpec {
     }.reduce(_ + _)
     val viaColumns = docs.select(composed.as("sh")).collect().map(_.getLong(0))
     assert(viaKernel.toSeq == viaColumns.toSeq)
-    assert(viaKernel(5) == 0L && viaKernel(0) != 0L)
+    assert(viaKernel(5) == 0L && viaKernel(6) == 0L && viaKernel(0) != 0L)
   }
 
   test("wide-simhash pairs: exact dups pair at hamming 0, unrelated docs don't pair") {
