@@ -1,8 +1,8 @@
 package graft.operators
 
 import graft.functions.VectorFns
+import graft.plans.TopKPhysical
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -12,9 +12,17 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Two access paths:
   *  - `bruteForceTopK`: queries × corpus via broadcast of the (small)
-  *    query set, exact cosine, per-query window top-k. Correct
-  *    baseline; cost O(|Q|·|C|) but fully parallel and |Q| is small in
-  *    the RAG pattern.
+  *    query set, exact cosine, per-query top-k. Correct baseline;
+  *    cost O(|Q|·|C|) but fully parallel and |Q| is small in the RAG
+  *    pattern.
+  *
+  * Both paths finish through [[graft.plans.TopKPhysical]] (bounded
+  * per-partition buffers + map-side combine), NOT a per-query window:
+  * a window would shuffle one query's ENTIRE candidate set — the
+  * whole corpus for brute force, nProbe/nCells of it for IVF — into
+  * a single task and sort it, which is a one-task bottleneck at a
+  * 100 TB corpus. The physical operator reduces each partition's
+  * candidates to k rows before the only exchange.
   *  - `ivfTopK`: IVF-style two-stage search — centroid assignment +
   *    probing the nProbe nearest cells only. Cuts the scan to
   *    nProbe/nCells of the corpus; the scale path for 100 TB corpora
@@ -47,10 +55,10 @@ object SimilaritySearch {
       .filter(col(qId) =!= col(cId))
       .withColumn("cosine", cosineFromParts(
         VectorFns.dotScaled(col(qVec), col(cVec)), col("_qn"), col("_cn")))
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("cosine").desc, col(cId))
-    joined.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      // drop the vectors before the top-k buffers: only (ids, score)
+      // rows are retained/shuffled, not embedding payloads
+      .select(col(qId), col(cId), col("cosine"))
+    TopKPhysical.topK(joined, Seq(qId), Seq(("cosine", false), (cId, true)), k)
       .select(col(qId), col(cId), col("cosine"), col("rnk"))
   }
 
@@ -95,17 +103,19 @@ object SimilaritySearch {
       .crossJoin(broadcast(cent))
       .withColumn("_d",
         col("_qn") - lit(2L) * VectorFns.dotScaled(col(qVec), col("cell_vec")) + col("_centn"))
-    val wq = Window.partitionBy(col(qId)).orderBy(col("_d"), col("cell_id"))
-    val probes = qCells.withColumn("_rn", row_number().over(wq))
-      .filter(col("_rn") <= nProbe)
+    // probe selection is itself a per-query top-nProbe over nCells
+    // candidates — nCells ~ √N grows with the corpus, so it takes the
+    // same bounded-buffer path (not a window)
+    val probes = TopKPhysical.topK(
+      qCells.select(col(qId), col(qVec), col("_qn"), col("cell_id"), col("_d")),
+      Seq(qId), Seq(("_d", true), ("cell_id", true)), nProbe, "_rn")
       .select(col(qId), col(qVec), col("_qn"), col("cell_id").as("cell"))
     val cand = probes.join(indexed, "cell")
       .filter(col(qId) =!= col(cId))
       .withColumn("cosine", cosineFromParts(
         VectorFns.dotScaled(col(qVec), col(cVec)), col("_qn"), col("_cn")))
-    val w = Window.partitionBy(col(qId)).orderBy(col("cosine").desc, col(cId))
-    cand.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId), col("cosine"))
+    TopKPhysical.topK(cand, Seq(qId), Seq(("cosine", false), (cId, true)), k)
       .select(col(qId), col(cId), col("cosine"), col("rnk"))
   }
 }

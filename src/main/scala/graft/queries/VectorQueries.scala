@@ -116,10 +116,11 @@ object VectorQueries {
           .filter(col("q_id") =!= col("n_id"))
           .withColumn("qdot", VectorFns.dotLong(col("qa"), col("qb")))
           .withColumn("cos_q8", VectorFns.cosineQ8(col("qa"), col("qb")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("q_id")).orderBy(col("cos_q8").desc, col("n_id"))
-        joined.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
+          // bounded-buffer top-k (not a window): quantized vectors are
+          // dropped before buffering, ranking on the UNROUNDED score
+          .select(col("q_id"), col("n_id"), col("qdot"), col("cos_q8"))
+        graft.plans.TopKPhysical.topK(joined, Seq("q_id"),
+          Seq(("cos_q8", false), ("n_id", true)), k = 5)
           .select(col("q_id"), col("n_id"), col("qdot"),
             round(col("cos_q8"), 6).as("cos_q8"), col("rnk"))
           .orderBy(col("q_id"), col("rnk"))
@@ -167,10 +168,9 @@ object VectorQueries {
         val joined = broadcast(queries).crossJoin(corpus)
           .filter(col("q_id") =!= col("n_id") && col("label") === col("want_label"))
           .withColumn("cosine", graft.functions.VectorFns.cosine(col("q_vec"), col("embedding")))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
-        joined.withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 5)
+          .select(col("q_id"), col("n_id"), col("label"), col("cosine"))
+        graft.plans.TopKPhysical.topK(joined, Seq("q_id"),
+          Seq(("cosine", false), ("n_id", true)), k = 5)
           .select(col("q_id"), col("n_id"), col("label"), col("cosine"), col("rnk"))
           .orderBy(col("q_id"), col("rnk"))
       },
