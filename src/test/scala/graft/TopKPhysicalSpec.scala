@@ -26,6 +26,34 @@ class TopKPhysicalSpec extends SparkSpec {
     val plan = viaExec.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerGroupExec") || plan.contains("TopKPerGroup"),
       s"custom exec missing:\n$plan")
+    // ... and the map-side partial pass sits BELOW the exchange, so a
+    // group's raw input is reduced to <=k rows per partition before any
+    // shuffle (the final pass above the exchange merges candidates)
+    assert(plan.contains("PartialTopK"), s"partial pass missing:\n$plan")
+    val exchangeIdx = plan.indexOf("Exchange")
+    val partialIdx = plan.indexOf("PartialTopK")
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial pass must be under the exchange:\n$plan")
+  }
+
+  test("partial pass caps what each input partition can ship per group") {
+    import spark.implicits._
+    // 8 input partitions, ONE group, 10k rows: the partial phase may
+    // emit at most k rows per (partition, group) = 8*3 candidates into
+    // the exchange; the final phase must still produce the exact top-3
+    val big = spark.sparkContext.parallelize(1 to 10000, 8)
+      .map(i => (1L, i.toLong)).toDF("g", "v")
+    val out = TopKPhysical.topK(big, Seq("g"), Seq(("v", false)), 3)
+      .select("v", "rnk").as[(Long, Int)].collect().sortBy(_._2)
+    assert(out.map(_._1).toSeq == Seq(10000L, 9999L, 9998L))
+    // count rows flowing out of the partial pass directly (sparkPlan:
+    // the pre-AQE tree, traversable and executable below the exchange)
+    val partialOnly = graft.plans.TopKPhysical.topK(big, Seq("g"),
+      Seq(("v", false)), 3).queryExecution.sparkPlan
+      .collectFirst { case p: graft.plans.PartialTopKExec => p }
+    assert(partialOnly.isDefined)
+    val shipped = partialOnly.get.execute().count()
+    assert(shipped <= 8L * 3, s"partial shipped $shipped rows, expected <=24")
   }
 
   test("bounded buffers survive groups far larger than the trim threshold") {
