@@ -108,25 +108,27 @@ object EventQueries {
     // h_k, or the exact distinct count when a group has fewer than k
     // values. Deterministic on both engines — integer hashing,
     // exactly-representable scale constant, one exactly-rounded
-    // division. At 100 TB the bottom-k per group is a partial
-    // aggregate (each partition keeps its own k smallest, merge keeps
-    // the k smallest of the union) — here the post-distinct window is
-    // per-group tiny; the sketch property (fixed k-size state) is the
-    // point.
+    // division. The bottom-k IS a partial aggregate
+    // (functions.BottomKDistinct): each partition keeps its own k
+    // smallest distinct hashes, merge keeps the k smallest of the
+    // union — so only k longs per (partition, group) cross the wire,
+    // no `.distinct()` pre-shuffle and no window sort of a group's
+    // full distinct set. The 100 TB shape by construction.
     Q("q79_kmv_distinct",
       (s, dir) => {
         val k = 64
-        val hashed = events(s, dir)
+        val bottomK = udaf(new graft.functions.BottomKDistinct(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        events(s, dir)
           .filter(col("user_id").isNotNull)
           .select(col("event_type"),
             conv(substring(md5(col("user_id").cast(StringType)), 1, 12), 16, 10)
               .cast(LongType).as("h"))
-          .distinct()
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("event_type")).orderBy(col("h"))
-        hashed.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
           .groupBy(col("event_type"))
-          .agg(count(lit(1)).as("nk"), max(col("h")).as("hk"))
+          .agg(bottomK(col("h")).as("bk"))
+          .select(col("event_type"),
+            size(col("bk")).cast(LongType).as("nk"),
+            element_at(col("bk"), -1).as("hk"))
           .select(col("event_type"), col("nk"),
             round(when(col("nk") < k, col("nk").cast(DoubleType))
               .otherwise(lit((k - 1).toDouble * math.pow(2, 48)) /

@@ -48,4 +48,29 @@ class SketchSpec extends SparkSpec {
       .distinct.sorted.take(k)
     assert(merged == whole)
   }
+
+  test("BottomKDistinct aggregator: partition-count invariant, dedups, no window in plan") {
+    val k = 8
+    val agg = org.apache.spark.sql.functions.udaf(
+      new graft.functions.BottomKDistinct(k),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // values with heavy duplication so dedup-inside-the-sketch matters
+    val vals = (1 to 2000).map(i => (i % 5).toString -> (i % 37).toLong)
+    def run(nPart: Int): Map[String, Seq[Long]] =
+      vals.toDF("g", "v").repartition(nPart)
+        .groupBy(col("g")).agg(agg(col("v")).as("bk"))
+        .as[(String, Seq[Long])].collect().toMap
+    val one = run(1)
+    val many = run(13)
+    assert(one == many, "bottom-k state must be partitioning-invariant")
+    // each group saw values 0..36; bottom-8 distinct = 0..7
+    assert(one.values.forall(_ == (0L until k.toLong)))
+    // the q79 shape: a hash/object aggregate with map-side partials,
+    // never a window sort
+    val plan = vals.toDF("g", "v").groupBy(col("g"))
+      .agg(agg(col("v")).as("bk")).queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate exec:\n$plan")
+    assert(!plan.contains("Window"), s"bottom-k must not plan a window:\n$plan")
+  }
 }
