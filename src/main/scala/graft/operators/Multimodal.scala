@@ -186,7 +186,7 @@ object Multimodal {
     * (bytes = utf8 text) — used by tests and the bench harness. */
   def syntheticAssets(spark: SparkSession, sfDir: String): Dataset[Asset] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.util.Tables(spark, sfDir, "documents")
       .select(col("doc_id").as("asset_id"),
         concat(lit("client_"), (col("doc_id") % 5).cast(StringType)).as("client_id"),
         concat(lit("mem://doc/"), col("doc_id")).as("uri"),

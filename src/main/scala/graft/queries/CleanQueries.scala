@@ -131,7 +131,7 @@ object CleanQueries {
     // against DuckDB's strip_accents+lower (accented prefix added —
     // the synthetic docs are pure ASCII).
     Q("q64_normalize_text",
-      (s, dir) => s.read.parquet(s"$dir/documents.parquet")
+      (s, dir) => graft.util.Tables(s, dir, "documents")
         .select(col("doc_id"),
           TextFns.normalizeText(
             concat(lit("Áéî ÕÜ Ñç àè "), substring(col("text"), 1, 200)))

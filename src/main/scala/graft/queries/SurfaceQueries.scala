@@ -198,7 +198,7 @@ object SurfaceQueries {
     Q("q70_doc_chunking",
       (s, dir) => {
         val size = 500; val overlap = 100; val step = size - overlap
-        s.read.parquet(s"$dir/documents.parquet")
+        graft.util.Tables(s, dir, "documents")
           .withColumn("_n", greatest(lit(1),
             ceil((length(col("text")) - lit(overlap)).cast(DoubleType) /
               lit(step)).cast(IntegerType)))
@@ -231,7 +231,7 @@ object SurfaceQueries {
         val h = graft.operators.Dedup.md5Int32(col("doc_id").cast(StringType))
         val split = when(h % 100 < 90, "train")
           .when(h % 100 < 95, "val").otherwise("test")
-        s.read.parquet(s"$dir/documents.parquet")
+        graft.util.Tables(s, dir, "documents")
           .groupBy(col("lang"), split.as("split"))
           .agg(count(lit(1)).as("n"),
             sum(col("n_chars")).as("total_chars"))
@@ -260,7 +260,7 @@ object SurfaceQueries {
       (s, dir) => {
         val h = graft.operators.Dedup.md5Int32(col("doc_id").cast(StringType))
         graft.plans.TopKPhysical.topK(
-          s.read.parquet(s"$dir/documents.parquet").withColumn("_h", h),
+          graft.util.Tables(s, dir, "documents").withColumn("_h", h),
           groupBy = Seq("lang"),
           orderBy = Seq(("_h", true), ("doc_id", true)), k = 50,
           rankName = "rn")

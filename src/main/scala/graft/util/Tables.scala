@@ -13,8 +13,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Opt-in per-JVM base-table cache for the multi-query mains (Bench,
+  // Verify): 95 registry queries re-reading the same ten parquet files
+  // pay file listing + footer decode per query — a fixed driver-side
+  // floor that dominates sub-second queries. Mains that run MANY
+  // queries in one session persist each base table once instead. Off
+  // by default so single-query paths and plan-assertion specs
+  // (PushedFilters / ReadSchema on the parquet scan) see the raw scan.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+  @volatile private var cacheEnabled = false
+  def enableSessionCache(): Unit = cacheEnabled = true
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    if (cacheEnabled)
+      cache.getOrElseUpdate((sfDir, name),
+        spark.read.parquet(s"$sfDir/$name.parquet")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    else spark.read.parquet(s"$sfDir/$name.parquet")
 
   /** Session tuned for the graft engine. local[32] here; on a real
     * cluster the same knobs come from spark-submit. AQE handles runtime
