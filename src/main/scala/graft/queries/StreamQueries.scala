@@ -136,5 +136,34 @@ object StreamQueries {
             sum(col("sum_dec")).cast(DoubleType).as("sum_value"))
           .orderBy(col("hour_start"), col("event_type"))
       },
-      Some(hourlySql)))
+      Some(hourlySql)),
+
+    // Stream-stream interval join under the drain (view → purchase
+    // attribution within 6 h for the same user): both sides are REAL
+    // file streams consumed in micro-batches, joined with the
+    // time-range condition that lets the state store evict rows once
+    // their interval can no longer match — the bounded-state
+    // formulation stream-stream joins require, in append mode (the
+    // only mode they support). Watermark horizon spans the whole drain
+    // for the same reason as q93: a catch-up drain replays files in
+    // arbitrary order, and the INTERVAL condition alone bounds
+    // production state; StreamingSpec pins batch-twin equality and
+    // the late-drop semantics of a short horizon.
+    Q("q95_streaming_join",
+      (s, dir) => {
+        val left = source(s, dir).filter(col("event_type") === "view")
+        val right = source(s, dir).filter(col("event_type") === "purchase")
+        val joined = EventStreams.intervalJoin(left, right,
+          horizon = "6 hours", watermark = "3650 days")
+        EventStreams.runAvailableNow(s, joined, uniq("q95"), outputMode = "append")
+          .orderBy(col("l_id"), col("r_id"))
+      },
+      Some("""WITH l AS (SELECT user_id, event_id AS l_id, CAST(ts AS TIMESTAMP) AS l_ts
+             |    FROM events WHERE event_type = 'view'),
+             |r AS (SELECT user_id AS r_user, event_id AS r_id, CAST(ts AS TIMESTAMP) AS r_ts
+             |    FROM events WHERE event_type = 'purchase')
+             |SELECT user_id, l_id, r_id, l_ts, r_ts
+             |FROM l JOIN r ON user_id = r_user
+             |  AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 6 HOUR
+             |ORDER BY l_id, r_id""".stripMargin)))
 }
