@@ -35,7 +35,14 @@ for name in sorted(oracle):
                            input=oracle[name], capture_output=True,
                            text=True, timeout=TIMEOUT)
         if r.returncode == 0:
-            results[name] = json.loads(r.stdout.strip().splitlines()[-1])
+            # rc 0 with empty/non-JSON stdout (stray warning ordering,
+            # OOM-killed child reaped as 0) must not abort the sweep —
+            # record it like any other per-query failure
+            try:
+                results[name] = json.loads(r.stdout.strip().splitlines()[-1])
+            except (ValueError, IndexError):
+                results[name] = {"error": "unparseable worker stdout: "
+                                 + r.stdout.strip()[-200:]}
         else:
             results[name] = {"error": r.stderr.strip()[-300:]}
     except subprocess.TimeoutExpired:

@@ -59,13 +59,21 @@ object Compaction {
       .toArray
     val totalBytes = parts.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    // recover the partition spec from a data file's key=value path
-    // segments so the rewrite keeps the physical layout (and pruning)
-    val partCols: Seq[String] = parts.headOption.toSeq.flatMap { st =>
+    // recover the partition spec from the data-file key=value path
+    // segments so the rewrite keeps the physical layout (and pruning).
+    // EVERY file must agree: a stray .parquet at the root or a
+    // mixed-depth layout would otherwise silently rewrite the whole
+    // table flat (or mis-partitioned) on the strength of whichever
+    // file the listing happened to return first
+    val specs: Array[Seq[String]] = parts.map { st =>
       st.getPath.toUri.getPath
         .stripPrefix(qIn.toUri.getPath).split('/')
         .dropRight(1).filter(_.contains('=')).map(_.takeWhile(_ != '=')).toSeq
-    }
+    }.distinct
+    require(specs.length <= 1,
+      s"inconsistent partition layouts under $qIn: " +
+        specs.map(s => if (s.isEmpty) "<flat>" else s.mkString("/")).mkString(" vs "))
+    val partCols: Seq[String] = specs.headOption.getOrElse(Nil)
     val df = spark.read.parquet(inDir)
     val keyCols = (partCols ++ sortCol).map(col)
     val packed: DataFrame =

@@ -86,8 +86,13 @@ object ExternalFetch {
     }
   }
 
+  /** `truncated` marks the LAST row of a walk that hit `maxPages`
+    * while the cursor still had pages (no isLast, no error): without
+    * it a clipped scan is indistinguishable from one that drained
+    * naturally, and a consumer can't tell complete from incomplete. */
   final case class PageResult[B](cursor: B, page: Int, payload: Option[String],
-                                 error: Option[String], attempts: Int)
+                                 error: Option[String], attempts: Int,
+                                 truncated: Boolean = false)
 
   /** S2 paginated API scan (reference provider loop,
     * realhomes_provider.py:21-67): PARALLEL across cursors (one
@@ -116,7 +121,8 @@ object ExternalFetch {
             val (payload, error, attempts) =
               attemptCall(limiter, maxRetries, backoffMs, sleeper)(() => fetchPage(c, page))
             if (error.isDefined || payload.exists(isLast)) done = true
-            PageResult(c, page, payload, error, attempts)
+            PageResult(c, page, payload, error, attempts,
+              truncated = !done && page == maxPages)
           }
         }
       }

@@ -22,13 +22,39 @@ import org.apache.spark.sql.types._
   */
 object StreamQueries {
 
-  // one staging of the µs-converted events per (JVM, sf dir): the file
-  // streaming source needs a directory of several files to form a real
-  // multi-batch drain, and re-staging per query would triple the I/O
+  // one staging of the µs-converted events per (JVM, sf dir, source
+  // state): the file streaming source needs a directory of several
+  // files to form a real multi-batch drain, and re-staging per query
+  // would triple the I/O. The cache key embeds a fingerprint of the
+  // source's file set, so an events table that CHANGES under the same
+  // path re-stages instead of silently serving stale staging; staged
+  // temp dirs are removed by a JVM shutdown hook, so repeated sessions
+  // don't leak /tmp directories.
   private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val stagedCleanup = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  Runtime.getRuntime.addShutdownHook(new Thread(() =>
+    stagedCleanup.forEach { d =>
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(new java.io.File(d))
+    }))
+  private def newStagingDir(prefix: String): String = {
+    val out = java.nio.file.Files.createTempDirectory(prefix).toString
+    stagedCleanup.add(out)
+    out
+  }
+  private def sourceFingerprint(dir: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
+    walk(new java.io.File(s"$dir/events.parquet")).sortBy(_.getPath)
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}")
+      .mkString("|").hashCode.toHexString
+  }
   private def staged(s: SparkSession, dir: String): String =
-    stagedDirs.computeIfAbsent(dir, { _ =>
-      val out = java.nio.file.Files.createTempDirectory("graft_stream_src").toString
+    stagedDirs.computeIfAbsent(s"$dir@${sourceFingerprint(dir)}", { _ =>
+      val out = newStagingDir("graft_stream_src")
       EventQueries.events(s, dir).repartition(8)
         .write.mode("overwrite").parquet(out)
       out
@@ -44,8 +70,8 @@ object StreamQueries {
   // dedup state genuinely halves the stream — a single-copy source
   // would make dropDuplicates vacuously equal to the input
   private def dupSource(s: SparkSession, dir: String): DataFrame = {
-    val out = stagedDirs.computeIfAbsent("dup:" + dir, { _ =>
-      val d = java.nio.file.Files.createTempDirectory("graft_stream_dup").toString
+    val out = stagedDirs.computeIfAbsent(s"dup:$dir@${sourceFingerprint(dir)}", { _ =>
+      val d = newStagingDir("graft_stream_dup")
       val ev = EventQueries.events(s, dir).repartition(8)
       ev.write.mode("overwrite").parquet(d)
       ev.write.mode("append").parquet(d)

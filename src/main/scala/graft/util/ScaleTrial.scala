@@ -62,6 +62,9 @@ object ScaleTrial {
     val unknown = tables.filterNot(keyCols.contains)
     require(unknown.isEmpty, s"unknown table(s): ${unknown.mkString(",")}; " +
       s"valid: ${Tables.names.mkString(",")}")
+    // fail on a query typo NOW, not after the expensive replication pass
+    val unknownQ = only.filterNot(Registry.byName.contains)
+    require(unknownQ.isEmpty, s"unknown query(s): ${unknownQ.mkString(",")}")
     // a partial replicate into a dir holding OTHER tables from an
     // earlier run would silently mix scales — queries read the stale
     // copies without error and every printed ratio is bogus

@@ -116,6 +116,25 @@ class ExternalFetchSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("paginateAll marks a maxPages-clipped walk as truncated") {
+    import graft.operators.ExternalFetch
+    import graft.operators.ExternalFetch.PageResult
+    import spark.implicits._
+    val cursors = Seq("endless", "short").toDS()
+    val out: Seq[PageResult[String]] = ExternalFetch.paginateAll(
+      cursors,
+      (c: String, p: Int) => if (c == "short" && p >= 2) "[]" else s"""[{"p":$p}]""",
+      isLast = _.trim == "[]", maxPages = 3, ratePerSec = 1e6,
+      sleeper = _ => ()).collect().toSeq
+    val byC = out.groupBy(_.cursor)
+    // clipped walk: exactly the final row carries the marker, so a
+    // consumer can tell an incomplete cursor from a drained one
+    assert(byC("endless").map(r => r.page -> r.truncated).sortBy(_._1) ==
+      Seq(1 -> false, 2 -> false, 3 -> true))
+    // naturally-ended walk: never marked
+    assert(byC("short").forall(!_.truncated))
+  }
+
   test("rate limiter spaces acquisitions") {
     var slept = 0L
     val rl = new ExternalFetch.RateLimiter(1000.0, ms => slept += ms)

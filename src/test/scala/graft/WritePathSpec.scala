@@ -143,6 +143,51 @@ class WritePathSpec extends SparkSpec {
     }
   }
 
+  test("compaction keeps a two-level layout, pins '01' partition inference, rejects mixed depths") {
+    import graft.operators.Compaction
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_2lvl").toString
+    val docs = graft.util.Tables(spark, sf001, "documents")
+      .withColumn("region", concat(lit("r"), col("doc_id") % 2))
+      // numeric-LOOKING values with a leading zero: Spark's standard
+      // partition inference reads these back as integers ("01" → 1)
+      .withColumn("day", when(col("doc_id") % 2 === 0, "01").otherwise("15"))
+    docs.repartition(8).write.mode("overwrite")
+      .partitionBy("region", "day").parquet(s"$dir/small")
+
+    val res = Compaction.compact(spark, s"$dir/small", s"$dir/packed",
+      targetBytes = Long.MaxValue)
+    // the spec is recovered in ORDER from the nested layout
+    assert(res.partitionCols == Seq("region", "day"))
+    val packed = spark.read.parquet(s"$dir/packed")
+    // documented partition-inference behavior: values round-trip, the
+    // discovered TYPE of "01"/"15" is integer — same as any Spark read
+    // of the input layout, compaction doesn't add its own rules
+    assert(packed.schema("day").dataType ==
+      spark.read.parquet(s"$dir/small").schema("day").dataType)
+    assert(packed.select("day").distinct().as[Int].collect().toSet == Set(1, 15))
+    // two-level pruning still works after the rewrite
+    val plan = packed.filter(col("region") === "r0" && col("day") === 1)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), s"no partition pruning:\n$plan")
+    // row content survives (modulo the inferred day type on both sides)
+    val roundTrip = packed.select("doc_id", "region", "day")
+    val src = spark.read.parquet(s"$dir/small").select("doc_id", "region", "day")
+    assert(roundTrip.exceptAll(src).isEmpty && src.exceptAll(roundTrip).isEmpty)
+
+    // a stray data file at the ROOT of the partitioned layout must
+    // fail loudly, not silently flatten the table
+    docs.limit(1).drop("region", "day").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/stray")
+    val strayFile = new java.io.File(s"$dir/stray").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(strayFile.toPath,
+      java.nio.file.Paths.get(s"$dir/small/stray.parquet"))
+    val e = intercept[IllegalArgumentException] {
+      Compaction.compact(spark, s"$dir/small", s"$dir/packed2", Long.MaxValue)
+    }
+    assert(e.getMessage.contains("inconsistent partition layouts"))
+  }
+
   // aim for ~5 output files regardless of sf0.001 byte size
   private def res0Target(dir: String): Long = {
     val total = new java.io.File(s"$dir/small").listFiles()
