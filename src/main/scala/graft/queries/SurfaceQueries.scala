@@ -273,6 +273,24 @@ object SurfaceQueries {
              |      ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
              |        doc_id) AS rn
              |  FROM documents)
-             |WHERE rn <= 50 ORDER BY lang, rn""".stripMargin))
+             |WHERE rn <= 50 ORDER BY lang, rn""".stripMargin)),
+
+    // S1 native path: layered scan of a RAW .osm.pbf (no GDAL, no
+    // pre-conversion) through the repo's own wire-level decoder —
+    // points (tagged nodes) ∪ multipolygons (type=multipolygon
+    // relations) with a layer tag, the reference's exact two-layer
+    // read (process_pois.py:361-378). No oracle: DuckDB cannot read
+    // PBF, so the driver records the rows-only check; the decode
+    // itself is pinned byte-exactly by OsmPbfSpec against an
+    // independently hand-encoded fixture.
+    Q("q96_pbf_scan",
+      (s, _) => {
+        val fixture = new java.io.File("fixtures/tiny.osm.pbf")
+        graft.sources.OsmPbf.layeredScan(s, fixture.getAbsolutePath)
+          .select(col("layer"), col("id"), col("lat"), col("lon"),
+            to_json(col("tags")).as("tags_json"))
+          .orderBy(col("layer"), col("id"))
+      },
+      None)
   )
 }
