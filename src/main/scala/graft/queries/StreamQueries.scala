@@ -85,14 +85,23 @@ object StreamQueries {
   private def uniq(prefix: String): String =
     prefix + "_" + java.util.UUID.randomUUID().toString.replace("-", "")
 
-  /** Run `body` with a scoped shuffle-partition override: a streaming
-    * query fixes its STATE partition count from the session conf at
-    * first start, and the drain queries' state is thousands of slim
-    * rows — 8 state stores cut per-batch commit overhead 4× vs the
-    * session's 32 with identical results (each query creates a fresh
-    * checkpoint per run, so the lifetime property can't leak across
-    * runs). The previous value is always restored. */
-  private def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+  /** Run `body` with a scoped shuffle-partition override sized to the
+    * SOURCE, not the session: a streaming query fixes its STATE
+    * partition count from the session conf at first start, and a
+    * too-high count makes per-batch store commits dominate when the
+    * state is only thousands of slim rows (32 stores × commit files ×
+    * batches for kilobytes of state). Partitions = staged bytes /
+    * 32 MB, clamped to [8, session setting] — small drains get cheap
+    * commits, a corpus-scale stream keeps the session's full
+    * parallelism. Identical results either way (fresh checkpoint per
+    * run, so the lifetime property can't leak); the previous value is
+    * always restored. */
+  private def withStatePartitions[T](s: SparkSession, stagedDir: String)(body: => T): T = {
+    def du(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(du).sum else f.length()
+    val sessionN = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val n = math.min(math.max(8L, du(new java.io.File(stagedDir)) / (32L << 20)),
+      sessionN.toLong).toInt
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -116,7 +125,7 @@ object StreamQueries {
     // the reference's full-table refresh); the watermark's append-mode
     // drop semantics are pinned by StreamingSpec.
     Q("q92_streaming_drain",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, staged(s, dir)) {
         val agg = EventStreams.hourlyByType(source(s, dir))
         EventStreams.runAvailableNow(s, agg, uniq("q92"))
           .orderBy(col("hour_start"), col("event_type"))
@@ -130,7 +139,7 @@ object StreamQueries {
     // pair: the surviving payload row per hash is order-dependent in
     // any engine, the key set is not.
     Q("q93_streaming_dedupe",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, staged(s, dir)) {
         val hashed = dupSource(s, dir)
           .withColumn("h", md5(concat(col("event_type"), col("props"))))
         // horizon = the whole drain span: a catch-up drain replays
@@ -154,7 +163,7 @@ object StreamQueries {
     // DECIMAL(18,2) end-to-end and cast to double only once at the
     // final combine, so batch boundaries can't perturb the result.
     Q("q94_streaming_sink",
-      (s, dir) => withStatePartitions(s, 8) {
+      (s, dir) => withStatePartitions(s, staged(s, dir)) {
         val sink = java.nio.file.Files.createTempDirectory("graft_q94_sink").toString
         val q = source(s, dir).writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -210,7 +219,7 @@ object StreamQueries {
         }
         val joined = EventStreams.intervalJoin(side("view"), side("purchase"),
           horizon = "6 hours", watermark = "3650 days")
-        withStatePartitions(s, 8) {
+        withStatePartitions(s, staged(s, dir)) {
           EventStreams.runAvailableNow(s, joined, uniq("q95"), outputMode = "append")
             .orderBy(col("l_id"), col("r_id"))
         }
