@@ -174,6 +174,12 @@ object OsmPbf {
 
   private val MemberTypes = Array("node", "way", "relation")
 
+  /** Fetch + decompress + decode one block — the per-task unit shared
+    * by the RDD path ([[read]]) and the DataSource V2 reader. */
+  def decodeEntities(conf: org.apache.hadoop.conf.Configuration,
+                     ref: BlockRef): Iterator[OsmEntity] =
+    decodePrimitiveBlock(decompressBlob(readRange(conf, ref)))
+
   def decodePrimitiveBlock(block: Array[Byte]): Iterator[OsmEntity] = {
     var strings: Vector[String] = Vector.empty
     val groups = scala.collection.mutable.ArrayBuffer.empty[Reader]

@@ -55,6 +55,25 @@ class OsmPbfSpec extends SparkSpec {
     assert(rel.member_roles == Seq("outer", "inner"))
   }
 
+  test("DataSource V2 'osmpbf' format equals the RDD path exactly") {
+    val v2 = spark.read.format("osmpbf").load(fixture)
+    assert(v2.schema == graft.sources.OsmPbfTable.schema)
+    // same 7 entities, same values — compare via a stable projection
+    // (map column ordering is engine-internal, so compare sorted JSON)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("layer"), col("id"), col("lat"), col("lon"),
+        to_json(map_from_entries(array_sort(map_entries(col("tags"))))).as("tags"),
+        to_json(col("refs")).as("refs"),
+        to_json(col("member_ids")).as("mi"),
+        to_json(col("member_types")).as("mt"),
+        to_json(col("member_roles")).as("mr"))
+      .orderBy(col("layer"), col("id"))
+      .collect().toSeq
+    assert(canon(v2) == canon(graft.sources.OsmPbf.read(spark, fixture).toDF()))
+    // the connector plans real input partitions (scheduler-owned split)
+    assert(v2.rdd.getNumPartitions >= 1)
+  }
+
   test("layered scan reproduces the reference's points/multipolygons union") {
     val layered = OsmPbf.layeredScan(spark, fixture)
     val counts = layered.groupBy("layer").count().collect()
