@@ -91,16 +91,17 @@ object StreamQueries {
     * too-high count makes per-batch store commits dominate when the
     * state is only thousands of slim rows (32 stores × commit files ×
     * batches for kilobytes of state). Partitions = staged bytes /
-    * 32 MB, clamped to [8, session setting] — small drains get cheap
-    * commits, a corpus-scale stream keeps the session's full
-    * parallelism. Identical results either way (fresh checkpoint per
-    * run, so the lifetime property can't leak); the previous value is
-    * always restored. */
+    * 8 MB, clamped to [8, session setting] — small drains get cheap
+    * commits, a corpus-scale stream ramps back to the session's full
+    * parallelism (a 50× dedup drain with ~5M keys already lands near
+    * the cap under this divisor). Identical results either way (fresh
+    * checkpoint per run, so the lifetime property can't leak); the
+    * previous value is always restored. */
   private def withStatePartitions[T](s: SparkSession, stagedDir: String)(body: => T): T = {
     def du(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(du).sum else f.length()
     val sessionN = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val n = math.min(math.max(8L, du(new java.io.File(stagedDir)) / (32L << 20)),
+    val n = math.min(math.max(8L, du(new java.io.File(stagedDir)) / (8L << 20)),
       sessionN.toLong).toInt
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
