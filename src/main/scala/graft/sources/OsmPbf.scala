@@ -166,7 +166,13 @@ object OsmPbf {
       inflater.setInput(zlibData)
       val out = new Array[Byte](rawSize)
       var off = 0
-      while (off < rawSize) off += inflater.inflate(out, off, rawSize - off)
+      while (off < rawSize) {
+        val n = inflater.inflate(out, off, rawSize - off)
+        // 0 with the input fully consumed = truncated/corrupt blob —
+        // fail instead of spinning
+        require(n > 0, s"corrupt zlib blob: inflated $off of $rawSize bytes")
+        off += n
+      }
       inflater.end()
       out
     }
