@@ -140,7 +140,13 @@ case class PartialTopKExec(groupCols: Seq[Expression], orderCols: Seq[SortOrder]
     extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output
   // no required distribution: runs on whatever partitioning the child
-  // already has — this IS the map-side combine
+  // already has — this IS the map-side combine. The child's
+  // partitioning survives (rows never move), and advertising it lets
+  // the planner SKIP the final pass's exchange when the input is
+  // already clustered on the group keys (e.g. right after a groupBy
+  // or a bucketed scan of the same keys).
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val budget = TopKBuffering.maxBufferedRows(this)

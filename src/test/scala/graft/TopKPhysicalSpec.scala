@@ -56,6 +56,18 @@ class TopKPhysicalSpec extends SparkSpec {
     assert(shipped <= 8L * 3, s"partial shipped $shipped rows, expected <=24")
   }
 
+  test("pre-clustered input: partial pass preserves partitioning, no extra exchange") {
+    val orders = graft.util.Tables(spark, sf001, "orders")
+      .repartition(col("o_custkey"))
+    val df = TopKPhysical.topK(orders, Seq("o_custkey"),
+      Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+    val plan = df.queryExecution.executedPlan.toString
+    // exactly ONE exchange — the explicit repartition; the top-k's
+    // final pass reuses that clustering instead of re-shuffling
+    assert("Exchange".r.findAllIn(plan).length == 1, s"extra exchange:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("bounded buffers survive groups far larger than the trim threshold") {
     import spark.implicits._
     // one group with 10k rows — forces many trim cycles
