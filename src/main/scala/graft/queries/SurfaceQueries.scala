@@ -285,12 +285,19 @@ object SurfaceQueries {
     // independently hand-encoded fixture.
     Q("q96_pbf_scan",
       (s, _) => {
-        val fixture = new java.io.File("fixtures/tiny.osm.pbf")
-        graft.sources.OsmPbf.layeredScan(s, fixture.getAbsolutePath)
+        // repo-root-resolved (not CWD-relative) so Bench/Verify work
+        // from any directory; tags_json canonicalized by sorted key so
+        // the string compares exactly against the expected parquet
+        graft.sources.OsmPbf.layeredScan(s, graft.util.RepoRoot.fixture("tiny.osm.pbf"))
           .select(col("layer"), col("id"), col("lat"), col("lon"),
-            to_json(col("tags")).as("tags_json"))
+            to_json(map_from_entries(array_sort(map_entries(col("tags")))))
+              .as("tags_json"))
           .orderBy(col("layer"), col("id"))
       },
-      None)
+      // DuckDB can't read PBF, but it CAN read the expected-rows parquet
+      // the fixture generator emits alongside the .pbf (the generator is
+      // an independent wire-level encoder, so this still cross-checks
+      // the decoder, not itself)
+      Some(s"SELECT layer, id, lat, lon, tags_json FROM '${graft.util.RepoRoot.fixture("tiny_osm_expected.parquet")}' ORDER BY layer, id"))
   )
 }

@@ -113,6 +113,10 @@ object OsmPbf {
         val lenBytes = new Array[Byte](4)
         in.readFully(lenBytes)
         val headerLen = java.nio.ByteBuffer.wrap(lenBytes).getInt
+        // fail loudly on corrupt/hostile headers instead of allocating
+        // unbounded arrays: the spec caps BlobHeader at 64 KB
+        require(headerLen > 0 && headerLen <= (64 << 10),
+          s"$path@$pos: BlobHeader length $headerLen outside (0, 64 KiB]")
         val headerBytes = new Array[Byte](headerLen)
         in.readFully(headerBytes)
         var blobType = ""; var dataSize = 0
@@ -124,6 +128,10 @@ object OsmPbf {
           }
         }
         val dataOff = pos + 4 + headerLen
+        // spec caps blob bodies at 32 MiB (recommended 16); a corrupt
+        // datasize would otherwise mis-seek every subsequent block
+        require(dataSize > 0 && dataSize <= (32 << 20),
+          s"$path@$pos: blob datasize $dataSize outside (0, 32 MiB]")
         if (blobType == "OSMData")
           blocks += BlockRef(path, dataOff, dataSize)
         pos = dataOff + dataSize
@@ -146,8 +154,10 @@ object OsmPbf {
     } finally in.close()
   }
 
-  /** Blob envelope: raw (field 1) or zlib (field 3, with raw_size 2). */
-  private def decompressBlob(blob: Array[Byte]): Array[Byte] = {
+  /** Blob envelope: raw (field 1) or zlib (field 3, with raw_size 2).
+    * `context` names the source file+offset in failure messages. */
+  private def decompressBlob(blob: Array[Byte],
+                             context: String = "blob"): Array[Byte] = {
     var raw: Array[Byte] = null
     var zlibData: Array[Byte] = null
     var rawSize = -1
@@ -161,7 +171,11 @@ object OsmPbf {
     }
     if (raw != null) raw
     else {
-      require(zlibData != null, "blob carries neither raw nor zlib_data")
+      require(zlibData != null, s"$context: blob carries neither raw nor zlib_data")
+      // a zlib blob with no/negative raw_size would otherwise surface
+      // as a bare NegativeArraySizeException with no file context
+      require(rawSize >= 0 && rawSize <= (64 << 20),
+        s"$context: zlib blob raw_size $rawSize outside [0, 64 MiB]")
       val inflater = new java.util.zip.Inflater()
       inflater.setInput(zlibData)
       val out = new Array[Byte](rawSize)
@@ -170,7 +184,7 @@ object OsmPbf {
         val n = inflater.inflate(out, off, rawSize - off)
         // 0 with the input fully consumed = truncated/corrupt blob —
         // fail instead of spinning
-        require(n > 0, s"corrupt zlib blob: inflated $off of $rawSize bytes")
+        require(n > 0, s"$context: corrupt zlib blob: inflated $off of $rawSize bytes")
         off += n
       }
       inflater.end()
@@ -184,7 +198,8 @@ object OsmPbf {
     * by the RDD path ([[read]]) and the DataSource V2 reader. */
   def decodeEntities(conf: org.apache.hadoop.conf.Configuration,
                      ref: BlockRef): Iterator[OsmEntity] =
-    decodePrimitiveBlock(decompressBlob(readRange(conf, ref)))
+    decodePrimitiveBlock(decompressBlob(readRange(conf, ref),
+      s"${ref.path}@${ref.offset}"))
 
   def decodePrimitiveBlock(block: Array[Byte]): Iterator[OsmEntity] = {
     var strings: Vector[String] = Vector.empty
@@ -318,9 +333,7 @@ object OsmPbf {
       .mapPartitions { it =>
         val conf = new org.apache.hadoop.conf.Configuration(false)
         confEntries.foreach { case (k, v) => conf.set(k, v) }
-        it.flatMap { ref =>
-          decodePrimitiveBlock(decompressBlob(readRange(conf, ref)))
-        }
+        it.flatMap(ref => decodeEntities(conf, ref))
       }
       .toDS()
   }
