@@ -96,13 +96,22 @@ object StreamQueries {
     * parallelism (a 50× dedup drain with ~5M keys already lands near
     * the cap under this divisor). Identical results either way (fresh
     * checkpoint per run, so the lifetime property can't leak); the
-    * previous value is always restored. */
-  private def withStatePartitions[T](s: SparkSession, stagedDir: String)(body: => T): T = {
+    * previous value is always restored.
+    *
+    * NOT reentrant: this mutates the session-global conf and the
+    * registry mains (Bench/Verify) run queries strictly sequentially —
+    * driving two registry queries concurrently on one session would
+    * race the override. If that ever becomes a need, scope the conf
+    * via `spark.newSession()` per query instead.
+    *
+    * Multi-source queries (q95) pass EVERY dir they actually stream so
+    * the count is sized from the real input, not a superset. */
+  private def withStatePartitions[T](s: SparkSession, dirs: Seq[String])(body: => T): T = {
     def du(f: java.io.File): Long =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(du).sum else f.length()
     val sessionN = s.conf.get("spark.sql.shuffle.partitions").toInt
-    val n = math.min(math.max(8L, du(new java.io.File(stagedDir)) / (8L << 20)),
-      sessionN.toLong).toInt
+    val staged = dirs.map(d => du(new java.io.File(d))).sum
+    val n = math.min(math.max(8L, staged / (8L << 20)), sessionN.toLong).toInt
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
@@ -126,7 +135,7 @@ object StreamQueries {
     // the reference's full-table refresh); the watermark's append-mode
     // drop semantics are pinned by StreamingSpec.
     Q("q92_streaming_drain",
-      (s, dir) => withStatePartitions(s, staged(s, dir)) {
+      (s, dir) => withStatePartitions(s, Seq(staged(s, dir))) {
         val agg = EventStreams.hourlyByType(source(s, dir))
         EventStreams.runAvailableNow(s, agg, uniq("q92"))
           .orderBy(col("hour_start"), col("event_type"))
@@ -140,7 +149,7 @@ object StreamQueries {
     // pair: the surviving payload row per hash is order-dependent in
     // any engine, the key set is not.
     Q("q93_streaming_dedupe",
-      (s, dir) => withStatePartitions(s, staged(s, dir)) {
+      (s, dir) => withStatePartitions(s, Seq(staged(s, dir))) {
         val hashed = dupSource(s, dir)
           .withColumn("h", md5(concat(col("event_type"), col("props"))))
         // horizon = the whole drain span: a catch-up drain replays
@@ -164,7 +173,7 @@ object StreamQueries {
     // DECIMAL(18,2) end-to-end and cast to double only once at the
     // final combine, so batch boundaries can't perturb the result.
     Q("q94_streaming_sink",
-      (s, dir) => withStatePartitions(s, staged(s, dir)) {
+      (s, dir) => withStatePartitions(s, Seq(staged(s, dir))) {
         val sink = java.nio.file.Files.createTempDirectory("graft_q94_sink").toString
         val q = source(s, dir).writeStream
           .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -206,21 +215,23 @@ object StreamQueries {
         // both sides; q92–q94 pin the longer 4-batch drain). Staging
         // the type subsets once per JVM beats filtering the full
         // event stream inside every micro-batch of every bench sweep.
-        def side(tpe: String) = {
-          val d = stagedDirs.computeIfAbsent(
-            s"$tpe:$dir@${sourceFingerprint(dir)}", { _ =>
-              val out = newStagingDir(s"graft_stream_$tpe")
-              EventQueries.events(s, dir)
-                .filter(col("event_type") === tpe).repartition(4)
-                .write.mode("overwrite").parquet(out)
-              out
-            })
+        def sideDir(tpe: String): String = stagedDirs.computeIfAbsent(
+          s"$tpe:$dir@${sourceFingerprint(dir)}", { _ =>
+            val out = newStagingDir(s"graft_stream_$tpe")
+            EventQueries.events(s, dir)
+              .filter(col("event_type") === tpe).repartition(4)
+              .write.mode("overwrite").parquet(out)
+            out
+          })
+        def side(d: String) =
           s.readStream.schema(EventStreams.eventSchema)
             .option("maxFilesPerTrigger", "2").parquet(d)
-        }
-        val joined = EventStreams.intervalJoin(side("view"), side("purchase"),
+        val (viewDir, purchaseDir) = (sideDir("view"), sideDir("purchase"))
+        val joined = EventStreams.intervalJoin(side(viewDir), side(purchaseDir),
           horizon = "6 hours", watermark = "3650 days")
-        withStatePartitions(s, staged(s, dir)) {
+        // sized from the two subset dirs actually streamed, not the
+        // full-events staging superset
+        withStatePartitions(s, Seq(viewDir, purchaseDir)) {
           EventStreams.runAvailableNow(s, joined, uniq("q95"), outputMode = "append")
             .orderBy(col("l_id"), col("r_id"))
         }
