@@ -101,12 +101,33 @@ object EventStreams {
         col("l_ts"), col("r_ts"))
   }
 
+  /** State-store backend toggle for graft streaming queries: set
+    * `spark.graft.stateStore=rocksdb` on the session to run stateful
+    * operators against Spark's disk-backed RocksDBStateStoreProvider —
+    * the 100-TB posture, where dedupe/join key state can exceed
+    * executor heap and the default HDFS-backed in-memory store would
+    * OOM. `hdfs` (or unset) keeps the default. Results are identical
+    * either way (StreamingSpec pins q93's cross-batch dedupe under
+    * both providers); only state residency changes. */
+  private def applyStateStoreChoice(spark: SparkSession): Unit =
+    spark.conf.getOption("spark.graft.stateStore").foreach {
+      case "rocksdb" => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case "hdfs" => spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.stateStore must be rocksdb|hdfs, got '$other'")
+    }
+
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (AvailableNow = process whatever
     * is in the source, then stop — the reference's drain-the-queue
     * batch loop ST1). */
   def runAvailableNow(spark: SparkSession, streamed: DataFrame,
                       queryName: String, outputMode: String = "complete"): DataFrame = {
+    applyStateStoreChoice(spark)
     val q = streamed.writeStream
       .format("memory").queryName(queryName).outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -138,4 +138,24 @@ class StreamingSpec extends SparkSpec {
     assert(sessions.count() > 0)
     assert(sessions.filter(col("session_end") < col("session_start")).count() == 0)
   }
+
+  test("q93 cross-batch dedupe is identical under RocksDB and HDFS state stores") {
+    // the disk-backed store is the 100-TB posture (key state larger
+    // than executor heap); semantics must not depend on the backend
+    val q93 = graft.queries.Registry.byName("q93_streaming_dedupe")
+    def canon(): Seq[String] =
+      q93.run(spark, sf001).collect().map(_.toString).toSeq
+    def under(provider: String): Seq[String] = {
+      spark.conf.set("spark.graft.stateStore", provider)
+      try canon()
+      finally {
+        spark.conf.unset("spark.graft.stateStore")
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+    val viaRocks = under("rocksdb")
+    val viaHdfs = under("hdfs")
+    assert(viaRocks.nonEmpty)
+    assert(viaRocks == viaHdfs)
+  }
 }

@@ -94,4 +94,36 @@ class TopKPhysicalSpec extends SparkSpec {
       assert(out.forall { case (g, v) => v == g + 400000L })
     } finally spark.conf.unset("spark.graft.topk.maxBufferedRows")
   }
+
+  test("every topK registry caller is partition-invariant (tie-break convention)") {
+    // The partial/final split is exact only under a TOTAL per-group
+    // order (topK's documented contract): a caller omitting a unique
+    // tie-break would get partitioning-dependent tied survivors. Pin
+    // the convention BEHAVIORALLY: run each registry query that routes
+    // through TopKPhysical.topK under two very different scan-split +
+    // shuffle-partition settings and require identical results.
+    val topKQueries = Seq("q26_cosine_topk", "q27_ivf_topk",
+      "q28b_rag_filtered", "q58_topk_physical", "q72_balanced_sample",
+      "q78_int8_quant")
+    def withConf(pairs: (String, String)*)(body: => Seq[String]): Seq[String] = {
+      val prev = pairs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      pairs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try body
+      finally prev.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None)    => spark.conf.unset(k)
+      }
+    }
+    topKQueries.foreach { name =>
+      val q = graft.queries.Registry.byName(name)
+      def canon(): Seq[String] = q.run(spark, sf001).collect().map(_.toString).toSeq
+      val tiny = withConf(
+        "spark.sql.files.maxPartitionBytes" -> "65536",
+        "spark.sql.files.openCostInBytes" -> "0",
+        "spark.sql.shuffle.partitions" -> "3")(canon())
+      val wide = withConf(
+        "spark.sql.shuffle.partitions" -> "13")(canon())
+      assert(tiny == wide, s"$name is partitioning-dependent")
+    }
+  }
 }
