@@ -89,13 +89,30 @@ object SimilaritySearch {
       .select((vId +: others :+ "cell_id").map(col): _*)
   }
 
+  /** The IVF index: every corpus vector tagged with its nearest cell
+    * (`cell`) plus its precomputed norm (`_cn`). Built ONCE and
+    * amortized across queries — at corpus scale this is the expensive
+    * side (|corpus| × nCells candidate work, nCells ~ √N), while each
+    * probe touches only nProbe/nCells of the result. Callers that run
+    * many query batches should persist this frame (ScaleTrial times
+    * build and probe separately on exactly this split). */
+  def buildIndex(corpus: DataFrame, centroids: DataFrame,
+                 cId: String, cVec: String): DataFrame =
+    assignCells(corpus, centroids, cId, cVec)
+      .withColumnRenamed("cell_id", "cell")
+      .withColumn("_cn", VectorFns.normSqScaled(col(cVec)))
+
   /** IVF top-k: probe only the `nProbe` cells nearest each query. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
               qId: String, qVec: String, cId: String, cVec: String,
-              k: Int, nProbe: Int): DataFrame = {
-    val indexed = assignCells(corpus, centroids, cId, cVec)
-      .withColumnRenamed("cell_id", "cell")
-      .withColumn("_cn", VectorFns.normSqScaled(col(cVec)))
+              k: Int, nProbe: Int): DataFrame =
+    probeTopK(queries, buildIndex(corpus, centroids, cId, cVec), centroids,
+      qId, qVec, cId, cVec, k, nProbe)
+
+  /** The probe side alone, over a pre-built [[buildIndex]] frame. */
+  def probeTopK(queries: DataFrame, indexed: DataFrame, centroids: DataFrame,
+                qId: String, qVec: String, cId: String, cVec: String,
+                k: Int, nProbe: Int): DataFrame = {
     val cent = centroids
       .withColumn("_centn", VectorFns.normSqScaled(col("cell_vec")))
     val qCells = queries

@@ -101,6 +101,38 @@ object ScaleTrial {
       val (b, rb) = time(n, outDir)
       println(f"$n%-26s $a%8.2f $b%8.2f ${b / a}%5.1f $ra%10d $rb%10d")
     }
+    // q27's one-line ratio conflates the amortize-once index build
+    // (|corpus| × nCells work, nCells ~ √N → ~N^1.5) with the per-query
+    // probe (touches nProbe/nCells of the corpus). Time them apart:
+    // build = materialize the assigned index; probe = top-k over the
+    // PERSISTED index, the steady-state serving cost.
+    if (headline.contains("q27_ivf_topk")) {
+      import graft.operators.SimilaritySearch
+      def ivfSplit(dir: String): (Double, Double) = {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val centroids = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val corpus = emb.select(col("vec_id").as("n_id"), col("embedding"))
+        val idx = SimilaritySearch.buildIndex(corpus, centroids, "n_id", "embedding")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val t0 = System.nanoTime()
+        idx.count()
+        val build = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        SimilaritySearch.probeTopK(queries, idx, centroids,
+          "q_id", "q_vec", "n_id", "embedding", k = 5, nProbe = 3).count()
+        val probe = (System.nanoTime() - t1) / 1e9
+        idx.unpersist()
+        (build, probe)
+      }
+      val (ba, pa) = ivfSplit(src)
+      val (bb, pb) = ivfSplit(outDir)
+      println(f"${"q27 ivf build"}%-26s $ba%8.2f $bb%8.2f ${bb / ba}%5.1f")
+      println(f"${"q27 ivf probe"}%-26s $pa%8.2f $pb%8.2f ${pb / pa}%5.1f")
+    }
     spark.stop()
   }
 }
