@@ -5,6 +5,12 @@ the reference publishes no numbers (BASELINE.md). Each query runs in a
 subprocess with a timeout so a pathological oracle (recursive CTEs at
 sf0.1) can't hang the sweep.
 
+Protocol matches the Spark bench (Bench.scala): two timed passes on
+one warm connection, per-query MIN — so both engines are measured at
+steady state with their caches warm, not cold-start vs warm-cache.
+Connection setup + view registration stay outside the timed region on
+both sides (Spark's table cache materializes pre-sweep).
+
 Usage: python3 scripts/duck_bench.py [sfdir] [oracle_sql.json] [out.json]
 """
 import json, os, subprocess, sys, time
@@ -20,11 +26,16 @@ sf, sql = sys.argv[1], sys.stdin.read()
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-t0 = time.time()
 # count server-side: the Spark bench times .count(), so materializing
-# every row into Python tuples here would tax DuckDB asymmetrically
-rows = con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
-print(json.dumps({"sec": time.time() - t0, "rows": rows}))
+# every row into Python tuples here would tax DuckDB asymmetrically.
+# Two passes, min — the Spark bench's exact protocol (min of two
+# interleaved sweeps over session-cached tables).
+secs = []
+for _ in range(2):
+    t0 = time.time()
+    rows = con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
+    secs.append(time.time() - t0)
+print(json.dumps({"sec": min(secs), "rows": rows}))
 """
 
 oracle = json.load(open(ORACLE))
