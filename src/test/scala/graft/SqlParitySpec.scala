@@ -70,7 +70,7 @@ object DuckToSpark {
     out.map(_.trim).toSeq
   }
 
-  /** `('0x' || X)::BIGINT` → `CAST(conv(X, 16, 10) AS BIGINT)` —
+  /** `('0x' || X)::BIGINT` / `::INT` → `CAST(conv(X, 16, 10) AS …)` —
     * DuckDB casts 0x-prefixed hex strings to integers; Spark needs
     * conv(). */
   private def rewriteHexCast(sql: String): String = {
@@ -94,11 +94,13 @@ object DuckToSpark {
           j += 1
         }
         val inner = sql.substring(at + marker.length, end)
-        val castKw = "::BIGINT"
-        require(sql.regionMatches(end + 1, castKw, 0, castKw.length),
-          s"expected ::BIGINT after hex concat at $at")
-        out.append(s"CAST(conv($inner, 16, 10) AS BIGINT)")
-        i = end + 1 + castKw.length
+        val castTo =
+          if (sql.regionMatches(end + 1, "::BIGINT", 0, 8)) "BIGINT"
+          else if (sql.regionMatches(end + 1, "::INT", 0, 5)) "INT"
+          else throw new IllegalArgumentException(
+            s"expected ::BIGINT/::INT after hex concat at $at")
+        out.append(s"CAST(conv($inner, 16, 10) AS $castTo)")
+        i = end + 1 + 2 + castTo.length
       }
     }
     out.toString
@@ -274,10 +276,8 @@ class SqlParitySpec extends SparkSpec {
     "q13_clean_price" -> "list slicing l[1:n] has no Spark SQL equivalent (DataFrame uses slice())",
     "q41_cluster_unify" -> "recursive CTE termination needs UNION distinct; Spark recursion is UNION ALL only (the ClusterUnify operator exists for exactly this)",
     "q86_dedup_survivors" -> "same UNION-distinct recursive closure as q41 (ClusterUnify fills the gap)",
-    "q44_contrast" -> "'0x'||hex string → INT cast is DuckDB-only (Spark has conv(); DataFrame path uses it)",
     "q47_embedding_neardup" -> "list_zip positional struct access + in-aggregate ORDER BY string_agg",
     "q53_asof_join" -> "ASOF JOIN syntax is DuckDB-only; Spark SQL has no as-of join (the AsOfJoin operator fills this)",
-    "q65_status_machine" -> "recursive CTE correlating on a window over the recursion is beyond Spark's recursion support",
     "q82_sliding_windows" -> "time_bucket + correlated lateral unnest(generate_series); Spark expresses this as window()/explode(sequence()) in the DataFrame path")
 
   private def canon(df: DataFrame): (Seq[String], Seq[Seq[String]]) = {
