@@ -291,6 +291,48 @@ object VectorQueries {
              |  round(CAST(CAST(SUM(xs) AS BIGINT) AS DOUBLE)
              |    / CAST(COUNT(*) AS DOUBLE) / 1e10, 6) AS centroid_val
              |FROM x GROUP BY cluster_id, dim_idx
-             |ORDER BY cluster_id, dim_idx""".stripMargin))
+             |ORDER BY cluster_id, dim_idx""".stripMargin)),
+
+    // SemDeDup-style semantic dedup (cluster-then-dedup, published
+    // method arXiv:2303.09540): nearest-centroid assignment via the
+    // IVF machinery, near-dup pairs within cells only (star-capped),
+    // drop any vector with a higher-similarity-than-τ neighbor of
+    // smaller id in its cell. The oracle replays assignment (argmin),
+    // intra-cell pairs, and the drop rule in exact scaled-long
+    // arithmetic. τ=0.35 drops ~16% of the synthetic corpus.
+    Q("q97_semdedup",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+        graft.operators.SemanticDedup(
+          emb.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", centroids, threshold = 0.35)
+          .select(col("id").as("vec_id"), col("cell_id"), col("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def l2(a: String, b: String) =
+          s"(${normSql(a)} - 2 * ${dotSql(a, b)} + ${normSql(b)})"
+        s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS cell_vec
+           |    FROM embeddings WHERE vec_id % 50 = 0),
+           |v AS (SELECT vec_id, embedding AS ev FROM embeddings),
+           |assigned AS (SELECT vec_id, ev, cell_id FROM (
+           |    SELECT v.vec_id, v.ev, cent.cell_id,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2("ev", "cell_vec")}, cell_id) AS arn
+           |    FROM v, cent) t WHERE arn = 1),
+           |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    CASE WHEN ${normSql("a.ev")} = 0 OR ${normSql("b.ev")} = 0 THEN NULL
+           |      ELSE CAST(${dotSql("a.ev", "b.ev")} AS DOUBLE)
+           |        / sqrt(CAST(${normSql("a.ev")} AS DOUBLE) * CAST(${normSql("b.ev")} AS DOUBLE)) END AS cosine
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+           |dropped AS (SELECT DISTINCT id_b FROM pairs WHERE cosine >= 0.35)
+           |SELECT a.vec_id, a.cell_id,
+           |  CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+           |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id_b
+           |ORDER BY a.vec_id""".stripMargin
+      })
   )
 }

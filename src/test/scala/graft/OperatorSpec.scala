@@ -111,4 +111,29 @@ class OperatorSpec extends SparkSpec {
       .select("n_id", "rnk").as[(Long, Int)].collect().toMap
     assert(out.keySet == Set(3L, 1L) && out(3L) == 1)
   }
+
+  test("semantic dedup keeps the min-id representative within a cell") {
+    // two well-separated cells; ids 0/1/2 near-parallel (cell x-axis),
+    // id 3 orthogonal-ish in the same cell, ids 10/11 the y-axis cell
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.99f, 0.01f, 0f)),
+      (2L, Array(0.98f, 0f, 0.02f)), (3L, Array(0.6f, 0f, 0.8f)),
+      (10L, Array(0f, 1f, 0f)), (11L, Array(0.01f, 0.99f, 0f))
+    ).toDF("vec_id", "embedding")
+    val centroids = Seq(
+      (100L, Array(1f, 0f, 0f)), (200L, Array(0f, 1f, 0f))
+    ).toDF("cell_id", "cell_vec")
+    val out = graft.operators.SemanticDedup(
+      vecs, "vec_id", "embedding", centroids, threshold = 0.95)
+      .select("id", "cell_id", "kept").as[(Long, Long, Int)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    // cells assigned by nearest centroid
+    assert(Seq(0L, 1L, 2L, 3L).forall(out(_)._1 == 100L))
+    assert(Seq(10L, 11L).forall(out(_)._1 == 200L))
+    // 0 survives as min id; 1 and 2 are its near-dups; 3 is far from
+    // the x-axis group (cos ≈ 0.6) and survives; 10 keeps, 11 drops
+    assert(out(0L)._2 == 1 && out(1L)._2 == 0 && out(2L)._2 == 0)
+    assert(out(3L)._2 == 1)
+    assert(out(10L)._2 == 1 && out(11L)._2 == 0)
+  }
 }
