@@ -1,11 +1,14 @@
 package graft.util
 
 import graft.queries.Registry
+import org.apache.spark.sql.SparkSession
 
 /** Plan-quality audit: for every registry query, flag cartesian /
   * nested-loop joins (except the documented broadcast-NL cases) and
   * report exchange counts — the "is this the plan you'd want at
-  * 100 TB" review loop. */
+  * 100 TB" review loop. Run as a main for the report; PlanAuditSpec
+  * asserts zero flags in `sbt test` so a plan regression fails CI,
+  * not just an ad-hoc sweep. */
 object PlanAudit {
   // queries where a broadcast nested-loop/cross join is the intended
   // physical shape (small broadcast side by construction)
@@ -18,14 +21,14 @@ object PlanAudit {
     "q76_tfidf_topterms", // 1-row doc-count scalar broadcast into every task
     "q78_int8_quant",   // |Q|=10 broadcast × corpus — q26's exact-baseline shape
     "q89_kmeans_step",  // k=8 centroid broadcast × corpus — Lloyd assignment
-    "q91_quantile_sketch") // 1-row min/max bounds broadcast into the bin scan
+    "q91_quantile_sketch", // 1-row min/max bounds broadcast into the bin scan
+    "q97_semdedup")     // centroid broadcast × corpus — assignment stage
 
-  def main(args: Array[String]): Unit = {
-    val spark = Tables.session("audit")
-    spark.sparkContext.setLogLevel("ERROR")
-    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
-    var flagged = 0
-    Registry.all.foreach { q =>
+  final case class Audit(name: String, exchanges: Int, bnl: Boolean,
+                         flag: String)
+
+  def audit(spark: SparkSession, dir: String): Seq[Audit] =
+    Registry.all.map { q =>
       try {
         val plan = q.run(spark, dir).queryExecution.executedPlan.toString
         val cartesian = plan.contains("CartesianProduct")
@@ -35,14 +38,24 @@ object PlanAudit {
           if (cartesian) "CARTESIAN!"
           else if (bnl && !intendedCross(q.name)) "UNEXPECTED-BNL!"
           else ""
-        if (flag.nonEmpty) flagged += 1
-        println(f"${q.name}%-26s exchanges=$exchanges%-3d " +
-          f"${if (bnl) "bnl" else ""}%-4s $flag")
+        Audit(q.name, exchanges, bnl, flag)
       } catch {
-        case e: Throwable => println(s"${q.name} PLANFAIL ${e.getMessage.take(80)}")
+        case e: Throwable =>
+          Audit(q.name, -1, bnl = false,
+            s"PLANFAIL ${e.getMessage.take(80)}")
       }
     }
-    println(s"flagged=$flagged")
+
+  def main(args: Array[String]): Unit = {
+    val spark = Tables.session("audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val results = audit(spark, dir)
+    results.foreach { a =>
+      println(f"${a.name}%-26s exchanges=${a.exchanges}%-3d " +
+        f"${if (a.bnl) "bnl" else ""}%-4s ${a.flag}")
+    }
+    println(s"flagged=${results.count(_.flag.nonEmpty)}")
     spark.stop()
   }
 }
