@@ -74,6 +74,10 @@ object ScaleTrial {
       s"${stale.mkString(",")} from a previous run — use a fresh outDir")
     val spark = Tables.session("scaletrial")
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_STATESTORE=rocksdb runs the streaming family on the
+    // disk-backed store — the 100-TB posture trial (state > heap)
+    sys.env.get("SPARK_GRAFT_STATESTORE")
+      .foreach(v => spark.conf.set("spark.graft.stateStore", v))
     val src = "/root/testdata/sf0.1"
     println(s"replicating ${tables.mkString(",")} x$replicas → $outDir")
     replicate(spark, src, outDir, replicas, tables)

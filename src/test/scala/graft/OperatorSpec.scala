@@ -135,5 +135,13 @@ class OperatorSpec extends SparkSpec {
     assert(out(0L)._2 == 1 && out(1L)._2 == 0 && out(2L)._2 == 0)
     assert(out(3L)._2 == 1)
     assert(out(10L)._2 == 1 && out(11L)._2 == 0)
+
+    // partition invariance: the exact scaled-long arithmetic + min-id
+    // rule must give identical kept sets however the input is split
+    val repart = graft.operators.SemanticDedup(
+      vecs.repartition(7), "vec_id", "embedding", centroids, threshold = 0.95)
+      .select("id", "cell_id", "kept").as[(Long, Long, Int)]
+      .collect().map(t => t._1 -> (t._2, t._3)).toMap
+    assert(repart == out)
   }
 }
