@@ -628,6 +628,98 @@ object TextQueries {
             .as("quality"))
         .orderBy(col("doc_id")),
       Some(s"""WITH ${qualitySql("doc_id")}
-             |SELECT doc_id, quality FROM qx ORDER BY doc_id""".stripMargin))
+             |SELECT doc_id, quality FROM qx ORDER BY doc_id""".stripMargin)),
+
+    // Corpus-trained statistical quality model (CCNet's perplexity
+    // filter, exactly-reproducible form): add-one smoothed char-bigram
+    // LM trained on the corpus, each doc scored by mean smoothed
+    // probability (scaled long) and mean INTEGER floor-log2 surprisal
+    // — floating log2 would make floor() engine-dependent at exact
+    // powers of two, so both engines use length(bin(p))-1. Train =
+    // wordcount-shaped aggregate (map-side combine to ≤|alphabet|²
+    // rows); score = broadcast model + one doc-keyed shuffle.
+    Q("q98_lm_quality",
+      (s, dir) =>
+        graft.operators.NgramLm.selfScore(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text")
+          .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id, text FROM documents),
+             |bg AS (SELECT doc_id, substr(text, CAST(i AS INT), 2) AS g
+             |  FROM d, unnest(range(1, length(text))) AS u(i)
+             |  WHERE length(text) >= 2),
+             |gc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cab FROM bg GROUP BY g),
+             |ca AS (SELECT substr(g, 1, 1) AS a, CAST(SUM(cab) AS BIGINT) AS ca
+             |  FROM gc GROUP BY 1),
+             |v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM ca),
+             |model AS (SELECT g, cab, ca, vsz
+             |  FROM gc JOIN ca ON substr(g, 1, 1) = a CROSS JOIN v),
+             |sc AS (SELECT doc_id,
+             |    CAST(round(1e12 * ((CAST(cab AS DOUBLE) + 1)
+             |      / (CAST(ca AS DOUBLE) + CAST(vsz AS DOUBLE))), 0) AS BIGINT) AS p
+             |  FROM bg JOIN model USING (g)),
+             |s2 AS (SELECT doc_id, p,
+             |    CAST(40 - (length(bin(GREATEST(p, 1))) - 1) AS BIGINT) AS s FROM sc),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |    SUM(p) AS sp, SUM(s) AS ss FROM s2 GROUP BY doc_id)
+             |SELECT d.doc_id,
+             |  COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+             |  CASE WHEN n_bigrams IS NULL THEN NULL
+             |    ELSE CAST(round(CAST(sp AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0) AS BIGINT)
+             |    END AS mean_p_scaled,
+             |  CASE WHEN n_bigrams IS NULL THEN NULL
+             |    ELSE round(CAST(ss AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+             |    END AS mean_surprisal
+             |FROM d LEFT JOIN agg USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // DSIR data selection (arXiv:2302.03169): hashed-bigram bucket
+    // models (B=256, md5 bucketing — the registry's deterministic
+    // hash) over target = English docs vs source = the rest; each doc
+    // scored by the integer floor-log2 importance weight
+    // Σ fl2(p_target(bucket)) − fl2(p_source(bucket)), top-100
+    // selected through the bounded-buffer global top-k (constant
+    // group key; ≤ k rows per partition cross the wire). Add-one
+    // smoothing over the CLOSED bucket space gives both models a
+    // probability for every bucket — no unseen-gram asymmetry.
+    Q("q99_dsir_select",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+        val sel = graft.operators.DsirSelect.select(
+          d.select(col("doc_id"), col("text"), col("lang")),
+          "doc_id", "text", col("lang") === "en", 256, 100)
+        sel.join(d.select(col("doc_id"), col("lang")), "doc_id")
+          .select(col("doc_id"), col("lang"), col("n_bigrams"),
+            col("dsir_logw"))
+          .orderBy(col("dsir_logw").desc, col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, lang, text FROM documents),
+             |bg AS (SELECT doc_id, lang = 'en' AS tgt,
+             |    substr(text, CAST(i AS INT), 2) AS g
+             |  FROM d, unnest(range(1, length(text))) AS u(i)
+             |  WHERE length(text) >= 2),
+             |bk AS (SELECT doc_id, tgt,
+             |    ('0x' || substr(md5(g), 1, 8))::BIGINT % 256 AS b FROM bg),
+             |m AS (SELECT b,
+             |    CAST(SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+             |    CAST(SUM(CASE WHEN NOT tgt THEN 1 ELSE 0 END) AS BIGINT) AS cs
+             |  FROM bk GROUP BY b),
+             |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+             |    CAST(SUM(cs) AS BIGINT) AS ns FROM m),
+             |w AS (SELECT b,
+             |    CAST((length(bin(GREATEST(CAST(round(1e12 * ((CAST(ct AS DOUBLE) + 1)
+             |        / (CAST(nt AS DOUBLE) + 256)), 0) AS BIGINT), 1))) - 1)
+             |      - (length(bin(GREATEST(CAST(round(1e12 * ((CAST(cs AS DOUBLE) + 1)
+             |        / (CAST(ns AS DOUBLE) + 256)), 0) AS BIGINT), 1))) - 1)
+             |      AS BIGINT) AS dlw
+             |  FROM m CROSS JOIN tot),
+             |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+             |    SUM(dlw) AS dsir_logw
+             |  FROM bk JOIN w USING (b) GROUP BY doc_id),
+             |sel AS (SELECT doc_id, n_bigrams, dsir_logw FROM agg
+             |  ORDER BY dsir_logw DESC, doc_id LIMIT 100)
+             |SELECT doc_id, lang, n_bigrams, dsir_logw
+             |FROM sel JOIN d USING (doc_id)
+             |ORDER BY dsir_logw DESC, doc_id""".stripMargin))
   )
 }

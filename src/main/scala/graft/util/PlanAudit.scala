@@ -22,7 +22,9 @@ object PlanAudit {
     "q78_int8_quant",   // |Q|=10 broadcast × corpus — q26's exact-baseline shape
     "q89_kmeans_step",  // k=8 centroid broadcast × corpus — Lloyd assignment
     "q91_quantile_sketch", // 1-row min/max bounds broadcast into the bin scan
-    "q97_semdedup")     // centroid broadcast × corpus — assignment stage
+    "q97_semdedup",     // centroid broadcast × corpus — assignment stage
+    "q98_lm_quality",   // 1-row vocabulary-size scalar broadcast into the model
+    "q99_dsir_select")  // 1-row gram-total scalar broadcast into the B-bucket model
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)

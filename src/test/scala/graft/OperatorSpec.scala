@@ -144,4 +144,45 @@ class OperatorSpec extends SparkSpec {
       .collect().map(t => t._1 -> (t._2, t._3)).toMap
     assert(repart == out)
   }
+
+  test("bigram LM scores match hand-computed smoothed probabilities") {
+    // corpus "aab","ab": grams aa→1 ab→2; context a→3; V=1
+    // p(aa)=(1+1)/(3+1)=0.5→5e11 (floor-log2 38, surprisal 2)
+    // p(ab)=(2+1)/(3+1)=0.75→7.5e11 (floor-log2 39, surprisal 1)
+    val docs = Seq((1L, "aab"), (2L, "ab"), (3L, ""), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.NgramLm.selfScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2),
+          if (r.isNullAt(3)) -1d else r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 625000000000L, 1.5))) // mean(5e11,7.5e11), mean(2,1)
+    assert(out(2L) == ((1L, 750000000000L, 1.0)))
+    // empty and single-char docs surface with zero bigrams, not dropped
+    assert(out(3L) == ((0L, -1L, -1d)))
+    assert(out(4L) == ((0L, -1L, -1d)))
+  }
+
+  test("dsir select ranks target-like docs first, caps at k, partition-invariant") {
+    import org.apache.spark.sql.functions.col
+    // target grams are all "aa"; source grams all "bb". The held-out
+    // docs 10 ("aaa") and 11 ("bbb") must rank target-like/-unlike.
+    val docs = Seq(
+      (1L, "aaaaaa", "en"), (2L, "aaaa", "en"),
+      (3L, "bbbbbb", "xx"), (4L, "bbbb", "xx"),
+      (10L, "aaa", "xx"), (11L, "bbb", "en"), (12L, "", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = graft.operators.DsirSelect
+      .select(docs, "doc_id", "text", col("lang") === "en", 64, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 3) // k caps; doc 12 has no bigrams, unselectable
+    val byW = out.sortBy(t => (-t._3, t._1)).map(_._1)
+    // "aa"-heavy docs carry the positive weight; "bbb" must not appear
+    assert(byW.toSet.subsetOf(Set(1L, 2L, 10L)))
+    assert(!out.map(_._1).contains(11L))
+    val repart = graft.operators.DsirSelect
+      .select(docs.repartition(7), "doc_id", "text", col("lang") === "en", 64, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(repart == out.toSet)
+  }
 }
