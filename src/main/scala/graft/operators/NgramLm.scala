@@ -31,10 +31,22 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   */
 object NgramLm {
 
+  /** Spread a narrow input across the session's cores before a
+    * corpus-sized explode. The explode multiplies work ~|text|-fold,
+    * so a single-partition input (a small cached file) serializes the
+    * whole gram stream onto one task. Conditional on a partition
+    * DEFICIT: at scale the scan is already at least core-wide and
+    * this is a no-op — no shuffle is ever added to a well-partitioned
+    * corpus. */
+  private[operators] def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Per-document bigram rows: (idCol, g). Documents shorter than 2
     * chars contribute nothing (and are re-attached by [[score]]). */
   private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.filter(length(col(textCol)) >= 2)
+    widen(docs).filter(length(col(textCol)) >= 2)
       .select(col(idCol),
         explode(expr(s"transform(sequence(1, length($textCol) - 1), " +
           s"i -> substring($textCol, i, 2))")).as("g"))
@@ -115,25 +127,39 @@ object NgramLm {
   */
 object DsirSelect {
 
-  /** Per-(doc, bucket) rows with the target flag. */
-  private def buckets(docs: DataFrame, idCol: String, textCol: String,
-                      targetFlag: Column, nBuckets: Int): DataFrame =
-    docs.filter(length(col(textCol)) >= 2)
+  /** Per-occurrence bigram rows with the target flag — NO per-gram
+    * hashing here: the bucket is a pure function of the gram, so md5
+    * runs on the ≤ |alphabet|² DISTINCT grams (in [[select]]), never
+    * on the corpus-sized occurrence stream. */
+  private def bigrams(docs: DataFrame, idCol: String, textCol: String,
+                      targetFlag: Column): DataFrame =
+    NgramLm.widen(docs).filter(length(col(textCol)) >= 2)
       .select(col(idCol), targetFlag.as("tgt"),
         explode(expr(s"transform(sequence(1, length($textCol) - 1), " +
           s"i -> substring($textCol, i, 2))")).as("g"))
-      .select(col(idCol), col("tgt"),
-        (Dedup.md5Int32(col("g")) % nBuckets).as("b"))
 
   /** Top-k most target-like documents: (idCol, n_bigrams, dsir_logw),
     * ranked by integer log-weight desc with id tie-break. Documents
-    * with no bigrams have no weight and are not selectable. */
+    * with no bigrams have no weight and are not selectable.
+    *
+    * Plan shape mirrors [[NgramLm]] (the fast shape): the occurrence
+    * stream only ever feeds few-group hash aggregates (groupBy gram ≤
+    * |alphabet|² groups, groupBy doc) or a broadcast join — the bucket
+    * model, totals, and the gram→weight map are all derived from the
+    * tiny distinct-gram aggregate, whose exchange Spark reuses across
+    * the model and scoring branches. */
   def select(docs: DataFrame, idCol: String, textCol: String,
              targetFlag: Column, nBuckets: Int, k: Int): DataFrame = {
-    val bk = buckets(docs, idCol, textCol, targetFlag, nBuckets)
-    val m = bk.groupBy(col("b")).agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).cast(LongType).as("ct"),
-      sum(when(!col("tgt"), 1L).otherwise(0L)).cast(LongType).as("cs"))
+    val bg = bigrams(docs, idCol, textCol, targetFlag)
+    // distinct-gram corpus counts: the only aggregate over the
+    // occurrence stream on the model side, ≤ |alphabet|² groups
+    val gc = bg.groupBy(col("g")).agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).cast(LongType).as("ct_g"),
+      sum(when(!col("tgt"), 1L).otherwise(0L)).cast(LongType).as("cs_g"))
+    val bucket = (Dedup.md5Int32(col("g")) % nBuckets).as("b")
+    val m = gc.select(bucket, col("ct_g"), col("cs_g"))
+      .groupBy(col("b"))
+      .agg(sum(col("ct_g")).as("ct"), sum(col("cs_g")).as("cs"))
     val tot = m.agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"))
     def scaledP(c: Column, n: Column): Column =
       round(lit(1e12) * ((c.cast(DoubleType) + 1d) /
@@ -144,7 +170,11 @@ object DsirSelect {
       .select(col("b"),
         (floorLog2(scaledP(col("ct"), col("nt"))) -
           floorLog2(scaledP(col("cs"), col("ns")))).as("dlw"))
-    val weighted = bk.join(broadcast(dlw), "b")
+    // gram → weight map (≤ |alphabet|² rows): md5 runs here, on
+    // distinct grams only, then broadcasts back onto the stream
+    val gw = gc.select(col("g"), bucket)
+      .join(broadcast(dlw), "b").select(col("g"), col("dlw"))
+    val weighted = bg.join(broadcast(gw), "g")
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
         sum(col("dlw")).as("dsir_logw"))
