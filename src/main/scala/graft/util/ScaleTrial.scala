@@ -137,6 +137,23 @@ object ScaleTrial {
       println(f"${"q27 ivf build"}%-26s $ba%8.2f $bb%8.2f ${bb / ba}%5.1f")
       println(f"${"q27 ivf probe"}%-26s $pa%8.2f $pb%8.2f ${pb / pa}%5.1f")
     }
+    // q98's one-line ratio is a mirage: under count() Catalyst
+    // eliminates the final left join (the score side aggregates on the
+    // unique join key and count references no right-side column), so
+    // the timed plan is a bare documents scan. Force the full
+    // train+score pipeline by aggregating the score columns.
+    if (headline.contains("q98_lm_quality")) {
+      def forced(dir: String): Double = {
+        val t0 = System.nanoTime()
+        Registry.byName("q98_lm_quality").run(spark, dir)
+          .agg(sum(col("n_bigrams")), sum(col("mean_p_scaled")),
+            sum(col("mean_surprisal"))).collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val a = forced(src)
+      val b = forced(outDir)
+      println(f"${"q98 lm forced"}%-26s $a%8.2f $b%8.2f ${b / a}%5.1f")
+    }
     spark.stop()
   }
 }
