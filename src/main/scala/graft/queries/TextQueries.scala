@@ -720,6 +720,37 @@ object TextQueries {
              |  ORDER BY dsir_logw DESC, doc_id LIMIT 100)
              |SELECT doc_id, lang, n_bigrams, dsir_logw
              |FROM sel JOIN d USING (doc_id)
-             |ORDER BY dsir_logw DESC, doc_id""".stripMargin))
+             |ORDER BY dsir_logw DESC, doc_id""".stripMargin)),
+
+    // BPE tokenizer-training merge step (Sennrich et al. 2016,
+    // arXiv:1508.07909): count adjacent symbol pairs and surface the
+    // top merge candidates. The real-trainer shape: pair counting
+    // runs over the DISTINCT-word frequency table (vocab-sized),
+    // never the corpus-sized token stream — the corpus is touched
+    // exactly once, by the word-frequency wordcount whose map-side
+    // combine collapses it inside the scan tasks. One step per query
+    // (the q89 Lloyd-step convention); a driver loop composes steps
+    // into a full merge table.
+    Q("q100_bpe_pairs",
+      (s, dir) => {
+        val wf = Tables(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("freq"))
+        wf.filter(length(col("word")) >= 2)
+          .select(col("freq"),
+            explode(expr("transform(sequence(1, length(word) - 1), " +
+              "i -> substring(word, i, 2))")).as("pair"))
+          .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+          .orderBy(col("n").desc, col("pair"))
+          .limit(20)
+      },
+      Some("""WITH w AS (SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word FROM documents),
+             |wf AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+             |  FROM w GROUP BY word),
+             |p AS (SELECT freq, substr(word, CAST(i AS INT), 2) AS pair
+             |  FROM wf, unnest(range(1, length(word))) AS u(i)
+             |  WHERE length(word) >= 2)
+             |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
+             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin))
   )
 }
