@@ -38,7 +38,7 @@ object NgramLm {
     * DEFICIT: at scale the scan is already at least core-wide and
     * this is a no-op — no shuffle is ever added to a well-partitioned
     * corpus. */
-  private[operators] def widen(df: DataFrame): DataFrame = {
+  private[graft] def widen(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }

@@ -185,4 +185,18 @@ class OperatorSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(repart == out.toSet)
   }
+
+  test("widen adds no shuffle to an already-wide input") {
+    // the 100-TB contract: widen only repairs a partition DEFICIT
+    // (small single-file scans); a corpus already at or above the
+    // session's parallelism must pass through exchange-free
+    val target = spark.sparkContext.defaultParallelism
+    val wide = spark.range(0, 1000, 1, target).toDF("doc_id")
+    assert(graft.operators.NgramLm.widen(wide)
+      .queryExecution.executedPlan.toString.linesIterator
+      .count(_.contains("Exchange")) == 0)
+    val narrow = spark.range(0, 1000, 1, 1).toDF("doc_id")
+    val widened = graft.operators.NgramLm.widen(narrow)
+    assert(widened.rdd.getNumPartitions == target)
+  }
 }
