@@ -111,3 +111,95 @@ q46["height"] = q46["height"].astype("int32")
 q46["n_frames"] = q46["n_frames"].astype("int32")
 q46.to_parquet(os.path.join(OUT, "q46_meta.parquet"), index=False)
 print(f"q46_meta: {len(q46)} rows")
+
+
+# --------------------------------------------------------------- q101
+# BPE tokenizer artifacts: train classic byte-pair-encoding (Sennrich
+# et al. 2016) on the canonical corpus word-frequency table, then
+# greedily encode every distinct word with the learned merge table.
+# The TRAINED merges (fixtures/bpe_merges.parquet) are the tokenizer
+# artifact the engine applies; the encodings
+# (fixtures/q101_expected.parquet) are the independent oracle. Keyed
+# by word — the synthetic vocabulary is identical at every scale
+# factor, so one fixture covers all.
+import re
+
+N_MERGES = 16
+
+vocab = {}
+for sf in SF_DIRS:
+    docs = pd.read_parquet(os.path.join(sf, "documents.parquet"), columns=["text"])
+    for text in docs["text"]:
+        for w in re.split(r"\s+", text.strip()):
+            if w:
+                vocab[w] = vocab.get(w, 0) + 1
+# train on the canonical sf0.1 frequencies only (re-read for clarity)
+freq = {}
+docs = pd.read_parquet(os.path.join(SF_DIRS[-1], "documents.parquet"), columns=["text"])
+for text in docs["text"]:
+    for w in re.split(r"\s+", text.strip()):
+        if w:
+            freq[w] = freq.get(w, 0) + 1
+
+words = {w: [c for c in w] for w in freq}
+merges = []
+for _ in range(N_MERGES):
+    pairs = {}
+    for w, syms in words.items():
+        f = freq[w]
+        for a, b in zip(syms, syms[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + f
+    if not pairs:
+        break
+    # deterministic: max count, then lexicographic pair
+    (left, right), _n = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+    merges.append((left, right))
+    for w, syms in words.items():
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        words[w] = out
+
+pd.DataFrame(
+    [(r, l, rt) for r, (l, rt) in enumerate(merges)],
+    columns=["rank", "left", "right"],
+).to_parquet(os.path.join(OUT, "bpe_merges.parquet"), index=False)
+print(f"bpe_merges: {len(merges)} rows")
+
+
+def bpe_encode(word, ranks):
+    syms = [c for c in word]
+    while True:
+        best, best_i = None, -1
+        for i, (a, b) in enumerate(zip(syms, syms[1:])):
+            r = ranks.get((a, b))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        left, right = merges[best]
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+ranks = {pair: r for r, pair in enumerate(merges)}
+q101 = pd.DataFrame(
+    [(w, bpe_encode(w, ranks), len(bpe_encode(w, ranks))) for w in sorted(vocab)],
+    columns=["word", "tokens", "n_tokens"],
+)
+q101["n_tokens"] = q101["n_tokens"].astype("int64")
+q101.to_parquet(os.path.join(OUT, "q101_expected.parquet"), index=False)
+print(f"q101_expected: {len(q101)} rows over {len(merges)} merges")

@@ -751,6 +751,45 @@ object TextQueries {
              |  FROM wf, unnest(range(1, length(word))) AS u(i)
              |  WHERE length(word) >= 2)
              |SELECT pair, CAST(SUM(freq) AS BIGINT) AS n
-             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin))
+             |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin)),
+
+    // BPE tokenizer APPLY (the other half of q100's trainer step):
+    // encode every distinct corpus word with a trained merge table.
+    // The merge table is a tokenizer ARTIFACT (fixtures/
+    // bpe_merges.parquet, trained offline by scripts/make_fixtures.py
+    // running classic greedy BPE over the same corpus) — tens of rows,
+    // collected once on the driver and unrolled into a chain of
+    // literal regexp_replace calls (functions/BpeApply.scala), so the
+    // encode is pure whole-stage codegen with no UDF. The corpus is
+    // touched exactly once, by the distinct-word aggregate whose
+    // map-side combine collapses it inside the scan tasks; the encode
+    // then runs over the vocab-sized table. At 100 TB the vocabulary,
+    // not the corpus, bounds the encode stage, and re-tokenizing the
+    // full corpus is a broadcast join of these encodings back onto
+    // the token stream. Oracle = fixtures/q101_expected.parquet, the
+    // INDEPENDENT scanner-loop (greedy lowest-rank-first) encodings
+    // from the Python trainer — equality also certifies the
+    // rank-order-chain ≡ scanner-loop argument on this artifact.
+    Q("q101_bpe_encode",
+      (s, dir) => {
+        val merges = s.read
+          .parquet(graft.util.RepoRoot.fixture("bpe_merges.parquet"))
+          .orderBy(col("rank")).collect().toSeq
+          .map(r => (r.getAs[String]("left"), r.getAs[String]("right")))
+        val toks = graft.functions.BpeApply.tokens(col("word"), merges)
+        Tables(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("word"))
+          .distinct()
+          .select(col("word"),
+            array_join(toks, " ").as("tokens"),
+            size(toks).cast(LongType).as("n_tokens"))
+          .orderBy(col("word"))
+      },
+      Some("""WITH w AS (SELECT DISTINCT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word FROM documents)
+             |SELECT w.word, array_to_string(f.tokens, ' ') AS tokens,
+             |  f.n_tokens
+             |FROM w JOIN '/root/repo/fixtures/q101_expected.parquet' f
+             |  USING (word)
+             |ORDER BY word""".stripMargin))
   )
 }

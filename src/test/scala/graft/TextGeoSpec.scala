@@ -74,4 +74,40 @@ class TextGeoSpec extends SparkSpec {
     val out = Dedup.exact(df, "k", "id").select("id").as[Long].collect().toSet
     assert(out == Set(2L, 7L))
   }
+
+  test("BPE apply merges back-to-back pairs like the scanner loop") {
+    import graft.functions.BpeApply
+    val merges = Seq(("a", "a"), ("aa", "b"))
+    val df = Seq("aaaa", "aaa", "aab", "baaab", "xyz").toDF("word")
+      .select(col("word"), BpeApply.tokens(col("word"), merges).as("toks"))
+    val out = df.as[(String, Seq[String])].collect().toMap
+    // left-to-right non-overlapping: [a,a,a,a]→[aa,aa], [a,a,a]→[aa,a]
+    assert(out("aaaa") == Seq("aa", "aa"))
+    assert(out("aaa") == Seq("aa", "a"))
+    // multi-level merge: aa then aab
+    assert(out("aab") == Seq("aab"))
+    assert(out("baaab") == Seq("b", "aab", "b") ||
+      out("baaab") == Seq("b", "aa", "a", "b")) // pin the actual below
+    assert(out("xyz") == Seq("x", "y", "z"))
+  }
+
+  test("BPE apply is exact: baaab encodes like greedy min-rank") {
+    import graft.functions.BpeApply
+    // greedy: [b,a,a,a,b] → rank0 all occurrences L-to-R → [b,aa,a,b]
+    // → no (a,a) left, (aa,b)? aa followed by a — no; so final.
+    val merges = Seq(("a", "a"), ("aa", "b"))
+    val out = Seq("baaab").toDF("word")
+      .select(BpeApply.tokens(col("word"), merges)).as[Seq[String]].head()
+    assert(out == Seq("b", "aa", "a", "b"))
+  }
+
+  test("BPE apply rejects a merge table where rank-order != greedy") {
+    import graft.functions.BpeApply
+    // rank1's output "ab" rebuilds rank0's left operand → resurrection
+    val bad = Seq(("ab", "c"), ("a", "b"))
+    val e = intercept[IllegalArgumentException] {
+      BpeApply.tokens(col("word"), bad)
+    }
+    assert(e.getMessage.contains("rank-order"))
+  }
 }
