@@ -154,6 +154,30 @@ object ScaleTrial {
       val b = forced(outDir)
       println(f"${"q98 lm forced"}%-26s $a%8.2f $b%8.2f ${b / a}%5.1f")
     }
+    // q101's count() prunes the encode chain (tokens/n_tokens are
+    // dead under count), so force the encode by aggregating its
+    // outputs; separately time the CORPUS-scale apply — the broadcast
+    // join of the vocab-sized encodings back onto the corpus token
+    // stream, which is how a full re-tokenization consumes them.
+    if (headline.contains("q101_bpe_encode")) {
+      def forced(dir: String): (Double, Double) = {
+        val t0 = System.nanoTime()
+        val enc = Registry.byName("q101_bpe_encode").run(spark, dir)
+        enc.agg(sum(col("n_tokens")), sum(length(col("tokens")))).collect()
+        val vocab = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        Tables(spark, dir, "documents")
+          .select(explode(graft.functions.TextFns.tokens(col("text"))).as("word"))
+          .join(broadcast(enc.select(col("word"), col("n_tokens"))), "word")
+          .agg(sum(col("n_tokens"))).collect()
+        val corpus = (System.nanoTime() - t1) / 1e9
+        (vocab, corpus)
+      }
+      val (va, ca) = forced(src)
+      val (vb, cb) = forced(outDir)
+      println(f"${"q101 bpe forced"}%-26s $va%8.2f $vb%8.2f ${vb / va}%5.1f")
+      println(f"${"q101 corpus apply"}%-26s $ca%8.2f $cb%8.2f ${cb / ca}%5.1f")
+    }
     spark.stop()
   }
 }
