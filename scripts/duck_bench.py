@@ -26,14 +26,18 @@ sf, sql = sys.argv[1], sys.stdin.read()
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
-# count server-side: the Spark bench times .count(), so materializing
-# every row into Python tuples here would tax DuckDB asymmetrically.
-# Two passes, min — the Spark bench's exact protocol (min of two
-# interleaved sweeps over session-cached tables).
+# force every output column server-side: the Spark bench times a
+# per-column count(col) aggregate (Bench.force) so Catalyst can't
+# prune dead columns or eliminate joins; COUNT(COLUMNS(*)) is the
+# symmetric DuckDB shape — all columns evaluated, nothing
+# materialized into Python. Two passes, min — the Spark bench's
+# exact protocol (min of two interleaved sweeps over session-cached
+# tables).
 secs = []
 for _ in range(2):
     t0 = time.time()
-    rows = con.execute(f"SELECT COUNT(*) FROM ({sql})").fetchone()[0]
+    row = con.execute(f"SELECT COUNT(*), COUNT(COLUMNS(*)) FROM ({sql})").fetchone()
+    rows = row[0]
     secs.append(time.time() - t0)
 print(json.dumps({"sec": min(secs), "rows": rows}))
 """

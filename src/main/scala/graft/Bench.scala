@@ -1,10 +1,24 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 object Bench {
   // Locale.ROOT: a comma decimal separator would corrupt the JSON
   private def fmt(v: Double): String =
     "%.3f".formatLocal(java.util.Locale.ROOT, v)
+
+  /** Evaluate EVERY output column, not just the row count. Under
+    * `count()` Catalyst prunes dead columns and eliminates unique-key
+    * joins — round 7 timed q98 as a near-bare scan (its left join
+    * dropped) and q101 without its encode chain (~3 s of hidden work).
+    * A per-column `count(col)` references all columns — the project
+    * below the aggregate computes each value to test its nullness —
+    * without paying row serialization (a to_json checksum was tried
+    * and costs ~10 s of pure JSON formatting on q13's wide output;
+    * the mirror duck_bench.py force is `COUNT(COLUMNS(*))`, the same
+    * shape). */
+  private def force(df: DataFrame): Unit =
+    df.select(df.columns.map(c => count(col(c))).reduce(_ + _)).collect()
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,7 +44,7 @@ object Bench {
       else sfDir
     Seq("q01_pricing_summary", "q22_minhash_lsh", "q74_simhash_neardup",
       "q75_winnowing", "q76_tfidf_topterms", "q86_dedup_survivors").foreach { q =>
-      try SparkEntry.queries(q)(spark, warmDir).count()
+      try force(SparkEntry.queries(q)(spark, warmDir))
       catch { case _: Throwable => }
     }
     // materialize the session table cache for the BENCH dir before any
@@ -53,7 +67,8 @@ object Bench {
     def sweep(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { force(fn(spark, sfDir)) } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}") }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val (s1, s2) = (sweep(), sweep())

@@ -26,18 +26,13 @@ object CleanFns {
   private def strippedNumeric(s: Column): Column =
     regexp_replace(regexp_replace(trim(s), ",", "."), "[^0-9.]", "")
 
-  /** Multi-dot repair: "1.234.56" → "1234.56" (join all parts but the
-    * last, keep the last dot as the decimal point). */
-  private[functions] def repairedNumeric(s: Column): Column = {
-    val stripped = strippedNumeric(s)
-    val parts = split(stripped, "\\.")
-    when(size(parts) > lit(2),
-      concat(
-        array_join(slice(parts, lit(1), size(parts) - lit(1)), ""),
-        lit("."),
-        element_at(parts, -1)))
-      .otherwise(stripped)
-  }
+  /** Multi-dot repair: "1.234.56" → "1234.56" — drop every dot that has
+    * another dot after it (one lookahead regex pass; the input is
+    * digits-and-dots only, so "later dot" ⇔ "not the decimal point").
+    * One regex replaces the former split/slice/array_join/element_at
+    * 5-op tree, which re-computed `stripped` once per reference. */
+  private[functions] def repairedNumeric(s: Column): Column =
+    regexp_replace(strippedNumeric(s), "\\.(?=.*\\.)", "")
 
   /** Python's `not val` over string inputs: None or "" (whitespace-only
     * strings are truthy in Python and fall through to the parse). */
@@ -72,6 +67,43 @@ object CleanFns {
         .when(num > lit(1000000d), lit("CRC"))
         .otherwise(curValid)
     struct(price.as("price"), currency.as("currency"))
+  }
+
+  /** Staged clean_price: appends `priceCol`/`currencyCol` to `df`,
+    * computing each heavy intermediate (the raw value, the
+    * stripped+repaired numeric, the parsed double) EXACTLY once per
+    * row. The [[cleanPrice]] Column combinator references its `value`
+    * argument ~5× and the parsed number ~6×; Catalyst inlines every
+    * reference, so a regex-bearing `value` expression re-runs its
+    * whole chain ~30× per row (q13 spent 10.2 s at sf0.1 on exactly
+    * this — hidden until round 8's Bench stopped letting count()
+    * prune the clean columns). Multi-referenced non-cheap aliases
+    * block CollapseProject, so these stages survive optimization. */
+  def cleanPriceStaged(df: org.apache.spark.sql.DataFrame, value: Column,
+                       currencyRaw: Column, priceCol: String,
+                       currencyCol: String): org.apache.spark.sql.DataFrame = {
+    val rawC = "__cp_raw"; val repC = "__cp_rep"; val numC = "__cp_num"
+    val out = df
+      .withColumn(rawC, value)
+      .withColumn(repC, repairedNumeric(col(rawC)))
+      .withColumn(numC, parsedDouble(col(repC)))
+      .withColumn(priceCol,
+        when(isEmptyVal(col(rawC)), lit(0d))
+          .when(col(numC).isNull, lit(0d))
+          .when(col(numC) > lit(9999999999999.99d), lit(0d))
+          .otherwise(col(numC)))
+      .withColumn(currencyCol, {
+        val curBase = substring(upper(trim(currencyRaw)), 1, 3)
+        val curValid =
+          when(currencyRaw.isNull || !curBase.isin("USD", "CRC"), lit("USD"))
+            .otherwise(curBase)
+        when(isEmptyVal(col(rawC)), currencyRaw)
+          .when(col(numC).isNull, lit("USD"))
+          .when(col(numC) > lit(9999999999999.99d), lit("USD"))
+          .when(col(numC) > lit(1000000d), lit("CRC"))
+          .otherwise(curValid)
+      })
+    out.drop(rawC, repC, numC)
   }
 
   /** Numeric area in (0, 9999999.99], else NULL. No multi-dot repair —

@@ -1,8 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** Corpus-trained character-bigram language model for statistical
   * quality scoring — the train-then-score stage every large text
@@ -22,14 +24,42 @@ import org.apache.spark.sql.types.{DoubleType, LongType}
   *     document. One shuffle, keyed by doc.
   *
   * Every number is bit-reproducible by a SQL oracle: the smoothed
-  * probability (cab+1)/(ca+V) is one IEEE division of integer-valued
-  * doubles scaled to a long (half-up, the registry convention), and
-  * the per-gram surprisal uses the INTEGER floor-log2
-  * (length(bin(p))-1) rather than floating log2 — Spark computes
-  * log2 as log(x)/log(2), whose last-ulp error at exact powers of
-  * two would make floor() engine-dependent.
+  * probability (cab+1)/(ca+V) is scaled to a long by EXACT integer
+  * round-half-up — (2a+D) div (2D) with a = 10¹²·(cab+1), D = ca+V —
+  * and the per-gram surprisal uses the INTEGER floor-log2
+  * (length(bin(p))-1) rather than floating log2. No float touches any
+  * value the oracle compares: a floating round()/log2() here is
+  * engine-VERSION-dependent at half-way/last-ulp points, and the
+  * floor-log2 amplifies a ±1 difference in p into a different
+  * integer surprisal (round-7 q99 driver hash-fail, green in every
+  * isolated rerun — exactly this class).
   */
 object NgramLm {
+
+  /** 10¹², the registry's probability scale. */
+  val Scale = 1000000000000L
+
+  /** Integral division as a Column (`a div b` — Spark has no
+    * `functions.div`; decimal-capable, returns LongType). */
+  private[operators] def intDiv(a: Column, b: Column): Column =
+    ColumnBridge.column(IntegralDivide(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Exact round-half-up of Scale·(c+1)/D as a long, in pure integer
+    * (decimal-38) arithmetic: (2a+D) div (2D), a = Scale·(c+1). The
+    * decimal width makes it overflow-proof to c ≈ 10²⁵ — beyond any
+    * 100 TB corpus — and bit-identical across engines and versions. */
+  private[operators] def scaledP(c: Column, d: Column): Column = {
+    val dec = DecimalType(38, 0)
+    val a2 = (c.cast(dec) + lit(1L)) * lit(2L * Scale) // 2a
+    val dd = d.cast(dec)
+    intDiv(a2 + dd, dd * lit(2L)).cast(LongType)
+  }
+
+  /** Integer floor-log2 of a positive long (p clamped to ≥ 1):
+    * length(bin(p)) - 1. */
+  private[operators] def floorLog2(p: Column): Column =
+    (length(bin(greatest(p, lit(1L)))) - 1).cast(LongType)
 
   /** Spread a narrow input across the session's cores before a
     * corpus-sized explode. The explode multiplies work ~|text|-fold,
@@ -71,34 +101,79 @@ object NgramLm {
     * n_bigrams = 0 and null means — never dropped. */
   def score(docs: DataFrame, idCol: String, textCol: String,
             lm: DataFrame): DataFrame = {
-    val p = round(lit(1e12) *
-      ((col("cab").cast(DoubleType) + 1d) /
-        (col("ca").cast(DoubleType) + col("vsz").cast(DoubleType))), 0)
-      .cast(LongType)
+    val p = scaledP(col("cab"), col("ca") + col("vsz"))
     val scored = bigrams(docs, idCol, textCol)
       .join(broadcast(lm), "g")
       .withColumn("p", p)
       // integer floor-log2: p in [1, 1e12] ⊂ [2^0, 2^40)
-      .withColumn("s", lit(40L) - (length(bin(greatest(col("p"), lit(1L)))) - 1))
+      .withColumn("s", lit(40L) - floorLog2(col("p")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
-        sum(col("p")).as("sp"), sum(col("s")).as("ss"))
+        // decimal sum: Σp with p ≤ 10¹² wraps a long sum at ~9.2M
+        // bigrams in ONE document under non-ANSI Spark while DuckDB
+        // promotes to HUGEINT — decimal-38 makes overflow impossible
+        // in both engines instead of silently divergent
+        sum(col("p").cast(DecimalType(38, 0))).as("sp"),
+        sum(col("s").cast(DecimalType(38, 0))).as("ss"))
+    // means by exact integer round-half-up — (2Σ+n) div (2n) — and,
+    // for the 6-decimal surprisal mean, exact integer microunits
+    // divided once as a double (q/10⁶ of exact integers is the same
+    // IEEE value in every engine; a float round(x, 6) is not)
+    finish(docs, idCol, scored)
+  }
+
+  /** Re-attach zero-bigram docs and derive the exact-integer means
+    * from (n_bigrams, sp, ss) — shared by [[score]] and
+    * [[selfScore]]. */
+  private def finish(docs: DataFrame, idCol: String,
+                     scored: DataFrame): DataFrame = {
+    val n = col("n_bigrams").cast(DecimalType(38, 0))
     docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         when(col("n_bigrams").isNull, lit(null).cast(LongType))
-          .otherwise(round(col("sp").cast(DoubleType) /
-            col("n_bigrams").cast(DoubleType), 0).cast(LongType))
+          .otherwise(intDiv(col("sp") * 2 + n, n * 2).cast(LongType))
           .as("mean_p_scaled"),
         when(col("n_bigrams").isNull, lit(null).cast(DoubleType))
-          .otherwise(round(col("ss").cast(DoubleType) /
-            col("n_bigrams").cast(DoubleType), 6))
+          .otherwise(
+            intDiv(col("ss") * lit(2000000L) + n, n * 2).cast(DoubleType)
+              / lit(1000000.0d))
           .as("mean_surprisal"))
   }
 
-  /** Self-scoring convenience: train on `docs`, score `docs`. */
-  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    score(docs, idCol, textCol, model(docs, idCol, textCol))
+  /** Self-scoring (train on `docs`, score `docs`) in ONE corpus pass:
+    * the per-(doc, gram) count aggregate is materialized once
+    * (localCheckpoint, distinct-(doc,gram)-sized) and feeds BOTH the
+    * model derivation and the scoring join — `score(docs, model(docs))`
+    * would run the corpus-sized explode twice, and exchange reuse does
+    * not fire across the differently-pruned branches (measured r8:
+    * 2.6 s → 1.5 s at sf0.1). Identical numbers: per-occurrence sums
+    * become cnt-weighted sums over the distinct-gram rows. */
+  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val dg = bigrams(docs, idCol, textCol)
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+      .localCheckpoint()
+    val gc = dg.groupBy(col("g")).agg(sum(col("cnt")).cast(LongType).as("cab"))
+    val ca = gc.groupBy(substring(col("g"), 1, 1).as("a"))
+      .agg(sum(col("cab")).as("ca"))
+    val v = ca.agg(count(lit(1)).cast(LongType).as("vsz"))
+    val lm = gc.join(ca, substring(col("g"), 1, 1) === col("a"))
+      .crossJoin(broadcast(v))
+      .select(col("g"), col("cab"), col("ca"), col("vsz"))
+    val scored = dg
+      .join(broadcast(lm), "g")
+      .withColumn("p", scaledP(col("cab"), col("ca") + col("vsz")))
+      .withColumn("s", lit(40L) - floorLog2(col("p")))
+      .groupBy(col(idCol))
+      .agg(sum(col("cnt")).cast(LongType).as("n_bigrams"),
+        // decimal BEFORE the multiply: cnt·p can pass 9.2e18 on one
+        // pathologically long doc; decimal-38 keeps it exact
+        sum(col("cnt").cast(dec) * col("p").cast(dec)).as("sp"),
+        sum(col("cnt").cast(dec) * col("s").cast(dec)).as("ss"))
+    finish(docs, idCol, scored)
+  }
 }
 
 /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
@@ -151,33 +226,41 @@ object DsirSelect {
   def select(docs: DataFrame, idCol: String, textCol: String,
              targetFlag: Column, nBuckets: Int, k: Int): DataFrame = {
     val bg = bigrams(docs, idCol, textCol, targetFlag)
-    // distinct-gram corpus counts: the only aggregate over the
-    // occurrence stream on the model side, ≤ |alphabet|² groups
-    val gc = bg.groupBy(col("g")).agg(
-      sum(when(col("tgt"), 1L).otherwise(0L)).cast(LongType).as("ct_g"),
-      sum(when(!col("tgt"), 1L).otherwise(0L)).cast(LongType).as("cs_g"))
+    // ONE corpus-sized pass: per-(doc, gram) occurrence counts,
+    // materialized once (localCheckpoint, the SemanticDedup
+    // convention) because THREE consumers read it — the bucket-model
+    // aggregate, the gram→weight map, and the scoring join. The
+    // round-7 shape (bg feeding groupBy(g) and groupBy(doc) directly)
+    // recomputed the corpus-sized explode per branch, and plain
+    // exchange reuse does not fire across the differently-pruned
+    // branches. Map-side combine collapses within-doc repeats before
+    // the wire; the materialized set is distinct-(doc,gram)-sized,
+    // far below occurrence scale, and lives on executors, not the
+    // driver.
+    val dg = bg.groupBy(col(idCol), col("tgt"), col("g"))
+      .agg(count(lit(1)).cast(LongType).as("cnt"))
+      .localCheckpoint()
+    // distinct-gram corpus counts: ≤ |alphabet|² groups
+    val gc = dg.groupBy(col("g")).agg(
+      sum(when(col("tgt"), col("cnt")).otherwise(0L)).cast(LongType).as("ct_g"),
+      sum(when(!col("tgt"), col("cnt")).otherwise(0L)).cast(LongType).as("cs_g"))
     val bucket = (Dedup.md5Int32(col("g")) % nBuckets).as("b")
     val m = gc.select(bucket, col("ct_g"), col("cs_g"))
       .groupBy(col("b"))
       .agg(sum(col("ct_g")).as("ct"), sum(col("cs_g")).as("cs"))
     val tot = m.agg(sum(col("ct")).as("nt"), sum(col("cs")).as("ns"))
-    def scaledP(c: Column, n: Column): Column =
-      round(lit(1e12) * ((c.cast(DoubleType) + 1d) /
-        (n.cast(DoubleType) + nBuckets.toDouble)), 0).cast(LongType)
-    def floorLog2(p: Column): Column =
-      (length(bin(greatest(p, lit(1L)))) - 1).cast(LongType)
     val dlw = m.crossJoin(broadcast(tot))
       .select(col("b"),
-        (floorLog2(scaledP(col("ct"), col("nt"))) -
-          floorLog2(scaledP(col("cs"), col("ns")))).as("dlw"))
+        (NgramLm.floorLog2(NgramLm.scaledP(col("ct"), col("nt") + lit(nBuckets))) -
+          NgramLm.floorLog2(NgramLm.scaledP(col("cs"), col("ns") + lit(nBuckets)))).as("dlw"))
     // gram → weight map (≤ |alphabet|² rows): md5 runs here, on
     // distinct grams only, then broadcasts back onto the stream
     val gw = gc.select(col("g"), bucket)
       .join(broadcast(dlw), "b").select(col("g"), col("dlw"))
-    val weighted = bg.join(broadcast(gw), "g")
+    val weighted = dg.join(broadcast(gw), "g")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).cast(LongType).as("n_bigrams"),
-        sum(col("dlw")).as("dsir_logw"))
+      .agg(sum(col("cnt")).cast(LongType).as("n_bigrams"),
+        sum(col("cnt") * col("dlw")).cast(LongType).as("dsir_logw"))
       .withColumn("all", lit(0))
     graft.plans.TopKPhysical.topK(weighted, Seq("all"),
         Seq(("dsir_logw", false), (idCol, true)), k)

@@ -260,10 +260,12 @@ object CoreQueries {
         val curRaw = when(col("o_orderkey") % 3 === 0, lit("usd"))
           .when(col("o_orderkey") % 3 === 1, lit("CRC"))
           .otherwise(lit(null).cast(StringType))
-        val cleaned = CleanFns.cleanPrice(dirty, curRaw)
-        o.select(col("o_orderkey"),
-            cleaned.getField("price").as("price"),
-            cleaned.getField("currency").as("currency"),
+        // staged cleaner: the Column-combinator form inlines the dirty
+        // when-chain into every reference (~30 regex runs per row)
+        CleanFns.cleanPriceStaged(
+            o.select(col("o_orderkey"), col("o_totalprice")),
+            dirty, curRaw, "price", "currency")
+          .select(col("o_orderkey"), col("price"), col("currency"),
             CleanFns.cleanSmallint(
               concat(lit("beds: "), (col("o_orderkey") % 40).cast(StringType)), 30)
               .as("beds"))

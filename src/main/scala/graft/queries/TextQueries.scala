@@ -655,8 +655,8 @@ object TextQueries {
              |model AS (SELECT g, cab, ca, vsz
              |  FROM gc JOIN ca ON substr(g, 1, 1) = a CROSS JOIN v),
              |sc AS (SELECT doc_id,
-             |    CAST(round(1e12 * ((CAST(cab AS DOUBLE) + 1)
-             |      / (CAST(ca AS DOUBLE) + CAST(vsz AS DOUBLE))), 0) AS BIGINT) AS p
+             |    CAST((2*CAST(1000000000000 AS HUGEINT)*(cab + 1) + (ca + vsz))
+             |      // (2*(ca + vsz)) AS BIGINT) AS p
              |  FROM bg JOIN model USING (g)),
              |s2 AS (SELECT doc_id, p,
              |    CAST(40 - (length(bin(GREATEST(p, 1))) - 1) AS BIGINT) AS s FROM sc),
@@ -665,10 +665,11 @@ object TextQueries {
              |SELECT d.doc_id,
              |  COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
              |  CASE WHEN n_bigrams IS NULL THEN NULL
-             |    ELSE CAST(round(CAST(sp AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0) AS BIGINT)
+             |    ELSE CAST((2*sp + n_bigrams) // (2*n_bigrams) AS BIGINT)
              |    END AS mean_p_scaled,
              |  CASE WHEN n_bigrams IS NULL THEN NULL
-             |    ELSE round(CAST(ss AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 6)
+             |    ELSE CAST(CAST((2*(ss*1000000) + n_bigrams) // (2*n_bigrams) AS BIGINT)
+             |      AS DOUBLE) / CAST(1000000 AS DOUBLE)
              |    END AS mean_surprisal
              |FROM d LEFT JOIN agg USING (doc_id)
              |ORDER BY d.doc_id""".stripMargin)),
@@ -707,10 +708,10 @@ object TextQueries {
              |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
              |    CAST(SUM(cs) AS BIGINT) AS ns FROM m),
              |w AS (SELECT b,
-             |    CAST((length(bin(GREATEST(CAST(round(1e12 * ((CAST(ct AS DOUBLE) + 1)
-             |        / (CAST(nt AS DOUBLE) + 256)), 0) AS BIGINT), 1))) - 1)
-             |      - (length(bin(GREATEST(CAST(round(1e12 * ((CAST(cs AS DOUBLE) + 1)
-             |        / (CAST(ns AS DOUBLE) + 256)), 0) AS BIGINT), 1))) - 1)
+             |    CAST((length(bin(GREATEST(CAST((2*CAST(1000000000000 AS HUGEINT)*(ct + 1)
+             |        + (nt + 256)) // (2*(nt + 256)) AS BIGINT), 1))) - 1)
+             |      - (length(bin(GREATEST(CAST((2*CAST(1000000000000 AS HUGEINT)*(cs + 1)
+             |        + (ns + 256)) // (2*(ns + 256)) AS BIGINT), 1))) - 1)
              |      AS BIGINT) AS dlw
              |  FROM m CROSS JOIN tot),
              |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
@@ -785,10 +786,10 @@ object TextQueries {
             size(toks).cast(LongType).as("n_tokens"))
           .orderBy(col("word"))
       },
-      Some("""WITH w AS (SELECT DISTINCT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word FROM documents)
+      Some(s"""WITH w AS (SELECT DISTINCT unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS word FROM documents)
              |SELECT w.word, array_to_string(f.tokens, ' ') AS tokens,
              |  f.n_tokens
-             |FROM w JOIN '/root/repo/fixtures/q101_expected.parquet' f
+             |FROM w JOIN '${graft.util.RepoRoot.fixture("q101_expected.parquet")}' f
              |  USING (word)
              |ORDER BY word""".stripMargin))
   )

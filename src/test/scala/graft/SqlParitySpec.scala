@@ -204,6 +204,7 @@ object DuckToSpark {
     })
     // type + operator spellings
     s = s.replaceAll("\\bVARCHAR\\b", "STRING")
+    s = s.replaceAll("\\bHUGEINT\\b", "DECIMAL(38,0)") // 128-bit int ≈ decimal-38
     s = s.replaceAll("//", "DIV")
     // scalar/date functions
     s = s.replaceAll("\\bepoch_ns\\(([A-Za-z_.]+)\\)", "(unix_micros($1) * 1000)")
@@ -282,9 +283,12 @@ class SqlParitySpec extends SparkSpec {
 
   private def canon(df: DataFrame): (Seq[String], Seq[Seq[String]]) = {
     val cols = df.columns.sorted.toSeq
+    // sort key joins on \u0000 (can't appear in the data): a bare
+    // mkString("") would collide distinct rows — ("ab","c") vs
+    // ("a","bc") — leaving equal-key rows in engine-dependent order
     val rows = df.select(cols.map(org.apache.spark.sql.functions.col): _*)
       .collect().map(_.toSeq.map(String.valueOf).toSeq).toSeq
-      .sortBy(_.mkString(""))
+      .sortBy(_.mkString("\u0000"))
     (cols, rows)
   }
 
