@@ -46,22 +46,29 @@ object BpeApply {
         "greedy min-rank apply would differ — regenerate the table or " +
         "encode with a scanner loop")
 
-  /** `word` → SEP-wrapped token string after all merges, e.g.
-    * `<SEP>sp<SEP>ark<SEP>`. Each merge is a left-to-right
+  /** "ab" -> "<SEP>a<SEP>b<SEP>": one SEP before every code point,
+    * plus a trailing SEP — the working representation every merge
+    * step rewrites in place. */
+  def charInit(word: Column): Column =
+    concat(regexp_replace(word, "(?s)(.)", Sep + "$1"), lit(Sep))
+
+  /** Apply ONE merge to a SEP-wrapped token string: a left-to-right
     * non-overlapping replace whose trailing boundary is a LOOKAHEAD
     * (not consumed), so back-to-back occurrences merge like the
-    * scanner loop: [a,a,a,a] → [aa,aa], [a,a,a] → [aa,a]. */
-  private def merged(word: Column, merges: Seq[(String, String)]): Column = {
-    // "ab" -> "<SEP>a<SEP>b<SEP>": one SEP before every code point,
-    // plus a trailing SEP
-    val init = concat(regexp_replace(word, "(?s)(.)", Sep + "$1"), lit(Sep))
-    merges.foldLeft(init) { case (cur, (l, r)) =>
-      regexp_replace(
-        cur,
-        Pattern.quote(Sep + l + Sep + r) + "(?=" + Sep + ")",
-        Matcher.quoteReplacement(Sep + l + r))
+    * scanner loop: [a,a,a,a] → [aa,aa], [a,a,a] → [aa,a]. Also the
+    * training-loop step (operators/BpeTrain.scala). */
+  def mergeStep(cur: Column, l: String, r: String): Column =
+    regexp_replace(
+      cur,
+      Pattern.quote(Sep + l + Sep + r) + "(?=" + Sep + ")",
+      Matcher.quoteReplacement(Sep + l + r))
+
+  /** `word` → SEP-wrapped token string after all merges in rank
+    * order, e.g. `<SEP>sp<SEP>ark<SEP>`. */
+  private def merged(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charInit(word)) { case (cur, (l, r)) =>
+      mergeStep(cur, l, r)
     }
-  }
 
   /** Encoded subword tokens as `array<string>`. */
   def tokens(word: Column, merges: Seq[(String, String)]): Column = {

@@ -791,6 +791,56 @@ object TextQueries {
              |  f.n_tokens
              |FROM w JOIN '${graft.util.RepoRoot.fixture("q101_expected.parquet")}' f
              |  USING (word)
-             |ORDER BY word""".stripMargin))
+             |ORDER BY word""".stripMargin)),
+
+    // Full in-engine BPE TRAINING (operators/BpeTrain.scala): drive
+    // the q100 merge step in a loop to the complete rank-ordered
+    // merge table. Unlike q100/q101 this oracle is COMPUTATIONAL, not
+    // a frozen fixture — a recursive CTE that replays the identical
+    // algorithm in DuckDB (pair-count aggregate + argmax + list_reduce
+    // scanner apply; RE2 has no lookahead so the engine's regex apply
+    // is not portable there) — so it verifies at ANY scale factor
+    // even though the merge sequence itself is frequency- and so
+    // SF-dependent. BpeTrainSpec additionally pins the engine-trained
+    // table rank-for-rank to fixtures/bpe_merges.parquet, the
+    // INDEPENDENT Python trainer's artifact, at the SF it was trained
+    // on. 16 merges = the fixture trainer's N_MERGES.
+    Q("q102_bpe_train",
+      (s, dir) => {
+        val wf = Tables(s, dir, "documents")
+          .select(explode(TextFns.tokens(col("text"))).as("word"))
+          .groupBy(col("word")).agg(count(lit(1)).cast(LongType).as("freq"))
+        graft.operators.BpeTrain.mergeTable(s, wf, 16)
+      },
+      Some("""WITH RECURSIVE wf AS (
+             |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+             |    SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS word
+             |    FROM documents) GROUP BY word
+             |),
+             |t(iter, word, freq, enc, bl, br) AS (
+             |  SELECT 0, word, freq,
+             |    substr(regexp_replace(word, '(.)', chr(1) || '\1', 'gs'), 2),
+             |    CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+             |  FROM wf
+             |  UNION ALL
+             |  SELECT iter + 1, word, freq,
+             |    substr(list_reduce(
+             |      list_prepend(chr(2), string_split(enc, chr(1))),
+             |      (acc, x) -> CASE WHEN ends_with(acc, chr(1) || b.nl) AND x = b.nr
+             |                  THEN acc || x ELSE acc || chr(1) || x END), 3),
+             |    b.nl, b.nr
+             |  FROM t,
+             |    (SELECT string_split(p, chr(2))[1] AS nl, string_split(p, chr(2))[2] AS nr
+             |     FROM (
+             |       SELECT p, SUM(f) AS n FROM (
+             |         SELECT freq AS f, toks[i] || chr(2) || toks[i+1] AS p
+             |         FROM (SELECT freq, string_split(enc, chr(1)) AS toks FROM t),
+             |              unnest(range(1, len(toks))) AS u(i)
+             |       ) GROUP BY p
+             |     ) ORDER BY n DESC, string_split(p, chr(2))[1], string_split(p, chr(2))[2] LIMIT 1) b
+             |  WHERE iter < 16
+             |)
+             |SELECT CAST(iter - 1 AS BIGINT) AS rank, MIN(bl) AS left, MIN(br) AS right
+             |FROM t WHERE iter >= 1 GROUP BY iter ORDER BY rank""".stripMargin))
   )
 }

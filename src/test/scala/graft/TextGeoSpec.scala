@@ -110,4 +110,56 @@ class TextGeoSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("rank-order"))
   }
+
+  test("BPE trainer follows max-count-then-lexicographic on a hand case") {
+    import graft.operators.BpeTrain
+    // freqs: (a,b) appears in "abab"(2×)·3 + "ab"·2 = 8; (b,a) 3;
+    // after merging (a,b): pairs (ab,ab) 3, (c,ab) 2 → tie? no: 3 > 2.
+    val wf = Seq(("abab", 3L), ("cab", 2L)).toDF("word", "freq")
+    val m = BpeTrain.merges(wf, 2)
+    assert(m == Seq((0L, "a", "b"), (1L, "ab", "ab")))
+  }
+
+  test("BPE trainer breaks count ties lexicographically like the artifact trainer") {
+    import graft.operators.BpeTrain
+    // "xy" and "yx" both count 2: lexicographic (x,y) < (y,x)
+    val wf = Seq(("xy", 2L), ("yx", 2L)).toDF("word", "freq")
+    assert(BpeTrain.merges(wf, 1) == Seq((0L, "x", "y")))
+  }
+
+  test("BPE trainer stops early when no pairs remain") {
+    import graft.operators.BpeTrain
+    val wf = Seq(("ab", 5L), ("c", 9L)).toDF("word", "freq")
+    // one merge fuses ab; every word is then single-token
+    assert(BpeTrain.merges(wf, 10).map(t => (t._2, t._3)) == Seq(("a", "b")))
+  }
+
+  test("engine-trained BPE equals the independent Python artifact rank-for-rank") {
+    import graft.operators.BpeTrain
+    import graft.functions.{BpeApply, TextFns}
+    // fixtures/bpe_merges.parquet was trained by scripts/
+    // make_fixtures.py's classic scanner-loop trainer on the sf0.1
+    // word frequencies — train in-engine on the same input and demand
+    // identity, then close the loop: applying the ENGINE-trained
+    // table must reproduce the fixture's independent encodings.
+    val wf = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val mine = BpeTrain.merges(wf, 16)
+    val fixture = spark.read
+      .parquet(graft.util.RepoRoot.fixture("bpe_merges.parquet"))
+      .orderBy(col("rank")).collect().toSeq
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left"),
+        r.getAs[String]("right")))
+    assert(mine == fixture)
+    val merges = mine.map(t => (t._2, t._3))
+    val got = wf.select(col("word"),
+        array_join(BpeApply.tokens(col("word"), merges), " ").as("tokens"))
+      .as[(String, String)].collect().toMap
+    val exp = spark.read
+      .parquet(graft.util.RepoRoot.fixture("q101_expected.parquet"))
+      .select(col("word"), array_join(col("tokens"), " ").as("tokens"))
+      .as[(String, String)].collect().toMap
+    assert(got == exp)
+  }
 }
