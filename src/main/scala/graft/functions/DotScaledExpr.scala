@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Tight-loop kernel for the scaled-long dot product. */
 object VectorKernels {
@@ -27,6 +27,25 @@ object VectorKernels {
     var i = 0
     while (i < n) {
       s += halfUpLong(a.getFloat(i).toDouble * b.getFloat(i).toDouble * 1e10)
+      i += 1
+    }
+    s
+  }
+
+  /** [[dotScaled]] with per-side element width (float corpus ×
+    * double centroids — k-means-trained centroids are exact
+    * 6-decimal DOUBLES that float narrowing would corrupt). The
+    * `aDouble`/`bDouble` flags are codegen-time constants, so the JIT
+    * sees a branch-free loop. */
+  def dotScaledW(a: ArrayData, aDouble: Boolean,
+                 b: ArrayData, bDouble: Boolean): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val x = if (aDouble) a.getDouble(i) else a.getFloat(i).toDouble
+      val y = if (bDouble) b.getDouble(i) else b.getFloat(i).toDouble
+      s += halfUpLong(x * y * 1e10)
       i += 1
     }
     s
@@ -93,17 +112,31 @@ object DotScaledExpr {
 
 case class DotScaledExpr(left: Expression, right: Expression)
     extends BinaryExpression {
-  // the kernel reads 4-byte floats from ArrayData: any other element
-  // width would silently return garbage, so analysis must reject it
-  // (the SQL registry exposes this expression to arbitrary SQL text)
-  override def checkInputDataTypes(): TypeCheckResult =
-    DotScaledExpr.requireFloatArrays("dot_scaled", Seq(left, right))
+  // the kernel reads fixed-width elements from ArrayData: any other
+  // element width would silently return garbage, so analysis must
+  // reject it (the SQL registry exposes this expression to arbitrary
+  // SQL text). FLOAT (raw embeddings) and DOUBLE (k-means-trained
+  // centroids) are each allowed per side.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val bad = Seq(left, right).map(_.dataType).filterNot {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (bad.isEmpty) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_scaled expects ARRAY<FLOAT|DOUBLE> inputs, got ${bad.map(_.catalogString).mkString(", ")}")
+  }
+  private def isDouble(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
   override def dataType: DataType = LongType
   override protected def nullSafeEval(l: Any, r: Any): Any =
-    VectorKernels.dotScaled(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+    VectorKernels.dotScaledW(l.asInstanceOf[ArrayData], isDouble(left),
+      r.asInstanceOf[ArrayData], isDouble(right))
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (l, r) =>
-      s"graft.functions.VectorKernels.dotScaled($l, $r)")
+      s"graft.functions.VectorKernels.dotScaledW($l, ${isDouble(left)}, $r, ${isDouble(right)})")
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotScaledExpr =
     copy(left = newLeft, right = newRight)

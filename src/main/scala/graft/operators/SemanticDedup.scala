@@ -34,9 +34,15 @@ import org.apache.spark.sql.types.DoubleType
   */
 object SemanticDedup {
 
+  /** @param strictCap oracle-verified callers (q97, q103) pass true:
+    *   if any cell exceeds `maxCell`, the star-cap would silently
+    *   drop only the hub's near-dups — a divergence from the stated
+    *   "any smaller-id near-dup" rule that no oracle can see — so
+    *   fail loudly naming the hot cell instead. Pass false only for
+    *   best-effort dedup where capped recall is acceptable. */
   def apply(vectors: DataFrame, idCol: String, vecCol: String,
             centroids: DataFrame, threshold: Double,
-            maxCell: Int = 1000): DataFrame = {
+            maxCell: Int = 1000, strictCap: Boolean = true): DataFrame = {
     val assigned = SimilaritySearch.assignCells(
       vectors.select(col(idCol), col(vecCol)), centroids, idCol, vecCol)
     // materialize once: the assignment pipeline feeds BOTH the pair
@@ -46,6 +52,17 @@ object SemanticDedup {
         col(idCol).as("id"), col(vecCol).as("vec"),
         VectorFns.normSqScaled(col(vecCol)).as("_n"))
       .localCheckpoint()
+    if (strictCap) {
+      // one tiny aggregate over the already-materialized checkpoint
+      val hot = banded.groupBy(col("cell_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxCell)
+        .orderBy(col("n").desc, col("cell_id")).limit(1).collect()
+      if (hot.nonEmpty) throw new IllegalStateException(
+        s"SemanticDedup: cell ${hot(0).get(0)} holds ${hot(0).getLong(1)} " +
+          s"vectors > maxCell=$maxCell — the star-cap would silently " +
+          "diverge from the all-pairs rule; raise maxCell, train more " +
+          "centroids, or opt into capped recall with strictCap=false")
+    }
     val pairs = Dedup.starCappedPairs(banded, Seq("cell_id"), Seq("vec", "_n"), maxCell)
       .withColumn("cosine",
         when(col("_n_a") === 0 || col("_n_b") === 0, lit(null).cast(DoubleType))

@@ -333,6 +333,75 @@ object VectorQueries {
            |  CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS INT) AS kept
            |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id_b
            |ORDER BY a.vec_id""".stripMargin
+      }),
+
+    // SemDeDup END-TO-END: q97 consumes pre-supplied centroids; the
+    // published method (arXiv:2303.09540 §2) k-means-TRAINS them
+    // first. This composes [[KMeansTrain]] (the q89 Lloyd step to a
+    // fixed 3 iterations, deterministic min-id init, k=8) with
+    // [[SemanticDedup]] — the full cluster-then-dedup pipeline with
+    // no artifact input. The oracle replays the ENTIRE composition:
+    // a recursive CTE runs the three Lloyd iterations (argmin
+    // assignment + per-dim scaled-long means rounded to 6 decimals,
+    // empty cells keeping their centroid), then the q97 dedup shape
+    // consumes the trained table. Engine-side centroids are exact
+    // 6-decimal DOUBLES (the dot kernel reads float×double directly —
+    // float narrowing would corrupt them).
+    Q("q103_semdedup_trained",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val centroids = graft.operators.KMeansTrain.train(
+          emb.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", k = 8, iters = 3)
+        graft.operators.SemanticDedup(
+          emb.select(col("vec_id"), col("embedding")),
+          "vec_id", "embedding", centroids, threshold = 0.35)
+          .select(col("id").as("vec_id"), col("cell_id"), col("kept"))
+          .orderBy(col("vec_id"))
+      },
+      Some {
+        def l2(a: String, b: String) =
+          s"(${normSql(a)} - 2 * ${dotSql(a, b)} + ${normSql(b)})"
+        s"""WITH RECURSIVE t(iter, cell_id, cell_vec) AS (
+           |  SELECT 0, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+           |  FROM embeddings WHERE vec_id < 8
+           |  UNION ALL
+           |  SELECT iter + 1, t.cell_id, COALESCE(m.nv, t.cell_vec)
+           |  FROM t LEFT JOIN (
+           |    SELECT cid, list(v ORDER BY i) AS nv FROM (
+           |      SELECT cid, i, round(CAST(CAST(SUM(xs) AS BIGINT) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1e10, 6) AS v
+           |      FROM (
+           |        SELECT a.cid, u.i, CAST(round(CAST(a.embedding[u.i] AS DOUBLE) * 1e10, 0) AS BIGINT) AS xs
+           |        FROM (
+           |          SELECT vec_id, embedding, cid FROM (
+           |            SELECT e.vec_id, e.embedding, c.cell_id AS cid,
+           |              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |                ORDER BY ${l2("e.embedding", "c.cell_vec")}, c.cell_id) AS rn
+           |            FROM embeddings e, t c) s WHERE rn = 1) a,
+           |        unnest(generate_series(1, len(a.embedding))) AS u(i)
+           |      ) GROUP BY cid, i
+           |    ) GROUP BY cid
+           |  ) m ON m.cid = t.cell_id
+           |  WHERE iter < 3
+           |),
+           |cent AS (SELECT cell_id, cell_vec FROM t WHERE iter = 3),
+           |v AS (SELECT vec_id, embedding AS ev FROM embeddings),
+           |assigned AS (SELECT vec_id, ev, cell_id FROM (
+           |    SELECT v.vec_id, v.ev, cent.cell_id,
+           |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+           |        ORDER BY ${l2("ev", "cell_vec")}, cell_id) AS arn
+           |    FROM v, cent) t2 WHERE arn = 1),
+           |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           |    CASE WHEN ${normSql("a.ev")} = 0 OR ${normSql("b.ev")} = 0 THEN NULL
+           |      ELSE CAST(${dotSql("a.ev", "b.ev")} AS DOUBLE)
+           |        / sqrt(CAST(${normSql("a.ev")} AS DOUBLE) * CAST(${normSql("b.ev")} AS DOUBLE)) END AS cosine
+           |  FROM assigned a JOIN assigned b
+           |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+           |dropped AS (SELECT DISTINCT id_b FROM pairs WHERE cosine >= 0.35)
+           |SELECT a.vec_id, a.cell_id,
+           |  CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+           |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id_b
+           |ORDER BY a.vec_id""".stripMargin
       })
   )
 }

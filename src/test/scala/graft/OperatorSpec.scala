@@ -145,6 +145,66 @@ class OperatorSpec extends SparkSpec {
     assert(repart == out)
   }
 
+  test("semantic dedup fails loudly when a cell exceeds the star-cap") {
+    val vecs = (0L until 8L).map(i => (i, Array(1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val centroids = Seq((100L, Array(1f, 0f))).toDF("cell_id", "cell_vec")
+    val e = intercept[IllegalStateException] {
+      graft.operators.SemanticDedup(vecs, "vec_id", "embedding",
+        centroids, threshold = 0.95, maxCell = 5)
+    }
+    assert(e.getMessage.contains("maxCell"))
+    // capped best-effort mode still runs
+    val out = graft.operators.SemanticDedup(vecs, "vec_id", "embedding",
+      centroids, threshold = 0.95, maxCell = 5, strictCap = false)
+    assert(out.count() == 8)
+  }
+
+  test("kmeans trainer converges to the obvious centroids on separated blobs") {
+    import graft.operators.KMeansTrain
+    // ids 0,1 seed the two clusters (min-id init); members sit
+    // symmetrically so the converged centroid is the blob mean
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (2L, Array(3f, 0f)),
+      (1L, Array(0f, 1f)), (3L, Array(0f, 3f))
+    ).toDF("vec_id", "embedding")
+    val cents = KMeansTrain.train(vecs, "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(cents(0L) == Seq(2.0, 0.0) && cents(1L) == Seq(0.0, 2.0))
+
+    // partition invariance: scaled-long sums and fixed division order
+    val repart = KMeansTrain.train(
+      vecs.repartition(5), "vec_id", "embedding", k = 2, iters = 3)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(repart == cents)
+  }
+
+  test("kmeans trainer keeps an empty cluster's previous centroid") {
+    import graft.operators.KMeansTrain
+    // both seeds are the identical vector: the (distance, cell_id)
+    // tie-break routes EVERY point to centroid 0, so cluster 1 is
+    // empty from the first iteration and must keep its previous
+    // centroid rather than NULL out
+    val vecs = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(1f, 0f)), (2L, Array(1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val cents = KMeansTrain.train(vecs, "vec_id", "embedding", k = 2, iters = 2)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(cents.size == 2)
+    assert(cents(0L) == Seq(1.0, 0.0) && cents(1L) == Seq(1.0, 0.0))
+  }
+
+  test("mixed float/double dot kernel equals the all-double computation") {
+    val df = Seq((Array(0.1f, -0.25f, 3.75f), Array(-1.523456, 0.5, 2.25)))
+      .toDF("a", "b")
+    val kernel = df.select(VectorFns.dotScaled(col("a"), col("b"))).head().getLong(0)
+    val hof = df.select(aggregate(
+      zip_with(col("a"), col("b"), (x, y) =>
+        round(x.cast("double") * y.cast("double") * lit(1e10), 0).cast("long")),
+      lit(0L), (acc, e) => acc + e)).head().getLong(0)
+    assert(kernel == hof)
+  }
+
   test("bigram LM scores match hand-computed smoothed probabilities") {
     // corpus "aab","ab": grams aa→1 ab→2; context a→3; V=1
     // p(aa)=(1+1)/(3+1)=0.5→5e11 (floor-log2 38, surprisal 2)

@@ -280,7 +280,8 @@ class SqlParitySpec extends SparkSpec {
     "q47_embedding_neardup" -> "list_zip positional struct access + in-aggregate ORDER BY string_agg",
     "q53_asof_join" -> "ASOF JOIN syntax is DuckDB-only; Spark SQL has no as-of join (the AsOfJoin operator fills this)",
     "q82_sliding_windows" -> "time_bucket + correlated lateral unnest(generate_series); Spark expresses this as window()/explode(sequence()) in the DataFrame path",
-    "q102_bpe_train" -> "iterative trainer: DuckDB runs it as a recursive CTE with an aggregate + second recursive reference per step (list_reduce scanner apply); Spark SQL recursion allows neither — the BpeTrain driver loop is the engine surface")
+    "q102_bpe_train" -> "iterative trainer: DuckDB runs it as a recursive CTE with an aggregate + second recursive reference per step (list_reduce scanner apply); Spark SQL recursion allows neither — the BpeTrain driver loop is the engine surface",
+    "q103_semdedup_trained" -> "same recursive-CTE trainer shape as q102 (Lloyd iterations need an aggregate over the recursive reference); the KMeansTrain driver loop is the engine surface")
 
   private def canon(df: DataFrame): (Seq[String], Seq[Seq[String]]) = {
     val cols = df.columns.sorted.toSeq
