@@ -308,7 +308,7 @@ object CoreQueries {
              |       WHEN cur_raw IS NULL THEN 'USD'
              |       WHEN upper(trim(cur_raw))[1:3] IN ('USD','CRC') THEN upper(trim(cur_raw))[1:3]
              |       ELSE 'USD' END AS currency,
-             |  CASE WHEN len(regexp_extract('beds: ' || CAST(o_orderkey % 40 AS VARCHAR), '(\d+)', 1)) BETWEEN 1 AND 18
+             |  CASE WHEN length(regexp_extract('beds: ' || CAST(o_orderkey % 40 AS VARCHAR), '(\d+)', 1)) BETWEEN 1 AND 18
              |        AND TRY_CAST(regexp_extract('beds: ' || CAST(o_orderkey % 40 AS VARCHAR), '(\d+)', 1) AS BIGINT) <= 30
              |    THEN TRY_CAST(regexp_extract('beds: ' || CAST(o_orderkey % 40 AS VARCHAR), '(\d+)', 1) AS BIGINT)
              |    ELSE NULL END AS beds

@@ -160,6 +160,83 @@ object DuckToSpark {
     out.toString
   }
 
+  /** Bracket operations with a CALL base or a slice body —
+    * `f(x)[i]` → `element_at(f(x), i)`,
+    * `f(x)[a:b]` → `slice(...)` for list-producing bases
+    * (string_split/split/list_*) or `substr(...)` otherwise (DuckDB
+    * spells BOTH list and string slicing `[a:b]`; the base function
+    * decides which). Plain identifier indexing (`toks[i]`) is left
+    * for the later element_at regex renames. */
+  private def rewriteBracketOps(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val at = sql.indexOf('[', i)
+      if (at < 0) { out.append(sql.substring(i)); i = sql.length }
+      else {
+        val prev = if (at == 0) ' ' else sql.charAt(at - 1)
+        var depth = 0; var j = at; var end = -1; var inStr = false
+        while (end < 0 && j < sql.length) {
+          val c = sql.charAt(j)
+          if (c == '\'') inStr = !inStr
+          else if (!inStr && c == '[') depth += 1
+          else if (!inStr && c == ']') { depth -= 1; if (depth == 0) end = j }
+          j += 1
+        }
+        require(end > 0, s"unbalanced bracket at $at in oracle SQL")
+        val content = sql.substring(at + 1, end)
+        var d2 = 0; var colon = -1; var k = 0; var inS2 = false
+        while (k < content.length) {
+          val c = content.charAt(k)
+          if (c == '\'') inS2 = !inS2
+          else if (!inS2 && (c == '(' || c == '[')) d2 += 1
+          else if (!inS2 && (c == ')' || c == ']')) d2 -= 1
+          else if (!inS2 && c == ':' && d2 == 0) colon = k
+          k += 1
+        }
+        val isCallBase = prev == ')'
+        if (!isCallBase && colon < 0) {
+          // identifier index (or a list literal with no base at all)
+          out.append(sql.substring(i, end + 1)); i = end + 1
+        } else {
+          var b = at - 1
+          if (isCallBase) {
+            var pd = 0; var done = false
+            while (!done && b >= 0) {
+              sql.charAt(b) match {
+                case ')' => pd += 1
+                case '(' => pd -= 1; if (pd == 0) done = true
+                case _ =>
+              }
+              if (!done) b -= 1
+            }
+            b -= 1
+            while (b >= 0 && (sql.charAt(b).isLetterOrDigit ||
+              sql.charAt(b) == '_' || sql.charAt(b) == '.')) b -= 1
+            b += 1
+          } else {
+            while (b >= 0 && (sql.charAt(b).isLetterOrDigit ||
+              sql.charAt(b) == '_' || sql.charAt(b) == '.')) b -= 1
+            b += 1
+          }
+          val base = sql.substring(b, at)
+          out.append(sql.substring(i, b))
+          if (colon < 0) out.append(s"element_at($base, $content)")
+          else {
+            val from = content.substring(0, colon).trim
+            val to = content.substring(colon + 1).trim
+            val isList = base.startsWith("string_split(") ||
+              base.startsWith("split(") || base.startsWith("list_")
+            if (isList) out.append(s"slice($base, $from, ($to) - ($from) + 1)")
+            else out.append(s"substr($base, $from, ($to) - ($from) + 1)")
+          }
+          i = end + 1
+        }
+      }
+    }
+    out.toString
+  }
+
   def translate(duck: String): String = {
     var s = duck
     // Spark string literals treat backslash as an escape (\s → s);
@@ -170,6 +247,42 @@ object DuckToSpark {
     s = rewriteLateralUnnest(s)
     s = rewriteZip(s)
     s = rewriteHexCast(s)
+    s = rewriteBracketOps(s)
+    s = rewriteCall(s, "string_split", { a =>
+      // Spark's split() delimiter is a REGEX; escape metacharacters in
+      // literal delimiters ('.' would otherwise split every char).
+      // The backslash-doubling pass already ran, so emit Spark-ready
+      // escapes directly.
+      val parts = splitArgs(a)
+      val delim = parts(1)
+      val escaped =
+        if (delim.length >= 2 && delim.head == '\'' && delim.last == '\'')
+          "'" + delim.substring(1, delim.length - 1)
+            .flatMap(c => if (".^$|?*+()[]{}".contains(c)) s"\\\\$c" else c.toString) + "'"
+        else delim
+      s"split(${parts(0)}, $escaped)"
+    })
+    s = rewriteCall(s, "time_bucket", { a =>
+      // time_bucket(INTERVAL 'N minutes', ts): epoch-aligned floor
+      // (DuckDB's 2000-01-03 origin is a whole number of N-minute
+      // buckets after the epoch for the corpus's N)
+      val Seq(interval, ts) = splitArgs(a)
+      val m = "INTERVAL '(\\d+) minutes?'".r.findFirstMatchIn(interval)
+        .getOrElse(throw new IllegalArgumentException(s"time_bucket($interval)"))
+      val secs = m.group(1).toInt * 60
+      s"timestamp_seconds((unix_timestamp($ts) DIV $secs) * $secs)"
+    })
+    s = rewriteCall(s, "string_agg", { a =>
+      // in-aggregate ORDER BY (any expression) → WITHIN GROUP
+      val parts = splitArgs(a)
+      if (parts.size == 2 && parts(1).contains(" ORDER BY ")) {
+        val Array(sep, key) = parts(1).split(" ORDER BY ", 2)
+        s"string_agg(${parts(0)}, ${sep.trim}) WITHIN GROUP (ORDER BY ${key.trim})"
+      } else s"string_agg($a)"
+    })
+    // `k * INTERVAL 'N minutes'` (day-time interval scaling)
+    s = s.replaceAll("\\b([a-z_][a-z_0-9.]*) \\* INTERVAL '(\\d+) minutes?'",
+      "make_dt_interval(0, 0, ($1) * $2, 0)")
     s = rewriteCall(s, "list_slice", { a =>
       // DuckDB list_slice(l, a, b) is 1-based inclusive; Spark slice
       // takes (l, start, length)
@@ -247,10 +360,8 @@ object DuckToSpark {
     // window IGNORE NULLS sits inside the call parens in DuckDB,
     // outside in Spark
     s = s.replaceAll("\\s+IGNORE NULLS\\)", ") IGNORE NULLS")
-    // in-aggregate ORDER BY → WITHIN GROUP
-    s = s.replaceAll(
-      "string_agg\\(([A-Za-z_.]+), ('[^']*') ORDER BY ([A-Za-z_.]+)\\)",
-      "string_agg($1, $2) WITHIN GROUP (ORDER BY $3)")
+    // (in-aggregate ORDER BY is handled structurally by the
+    // string_agg rewriteCall above)
     // element indexing + list literals (after the list_* renames so we
     // only see value-position brackets)
     // DuckDB indexing is 1-based for both literal and variable
@@ -274,12 +385,9 @@ class SqlParitySpec extends SparkSpec {
     * is exactly the gap a custom operator or DataFrame formulation
     * fills, so the exclusion documents WHY the engine surface exists. */
   private val exclusions: Map[String, String] = Map(
-    "q13_clean_price" -> "list slicing l[1:n] has no Spark SQL equivalent (DataFrame uses slice())",
     "q41_cluster_unify" -> "recursive CTE termination needs UNION distinct; Spark recursion is UNION ALL only (the ClusterUnify operator exists for exactly this)",
     "q86_dedup_survivors" -> "same UNION-distinct recursive closure as q41 (ClusterUnify fills the gap)",
-    "q47_embedding_neardup" -> "list_zip positional struct access + in-aggregate ORDER BY string_agg",
     "q53_asof_join" -> "ASOF JOIN syntax is DuckDB-only; Spark SQL has no as-of join (the AsOfJoin operator fills this)",
-    "q82_sliding_windows" -> "time_bucket + correlated lateral unnest(generate_series); Spark expresses this as window()/explode(sequence()) in the DataFrame path",
     "q102_bpe_train" -> "iterative trainer: DuckDB runs it as a recursive CTE with an aggregate + second recursive reference per step (list_reduce scanner apply); Spark SQL recursion allows neither — the BpeTrain driver loop is the engine surface",
     "q103_semdedup_trained" -> "same recursive-CTE trainer shape as q102 (Lloyd iterations need an aggregate over the recursive reference); the KMeansTrain driver loop is the engine surface")
 
