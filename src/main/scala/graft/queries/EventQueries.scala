@@ -10,18 +10,27 @@ import org.apache.spark.sql.types._
   * tumbling windows, gap sessionization, CDC delta — batch forms here;
   * the Structured Streaming variants live in graft.streaming.
   *
-  * The driver's `events.parquet` carries TIMESTAMP(NANOS), which Spark
-  * deliberately does not map to its µs TimestampType; we read nanos as
-  * long (legacy conf) and floor-convert with integer division — exactly
-  * what the DuckDB oracle's TIMESTAMP_NS → TIMESTAMP cast does.
+  * The driver's `events.parquet` has carried `ts` as either
+  * TIMESTAMP(NANOS) (which Spark deliberately does not map to its µs
+  * TimestampType — we read nanos as long via the legacy conf and
+  * floor-convert) or native TIMESTAMP(MICROS) (which Spark maps
+  * directly). Normalize both to µs TimestampType here so every
+  * downstream query sees one shape; the DuckDB oracle's
+  * `CAST(ts AS TIMESTAMP)` is the same floor-to-µs on either carrier.
   */
 object EventQueries {
 
-  /** events with `ts` as µs TimestampType (exact floor of the ns value). */
+  /** events with `ts` as µs TimestampType (exact floor of the stored value). */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables(s, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = Tables(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case TimestampType => raw
+      case LongType =>
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other; expected TIMESTAMP or ns-as-long")
+    }
   }
 
   val all: Seq[Q] = Seq(

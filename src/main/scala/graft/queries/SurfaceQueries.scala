@@ -23,15 +23,14 @@ object SurfaceQueries {
     Q("q65_status_machine",
       (s, dir) => {
         import s.implicits._
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val ev = Tables(s, dir, "events")
+        val ev = EventQueries.events(s, dir)
           .select(col("user_id").cast(StringType).as("content_id"),
             when(col("event_type") === "signup", "start")
               .when(col("event_type") === "purchase", "ok")
               .when(col("event_type") === "error", "fail")
               .when(col("event_type") === "click", "retry")
               .otherwise("invalidate").as("event"),
-            expr("ts div 1000").cast(LongType).as("at"))
+            unix_micros(col("ts")).as("at"))
           .as[StatusEvent]
         StatusMachine.run(ev).toDF()
           .orderBy(col("content_id"))

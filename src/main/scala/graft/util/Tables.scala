@@ -25,12 +25,19 @@ object Tables {
   @volatile private var cacheEnabled = false
   def enableSessionCache(): Unit = cacheEnabled = true
 
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // The driver's parquet stores naive (not UTC-adjusted) timestamps;
+    // read them as TimestampType (session tz = UTC) rather than NTZ so
+    // every query keeps one timestamp shape regardless of how the
+    // generator wrote the column. Runtime conf — covers this session's
+    // later direct reads too.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     if (cacheEnabled)
       cache.getOrElseUpdate((sfDir, name),
         spark.read.parquet(s"$sfDir/$name.parquet")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     else spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Session tuned for the graft engine. local[32] here; on a real
     * cluster the same knobs come from spark-submit. AQE handles runtime
@@ -45,6 +52,7 @@ object Tables {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
   }
