@@ -13,11 +13,15 @@ import org.apache.spark.sql.DataFrame
   * mechanical renames (VARCHAR→STRING, list_*→array fns, unnest→
   * explode, `//`→DIV, epoch→unix_timestamp, path literals →
   * parquet.`path`, …) that account for almost the whole gap — the
-  * queries themselves are ANSI-shaped on purpose. What remains is the
-  * documented [[SqlParitySpec.exclusions]] list: constructs DuckDB has
-  * and Spark SQL genuinely lacks (ASOF JOIN, UNION-distinct recursive
-  * CTEs, list slicing, hex-string→int casts, correlated lateral
-  * unnest). Everything else must parse AND match exactly.
+  * queries themselves are ANSI-shaped on purpose. Queries whose
+  * DuckDB text uses a construct Spark's parser lacks but whose
+  * semantics are plain SQL run from a documented per-query Spark SQL
+  * override (ASOF JOIN → banded join + ROW_NUMBER; the fixed-iteration
+  * trainers → unrolled chained CTEs). What remains is the
+  * [[SqlParitySpec.exclusions]] list: the UNION-distinct recursive
+  * closure, whose iteration count is data-dependent — genuinely
+  * inexpressible as Spark SQL text. Everything else must parse AND
+  * match exactly.
   */
 object DuckToSpark {
 
@@ -385,11 +389,167 @@ class SqlParitySpec extends SparkSpec {
     * is exactly the gap a custom operator or DataFrame formulation
     * fills, so the exclusion documents WHY the engine surface exists. */
   private val exclusions: Map[String, String] = Map(
-    "q41_cluster_unify" -> "recursive CTE termination needs UNION distinct; Spark recursion is UNION ALL only (the ClusterUnify operator exists for exactly this)",
-    "q86_dedup_survivors" -> "same UNION-distinct recursive closure as q41 (ClusterUnify fills the gap)",
-    "q53_asof_join" -> "ASOF JOIN syntax is DuckDB-only; Spark SQL has no as-of join (the AsOfJoin operator fills this)",
-    "q102_bpe_train" -> "iterative trainer: DuckDB runs it as a recursive CTE with an aggregate + second recursive reference per step (list_reduce scanner apply); Spark SQL recursion allows neither — the BpeTrain driver loop is the engine surface",
-    "q103_semdedup_trained" -> "same recursive-CTE trainer shape as q102 (Lloyd iterations need an aggregate over the recursive reference); the KMeansTrain driver loop is the engine surface")
+    "q41_cluster_unify" -> "recursive CTE termination needs UNION distinct; Spark recursion is UNION ALL only, and the iteration count (graph diameter) is data-dependent so unrolling is impossible (the ClusterUnify operator exists for exactly this)",
+    "q86_dedup_survivors" -> "same UNION-distinct recursive closure as q41 (ClusterUnify fills the gap)")
+
+  /** Spark SQL texts for queries whose DuckDB oracle leans on a
+    * construct Spark's PARSER lacks, but whose SEMANTICS are plain
+    * SQL — so the engine surface stays SQL-expressible and the sweep
+    * verifies it instead of excluding it:
+    *   - q53: DuckDB's ASOF LEFT JOIN is syntactic sugar for "latest
+    *     right row at or before" — a banded left join + ROW_NUMBER
+    *     picks the same row (ties by max right id, matching
+    *     AsOfJoin's last-wins carry).
+    *   - q102/q103: DuckDB replays the trainers as recursive CTEs
+    *     that aggregate over the recursive reference — Spark
+    *     recursion forbids that, but both trainers run a FIXED
+    *     iteration count that is part of the query definition, so the
+    *     loop unrolls faithfully into chained CTEs (generated, one
+    *     block per iteration).
+    * Each override is compared against the DataFrame implementation
+    * exactly like a translated oracle. */
+  private lazy val sparkOverrides: Map[String, String] = Map(
+    "q53_asof_join" ->
+      """WITH p AS (SELECT event_id, user_id, ts
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, ts, MAX(event_id) AS view_id
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |j AS (SELECT p.event_id, p.user_id, v.view_id,
+        |    ROW_NUMBER() OVER (PARTITION BY p.event_id
+        |      ORDER BY v.ts DESC NULLS LAST, v.view_id DESC NULLS LAST) AS rn
+        |  FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts)
+        |SELECT event_id, user_id, view_id FROM j WHERE rn = 1
+        |ORDER BY event_id""".stripMargin,
+    "q102_bpe_train" -> bpeUnrolled(16),
+    "q103_semdedup_trained" -> kmeansUnrolled(iters = 3, k = 8))
+
+  /** q102 unrolled: wordcount → char-split init, then ONE CTE per merge
+    * step. Spark inlines CTEs (no materialization), so a step that
+    * references its predecessor twice — once for the pair argmax, once
+    * for the rows — doubles the inlined plan per level: 2^16 blowup.
+    * Instead each step references its predecessor exactly once and
+    * carries the winning pair ON the rows: explode adjacent pairs
+    * (outer, so pairless words survive), count by a partition window,
+    * pick the global argmax by an unbounded window with the
+    * (n DESC, pair) tie-break, DISTINCT back to one row per word, then
+    * scanner-fold the re-encode with aggregate() (list_reduce's
+    * explicit-init form). The pair is kept as `l SEP2 r`; comparing
+    * that string equals comparing (l, r) because SEP2 sorts below
+    * every token character. */
+  private def bpeUnrolled(iters: Int): String = {
+    val d1 = "chr(1)"
+    val d2 = "chr(2)"
+    val sb = new StringBuilder
+    sb ++= s"""WITH wf AS (
+      |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+      |    SELECT explode(filter(split(trim(text), '\\\\s+'), x -> x <> '')) AS word
+      |    FROM documents) GROUP BY word),
+      |t0 AS (SELECT word, freq,
+      |  substr(regexp_replace(word, '(.)', concat($d1, '$$1')), 2) AS enc,
+      |  CAST(array() AS ARRAY<STRING>) AS hist FROM wf)""".stripMargin
+    for (k <- 0 until iters) {
+      sb ++= s""",
+      |t${k + 1} AS (
+      |  SELECT word, freq,
+      |    substr(aggregate(split(enc, $d1), $d2,
+      |      (acc, x) -> CASE
+      |        WHEN endswith(acc, concat($d1, element_at(split(bp, $d2), 1)))
+      |          AND x = element_at(split(bp, $d2), 2)
+      |        THEN concat(acc, x) ELSE concat(acc, $d1, x) END), 3) AS enc,
+      |    array_append(hist, bp) AS hist
+      |  FROM (
+      |    SELECT DISTINCT word, freq, enc, hist,
+      |      FIRST_VALUE(p) OVER (ORDER BY n DESC NULLS LAST, p
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS bp
+      |    FROM (
+      |      SELECT word, freq, enc, hist, p,
+      |        CASE WHEN p IS NULL THEN NULL
+      |          ELSE SUM(freq) OVER (PARTITION BY p) END AS n
+      |      FROM (SELECT word, freq, enc, hist, split(enc, $d1) AS toks FROM t$k)
+      |      LATERAL VIEW OUTER explode(
+      |        CASE WHEN size(toks) >= 2 THEN transform(sequence(1, size(toks) - 1),
+      |          i -> concat(element_at(toks, i), $d2, element_at(toks, i + 1)))
+      |        ELSE CAST(array() AS ARRAY<STRING>) END) u AS p
+      |    )
+      |  )
+      |)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT CAST(pos AS BIGINT) AS rank,
+      |  element_at(split(m, $d2), 1) AS `left`,
+      |  element_at(split(m, $d2), 2) AS `right`
+      |FROM (SELECT hist FROM t$iters LIMIT 1)
+      |LATERAL VIEW posexplode(hist) u AS pos, m
+      |ORDER BY rank""".stripMargin
+    sb.toString
+  }
+
+  // exact scaled-long dot/norm — the Spark spellings of
+  // VectorQueries.dotSql/normSql (zip_with/transform + aggregate fold)
+  private def dotS(a: String, b: String): String =
+    s"CAST(aggregate(zip_with($a, $b, (zl, zr) -> " +
+      s"CAST(round(CAST(zl AS DOUBLE) * CAST(zr AS DOUBLE) * 1e10, 0) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)"
+  private def normS(a: String): String =
+    s"CAST(aggregate(transform($a, x -> " +
+      s"CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e10, 0) AS BIGINT)), " +
+      s"CAST(0 AS BIGINT), (acc, x) -> acc + x) AS BIGINT)"
+  private def l2S(a: String, b: String): String =
+    s"(${normS(a)} - 2 * ${dotS(a, b)} + ${normS(b)})"
+
+  /** q103 unrolled: min-id init, then one Lloyd step (argmin
+    * assignment + exact scaled-long per-dimension means, empty cells
+    * keep their centroid) per CTE block, then the SemDeDup
+    * assign/pair/drop tail — the DuckDB recursive oracle with the
+    * recursion flattened. */
+  private def kmeansUnrolled(iters: Int, k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH c0 AS (SELECT vec_id AS cell_id,
+      |  transform(embedding, x -> CAST(x AS DOUBLE)) AS cell_vec
+      |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+    for (i <- 0 until iters) {
+      sb ++= s""",
+      |c${i + 1} AS (
+      |  SELECT t.cell_id, coalesce(m.nv, t.cell_vec) AS cell_vec
+      |  FROM c$i t LEFT JOIN (
+      |    SELECT cid, transform(array_sort(collect_list(struct(i, v))),
+      |      s -> s.v) AS nv FROM (
+      |      SELECT cid, i, round(CAST(CAST(SUM(xs) AS BIGINT) AS DOUBLE)
+      |          / CAST(COUNT(*) AS DOUBLE) / 1e10, 6) AS v
+      |      FROM (
+      |        SELECT a.cid, u.i,
+      |          CAST(round(CAST(element_at(a.embedding, u.i) AS DOUBLE) * 1e10, 0) AS BIGINT) AS xs
+      |        FROM (SELECT vec_id, embedding, cid FROM (
+      |            SELECT e.vec_id, e.embedding, c.cell_id AS cid,
+      |              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      |                ORDER BY ${l2S("e.embedding", "c.cell_vec")}, c.cell_id) AS rn
+      |            FROM embeddings e CROSS JOIN c$i c) s WHERE rn = 1) a
+      |        LATERAL VIEW explode(sequence(1, size(a.embedding))) u AS i
+      |      ) GROUP BY cid, i
+      |    ) GROUP BY cid
+      |  ) m ON m.cid = t.cell_id)""".stripMargin
+    }
+    sb ++= s""",
+      |cent AS (SELECT cell_id, cell_vec FROM c$iters),
+      |v AS (SELECT vec_id, embedding AS ev FROM embeddings),
+      |assigned AS (SELECT vec_id, ev, cell_id FROM (
+      |    SELECT v.vec_id, v.ev, cent.cell_id,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${l2S("ev", "cell_vec")}, cell_id) AS arn
+      |    FROM v CROSS JOIN cent) t2 WHERE arn = 1),
+      |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    CASE WHEN ${normS("a.ev")} = 0 OR ${normS("b.ev")} = 0 THEN NULL
+      |      ELSE CAST(${dotS("a.ev", "b.ev")} AS DOUBLE)
+      |        / sqrt(CAST(${normS("a.ev")} AS DOUBLE) * CAST(${normS("b.ev")} AS DOUBLE)) END AS cosine
+      |  FROM assigned a JOIN assigned b
+      |    ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id),
+      |dropped AS (SELECT DISTINCT id_b FROM pairs WHERE cosine >= 0.35)
+      |SELECT a.vec_id, a.cell_id,
+      |  CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS INT) AS kept
+      |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id_b
+      |ORDER BY a.vec_id""".stripMargin
+    sb.toString
+  }
 
   private def canon(df: DataFrame): (Seq[String], Seq[Seq[String]]) = {
     val cols = df.columns.sorted.toSeq
@@ -405,6 +565,10 @@ class SqlParitySpec extends SparkSpec {
   test("every SQL-expressible registry query also runs as Spark SQL text") {
     GraftFunctions.registerAll(spark)
     GraftFunctions.registerViews(spark, sf001)
+    // q102's unrolled trainer chains 33 CTEs — fixed-point analysis
+    // needs more resolution rounds than the 100 default (a limit on
+    // statement size, not semantics)
+    spark.conf.set("spark.sql.analyzer.maxIterations", "500")
     val candidates = Registry.all.filter(q => q.oracle.isDefined)
     val failures = scala.collection.mutable.ArrayBuffer.empty[String]
     var swept = 0
@@ -413,7 +577,9 @@ class SqlParitySpec extends SparkSpec {
         case Some(_) => () // documented dialect gap
         case None =>
           try {
-            val viaSql = canon(spark.sql(DuckToSpark.translate(q.oracle.get)))
+            val sqlText = sparkOverrides.getOrElse(q.name,
+              DuckToSpark.translate(q.oracle.get))
+            val viaSql = canon(spark.sql(sqlText))
             val viaDf = canon(q.run(spark, sf001))
             if (viaSql != viaDf)
               failures += s"${q.name}: MISMATCH sql=${viaSql._2.size} rows df=${viaDf._2.size} rows" +
