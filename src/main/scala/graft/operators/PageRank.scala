@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Fixed-iteration PageRank (power method, Brin & Page 1998) over an
+  * edge table — entity-importance scoring, the graph-quality signal a
+  * training-data pipeline uses to weight sources (harmonic-centrality /
+  * PageRank source weighting a la CommonCrawl) and the third member of
+  * the engine's iterative-graph family next to pointer-jumping CC
+  * ([[ClusterUnify]]) and Lloyd k-means ([[KMeansTrain]]).
+  *
+  * Deterministic by construction so a DuckDB recursive CTE replays it
+  * bit-for-bit (q106):
+  *   - every score is a scaled BIGINT (`scale` = 1e12); sums of longs
+  *     are order-independent, so partial aggregation can't wobble the
+  *     result — no doubles anywhere;
+  *   - per-edge contribution is `score DIV outdeg` (truncating
+  *     non-negative integer division, identical to DuckDB's `//`);
+  *   - the damping mix is integer: `(15 * base) DIV 100 +
+  *     (85 * inc) DIV 100`.
+  *
+  * Scale shape: state is one row per node `(node, outdeg, score)`;
+  * each iteration is edges ⋈ state (shuffle on the node key, the
+  * Pregel message exchange) followed by a map-side-combined SUM per
+  * destination. With edges pre-partitioned on `src` the join reuses
+  * one exchange per iteration; state is `localCheckpoint`ed so
+  * lineage stays flat (the KMeansTrain convention). Every node must
+  * appear as a destination (true for any symmetrized edge set —
+  * callers passing a directed graph should union the reverse edges or
+  * accept dangling-node drop-out).
+  */
+object PageRank {
+
+  /** Run `iters` power iterations over `edges(srcType, srcKey,
+    * dstType, dstKey)` (typed keys let bipartite graphs share the
+    * node space); returns `(node_type, node_key, score)`. */
+  def apply(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(
+      col("srcType").as("st"), col("srcKey").cast(LongType).as("sk"),
+      col("dstType").as("dt"), col("dstKey").cast(LongType).as("dk"))
+    val deg = e.groupBy(col("st"), col("sk"))
+      .agg(count(lit(1)).cast(LongType).as("outdeg"))
+    // node count as a one-row broadcast frame — keeps the whole plan
+    // lazy (no driver-side action) and the base term identical on
+    // every row
+    val nn = deg.agg(count(lit(1)).cast(LongType).as("n"))
+    var state = deg.crossJoin(broadcast(nn))
+      .selectExpr("st AS nt", "sk AS nk", "outdeg",
+        s"CAST($scale AS BIGINT) DIV n AS score")
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      state = state
+        .join(e, col("nt") === col("st") && col("nk") === col("sk"))
+        .selectExpr("dt", "dk", "score DIV outdeg AS c")
+        .groupBy(col("dt"), col("dk"))
+        .agg(sum(col("c")).as("inc"))
+        .join(deg.withColumnRenamed("st", "dt").withColumnRenamed("sk", "dk"),
+          Seq("dt", "dk"))
+        .crossJoin(broadcast(nn))
+        .selectExpr("dt AS nt", "dk AS nk", "outdeg",
+          s"(15 * (CAST($scale AS BIGINT) DIV n)) DIV 100 + (85 * inc) DIV 100 AS score")
+        .localCheckpoint()
+    }
+    state.select(col("nt").as("node_type"), col("nk").as("node_key"), col("score"))
+  }
+}

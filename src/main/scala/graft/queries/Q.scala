@@ -28,7 +28,8 @@ object Registry {
       VectorQueries.all ++ GeoQueries.all ++ MergeQueries.all ++
       ExtraQueries.all ++ DomainQueries.all ++ MultimodalQueries.all ++
       ScaleQueries.all ++ GcQueries.all ++ TemporalQueries.all ++
-      CleanQueries.all ++ SurfaceQueries.all ++ StreamQueries.all
+      CleanQueries.all ++ SurfaceQueries.all ++ StreamQueries.all ++
+      GraphQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

@@ -72,6 +72,97 @@ object TemporalQueries {
              |  round((value - mean) / sqrt(var), 6) AS z
              |FROM events e JOIN st2 ON e.event_type = st2.event_type
              |WHERE abs((value - mean) / sqrt(var)) > 2.5
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // SCD Type-2 interval build: per-user attribute history as
+    // (valid_from, valid_to) rows — change-point detection (lag) →
+    // run ids (running sum) → interval close (lead), the standard
+    // warehouse temporal-snapshot shape. valid_to is NULL on the
+    // current segment.
+    Q("q104_scd2_intervals",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = EventQueries.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val seg = e
+          .withColumn("pt", lag(col("event_type"), 1).over(w))
+          .withColumn("nf",
+            when(col("pt").isNull || col("pt") =!= col("event_type"), 1).otherwise(0))
+          .withColumn("seg_seq", sum(col("nf"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast(LongType))
+        seg.groupBy(col("user_id"), col("seg_seq"))
+          .agg(min(col("event_type")).as("attr"),
+            min(col("ts")).as("valid_from"),
+            count(lit(1)).cast(LongType).as("n_events"))
+          .withColumn("valid_to", lead(col("valid_from"), 1)
+            .over(Window.partitionBy(col("user_id")).orderBy(col("seg_seq"))))
+          .select(col("user_id"), col("seg_seq"), col("attr"),
+            col("valid_from"), col("valid_to"), col("n_events"))
+          .orderBy(col("user_id"), col("seg_seq"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, event_type,
+             |    CAST(ts AS TIMESTAMP) AS t FROM events),
+             |lg AS (SELECT *, LAG(event_type) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id) AS pt FROM e),
+             |fl AS (SELECT *, CASE WHEN pt IS NULL OR pt <> event_type
+             |    THEN 1 ELSE 0 END AS nf FROM lg),
+             |seg AS (SELECT *, CAST(SUM(nf) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             |    AS seg_seq FROM fl),
+             |g AS (SELECT user_id, seg_seq, MIN(event_type) AS attr,
+             |    MIN(t) AS valid_from, CAST(COUNT(*) AS BIGINT) AS n_events
+             |  FROM seg GROUP BY user_id, seg_seq)
+             |SELECT user_id, seg_seq, attr, valid_from,
+             |  LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY seg_seq)
+             |    AS valid_to,
+             |  n_events
+             |FROM g ORDER BY user_id, seg_seq""".stripMargin)),
+
+    // Ordered conversion funnel (view → click → purchase): each stage
+    // keeps users whose stage event happens AT OR AFTER their previous
+    // stage's earliest time — three chained per-user min-aggregates,
+    // each a shuffle on user_id with map-side combine; stage frames
+    // shrink monotonically so the joins broadcast at scale.
+    Q("q105_funnel",
+      (s, dir) => {
+        val ev = EventQueries.events(s, dir)
+        val s1 = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+        val s2 = ev.filter(col("event_type") === "click")
+          .join(s1, "user_id").filter(col("ts") >= col("t1"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+        val s3 = ev.filter(col("event_type") === "purchase")
+          .join(s2, "user_id").filter(col("ts") >= col("t2"))
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        s1.agg(count(lit(1)).cast(LongType).as("n_users"))
+          .selectExpr("CAST(1 AS BIGINT) AS stage", "'view' AS label", "n_users")
+          .unionAll(s2.agg(count(lit(1)).cast(LongType).as("n_users"))
+            .selectExpr("CAST(2 AS BIGINT) AS stage",
+              "'click_after_view' AS label", "n_users"))
+          .unionAll(s3.agg(count(lit(1)).cast(LongType).as("n_users"))
+            .selectExpr("CAST(3 AS BIGINT) AS stage",
+              "'purchase_after_click' AS label", "n_users"))
+          .orderBy(col("stage"))
+      },
+      Some("""WITH s1 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1
+             |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+             |s2 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+             |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+             |  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= s1.t1
+             |  GROUP BY e.user_id),
+             |s3 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+             |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+             |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= s2.t2
+             |  GROUP BY e.user_id)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) AS stage, 'view' AS label,
+             |    CAST(COUNT(*) AS BIGINT) AS n_users FROM s1
+             |  UNION ALL SELECT CAST(2 AS BIGINT), 'click_after_view',
+             |    CAST(COUNT(*) AS BIGINT) FROM s2
+             |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase_after_click',
+             |    CAST(COUNT(*) AS BIGINT) FROM s3)
+             |ORDER BY stage""".stripMargin))
   )
 }

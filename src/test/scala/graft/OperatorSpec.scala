@@ -259,4 +259,26 @@ class OperatorSpec extends SparkSpec {
     val widened = graft.operators.NgramLm.widen(narrow)
     assert(widened.rdd.getNumPartitions == target)
   }
+
+  test("pagerank conserves mass, ranks hubs above leaves, partition-invariant") {
+    // star: hub 0 ↔ leaves 1..4 (symmetrized)
+    val star = (1L to 4L).flatMap(l => Seq(("a", 0L, "a", l), ("a", l, "a", 0L)))
+      .toDF("srcType", "srcKey", "dstType", "dstKey")
+    val scores = graft.operators.PageRank(star, iters = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // integer floor-division loses at most a few units per node/step
+    assert(math.abs(scores.values.sum - 1000000000000L) < 1000L)
+    val hub = scores(0L)
+    (1L to 4L).foreach(l => assert(hub > scores(l)))
+    assert((1L to 4L).map(scores).distinct.size == 1) // symmetric leaves tie
+    // two symmetric nodes end equal regardless of input partitioning
+    val pair = Seq(("a", 10L, "a", 20L), ("a", 20L, "a", 10L))
+      .toDF("srcType", "srcKey", "dstType", "dstKey")
+    Seq(1, 7).foreach { p =>
+      val s = graft.operators.PageRank(pair.repartition(p), iters = 3)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      assert(s(10L) == s(20L))
+      assert(math.abs(s.values.sum - 1000000000000L) < 1000L)
+    }
+  }
 }

@@ -400,9 +400,9 @@ class SqlParitySpec extends SparkSpec {
     *     right row at or before" — a banded left join + ROW_NUMBER
     *     picks the same row (ties by max right id, matching
     *     AsOfJoin's last-wins carry).
-    *   - q102/q103: DuckDB replays the trainers as recursive CTEs
-    *     that aggregate over the recursive reference — Spark
-    *     recursion forbids that, but both trainers run a FIXED
+    *   - q102/q103/q106: DuckDB replays the trainers/power method as
+    *     recursive CTEs that aggregate over the recursive reference —
+    *     Spark recursion forbids that, but all three run a FIXED
     *     iteration count that is part of the query definition, so the
     *     loop unrolls faithfully into chained CTEs (generated, one
     *     block per iteration).
@@ -421,7 +421,8 @@ class SqlParitySpec extends SparkSpec {
         |SELECT event_id, user_id, view_id FROM j WHERE rn = 1
         |ORDER BY event_id""".stripMargin,
     "q102_bpe_train" -> bpeUnrolled(16),
-    "q103_semdedup_trained" -> kmeansUnrolled(iters = 3, k = 8))
+    "q103_semdedup_trained" -> kmeansUnrolled(iters = 3, k = 8),
+    "q106_pagerank" -> pagerankUnrolled(5))
 
   /** q102 unrolled: wordcount → char-split init, then ONE CTE per merge
     * step. Spark inlines CTEs (no materialization), so a step that
@@ -481,6 +482,39 @@ class SqlParitySpec extends SparkSpec {
       |FROM (SELECT hist FROM t$iters LIMIT 1)
       |LATERAL VIEW posexplode(hist) u AS pos, m
       |ORDER BY rank""".stripMargin
+    sb.toString
+  }
+
+  /** q106 unrolled: one CTE per power iteration, each referencing its
+    * predecessor exactly once (the join-aggregate over the symmetrized
+    * edge set regenerates the full node list every step). */
+  private def pagerankUnrolled(iters: Int): String = {
+    val base = "CAST(1000000000000 AS BIGINT) DIV nn.n"
+    val sb = new StringBuilder
+    sb ++= s"""WITH ce AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sup
+      |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+      |edges AS (SELECT 'c' AS st, c AS sk, 's' AS dt, sup AS dk FROM ce
+      |  UNION ALL SELECT 's', sup, 'c', c FROM ce),
+      |deg AS (SELECT st, sk, CAST(COUNT(*) AS BIGINT) AS outdeg
+      |  FROM edges GROUP BY st, sk),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM deg),
+      |t0 AS (SELECT st AS nt, sk AS nk, outdeg, $base AS score
+      |  FROM deg CROSS JOIN nn)""".stripMargin
+    for (i <- 0 until iters) {
+      sb ++= s""",
+      |t${i + 1} AS (
+      |  SELECT e.dt AS nt, e.dk AS nk, d2.outdeg,
+      |    (15 * ($base)) DIV 100
+      |      + (85 * SUM(t$i.score DIV t$i.outdeg)) DIV 100 AS score
+      |  FROM t$i
+      |  JOIN edges e ON e.st = t$i.nt AND e.sk = t$i.nk
+      |  JOIN deg d2 ON d2.st = e.dt AND d2.sk = e.dk
+      |  CROSS JOIN nn
+      |  GROUP BY e.dt, e.dk, d2.outdeg, nn.n)""".stripMargin
+    }
+    sb ++= s"""
+      |SELECT nt AS node_type, nk AS node_key, score FROM t$iters
+      |ORDER BY node_type, node_key""".stripMargin
     sb.toString
   }
 
