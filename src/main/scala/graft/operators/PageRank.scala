@@ -21,15 +21,16 @@ import org.apache.spark.sql.types.LongType
   *   - the damping mix is integer: `(15 * base) DIV 100 +
   *     (85 * inc) DIV 100`.
   *
-  * Scale shape: state is one row per node `(node, outdeg, score)`;
-  * each iteration is edges ⋈ state (shuffle on the node key, the
-  * Pregel message exchange) followed by a map-side-combined SUM per
-  * destination. With edges pre-partitioned on `src` the join reuses
-  * one exchange per iteration; state is `localCheckpoint`ed so
-  * lineage stays flat (the KMeansTrain convention). Every node must
-  * appear as a destination (true for any symmetrized edge set —
-  * callers passing a directed graph should union the reverse edges or
-  * accept dangling-node drop-out).
+  * Scale shape: the edge set is materialized ONCE (with the
+  * destination's outdeg attached, so no per-iteration degree join)
+  * and pre-partitioned on the source key — each iteration then
+  * shuffles only the node-sized state into the join, followed by a
+  * map-side-combined SUM per destination: the Pregel message
+  * exchange, with the big relation stationary. State is
+  * `localCheckpoint`ed so lineage stays flat (the KMeansTrain
+  * convention). Every node must appear as a destination (true for
+  * any symmetrized edge set — callers passing a directed graph
+  * should union the reverse edges or accept dangling-node drop-out).
   */
 object PageRank {
 
@@ -42,24 +43,39 @@ object PageRank {
       col("dstType").as("dt"), col("dstKey").cast(LongType).as("dk"))
     val deg = e.groupBy(col("st"), col("sk"))
       .agg(count(lit(1)).cast(LongType).as("outdeg"))
-    // node count as a one-row broadcast frame — keeps the whole plan
-    // lazy (no driver-side action) and the base term identical on
-    // every row
+      .localCheckpoint()
+    // node count as a one-row broadcast frame — keeps the base term
+    // identical on every row without a driver-side action
     val nn = deg.agg(count(lit(1)).cast(LongType).as("n"))
+    // materialize the iteration-invariant relation once: edges with
+    // the DESTINATION's outdeg attached, so the next state's outdeg
+    // needs no per-iteration join. No pre-partitioning: the iteration
+    // joins broadcast the node-sized state into this stationary
+    // relation, so an edge shuffle would be pure setup cost (callers
+    // with an unbroadcastable node table should repartition on
+    // (st, sk) here and drop the broadcast hint below).
+    val eAug = e
+      .join(deg.select(col("st").as("dt"), col("sk").as("dk"),
+        col("outdeg").as("dst_outdeg")), Seq("dt", "dk"))
+      .localCheckpoint()
     var state = deg.crossJoin(broadcast(nn))
       .selectExpr("st AS nt", "sk AS nk", "outdeg",
         s"CAST($scale AS BIGINT) DIV n AS score")
       .localCheckpoint()
     for (_ <- 0 until iters) {
-      state = state
-        .join(e, col("nt") === col("st") && col("nk") === col("sk"))
-        .selectExpr("dt", "dk", "score DIV outdeg AS c")
-        .groupBy(col("dt"), col("dk"))
+      // broadcast the node-sized state into the stationary edge
+      // relation: no edge shuffle per iteration, only the
+      // map-side-combined contribution aggregate. On a graph whose
+      // node table outgrows the broadcast threshold, drop the hint —
+      // the pre-partitioned eAug then takes a state-side-only shuffle
+      // join (AQE picks the same split at runtime).
+      state = broadcast(state)
+        .join(eAug, col("nt") === col("st") && col("nk") === col("sk"))
+        .selectExpr("dt", "dk", "dst_outdeg", "score DIV outdeg AS c")
+        .groupBy(col("dt"), col("dk"), col("dst_outdeg"))
         .agg(sum(col("c")).as("inc"))
-        .join(deg.withColumnRenamed("st", "dt").withColumnRenamed("sk", "dk"),
-          Seq("dt", "dk"))
         .crossJoin(broadcast(nn))
-        .selectExpr("dt AS nt", "dk AS nk", "outdeg",
+        .selectExpr("dt AS nt", "dk AS nk", "dst_outdeg AS outdeg",
           s"(15 * (CAST($scale AS BIGINT) DIV n)) DIV 100 + (85 * inc) DIV 100 AS score")
         .localCheckpoint()
     }

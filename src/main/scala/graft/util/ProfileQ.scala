@@ -23,9 +23,14 @@ object ProfileQ {
             println(f"  stage ${si.stageId}%-4d $dur%6.2fs tasks=${si.numTasks}%-4d ${si.name.take(70)}")
         }
       })
-    val t0 = System.nanoTime()
-    val n = Registry.byName(name).run(spark, dir).count()
-    println(f"$name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    // cold + warm: the first pass pays JVM/codegen/scan warmup that
+    // Bench amortizes across the suite; the warm pass is the number
+    // comparable to BENCH_r*.json
+    Seq("cold", "warm").foreach { label =>
+      val t0 = System.nanoTime()
+      val n = Registry.byName(name).run(spark, dir).count()
+      println(f"$name[$label]: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
     spark.stop()
   }
 }
