@@ -163,6 +163,53 @@ object TemporalQueries {
              |    CAST(COUNT(*) AS BIGINT) FROM s2
              |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase_after_click',
              |    CAST(COUNT(*) AS BIGINT) FROM s3)
-             |ORDER BY stage""".stripMargin))
+             |ORDER BY stage""".stripMargin)),
+
+    // Per-user EWMA engagement score — the time-decayed feature an
+    // event/training pipeline computes as-of "now": fold the user's
+    // events in time order, halving the accumulator per whole hour of
+    // gap before adding each event's value. Integer-exact: values
+    // scale to 1e6 longs, decay is a power-of-two division (values
+    // are non-negative so floor and truncating division agree), so
+    // both engines replay the recurrence bit-for-bit. The fold is
+    // inherently sequential per user, so it runs as an aggregate()
+    // over the user's sorted event array — per-user event counts
+    // bound the array (hundreds here; at 100 TB this is the operator
+    // to re-shard by (user, epoch-window) if a key's history outgrows
+    // a task).
+    Q("q108_ewma_features",
+      (s, dir) => EventQueries.events(s, dir)
+        .select(col("user_id"),
+          unix_timestamp(col("ts")).as("t"),
+          col("event_id").as("id"),
+          expr("CAST(round(value * 1e6, 0) AS BIGINT)").as("v"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(struct(col("t"), col("id"), col("v"))))
+          .as("seq"),
+          count(lit(1)).cast(LongType).as("n_events"))
+        .select(col("user_id"),
+          expr("""aggregate(slice(seq, 2, greatest(size(seq) - 1, 0)),
+            element_at(seq, 1),
+            (acc, x) -> named_struct('t', x.t, 'id', x.id,
+              'v', acc.v DIV shiftleft(CAST(1 AS BIGINT),
+                     CAST(least((x.t - acc.t) DIV 3600, 62) AS INT)) + x.v)).v""")
+            .as("ewma_scaled"),
+          col("n_events"))
+        .orderBy(col("user_id")),
+      Some("""WITH e AS (SELECT user_id,
+             |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS t,
+             |    event_id AS id,
+             |    CAST(round(value * 1e6, 0) AS BIGINT) AS v
+             |  FROM events),
+             |g AS (SELECT user_id,
+             |    list_sort(list({'t': t, 'id': id, 'v': v})) AS seq,
+             |    CAST(COUNT(*) AS BIGINT) AS n_events
+             |  FROM e GROUP BY user_id)
+             |SELECT user_id,
+             |  list_reduce(seq, (acc, x) -> {'t': x.t, 'id': x.id,
+             |    'v': acc.v // CAST(power(2, least((x.t - acc.t) // 3600, CAST(62 AS BIGINT))) AS BIGINT) + x.v}).v
+             |    AS ewma_scaled,
+             |  n_events
+             |FROM g ORDER BY user_id""".stripMargin))
   )
 }

@@ -841,6 +841,63 @@ object TextQueries {
              |  WHERE iter < 16
              |)
              |SELECT CAST(iter - 1 AS BIGINT) AS rank, MIN(bl) AS left, MIN(br) AS right
-             |FROM t WHERE iter >= 1 GROUP BY iter ORDER BY rank""".stripMargin))
+             |FROM t WHERE iter >= 1 GROUP BY iter ORDER BY rank""".stripMargin)),
+
+    // Intra-document repeated-span scrub — the WITHIN-document half of
+    // exact-substring deduplication (Lee et al. 2022,
+    // arXiv:2107.06499; the cross-document half is q81/q86): a
+    // k-token window that already occurred earlier in the same
+    // document marks its whole span, and any token covered by a
+    // repeated window's span is removed (first occurrence kept).
+    // k = 3 here — the toy-scale analog of the paper's 50-token
+    // spans, chosen so the synthetic corpus actually exercises the
+    // removal path (287 affected docs at sf0.1; at k = 8 the corpus
+    // has zero intra-doc repeats and the oracle would only verify
+    // the pass-through).
+    // Pure per-row higher-order functions over ≤|doc| arrays — zero
+    // shuffle, codegen end to end; at 100 TB this runs entirely
+    // inside the scan tasks and is the cheapest operator class there
+    // is. Exact positional comparison (no hashing) keeps the oracle
+    // trivially identical.
+    Q("q107_selfrepeat_scrub",
+      (s, dir) => Tables(s, dir, "documents")
+        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"),
+          TextFns.shingles(col("text"), 3).as("w"))
+        .withColumn("spans", expr(
+          "CASE WHEN size(w) < 1 THEN CAST(array() AS ARRAY<INT>) " +
+            "ELSE filter(sequence(1, size(w)), " +
+            "i -> array_position(w, element_at(w, i)) < i) END"))
+        .withColumn("kept", expr(
+          "CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<INT>) " +
+            "ELSE filter(sequence(1, size(toks)), " +
+            "j -> size(filter(spans, x -> j >= x AND j <= x + 2)) = 0) END"))
+        .select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("n_tokens"),
+          (size(col("toks")) - size(col("kept"))).cast(LongType).as("n_removed"),
+          expr("array_join(transform(kept, j -> element_at(toks, j)), ' ')")
+            .as("scrubbed"))
+        .orderBy(col("doc_id")),
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |w8 AS (SELECT doc_id, toks,
+             |    CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+             |      ELSE list_transform(range(1, len(toks) - 1),
+             |        i -> array_to_string(list_slice(toks, i, i + 2), ' ')) END AS w
+             |  FROM d),
+             |sp AS (SELECT doc_id, toks,
+             |    CASE WHEN len(w) < 1 THEN CAST([] AS INTEGER[])
+             |      ELSE list_filter(range(1, len(w) + 1),
+             |        i -> list_position(w, w[i]) < i) END AS spans
+             |  FROM w8),
+             |k AS (SELECT doc_id, toks,
+             |    CASE WHEN len(toks) < 1 THEN CAST([] AS INTEGER[])
+             |      ELSE list_filter(range(1, len(toks) + 1),
+             |        j -> len(list_filter(spans, x -> j >= x AND j <= x + 2)) = 0) END AS kept
+             |  FROM sp)
+             |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+             |  array_to_string(list_transform(kept, j -> toks[j]), ' ') AS scrubbed
+             |FROM k ORDER BY doc_id""".stripMargin))
   )
 }

@@ -164,6 +164,36 @@ object DuckToSpark {
     out.toString
   }
 
+  /** `{'a': X, 'b': Y}` (DuckDB struct literal, FLAT fields only) →
+    * `named_struct('a', X, 'b', Y)`. */
+  private def rewriteStructLiteral(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      val at = sql.indexOf("{'", i)
+      if (at < 0) { out.append(sql.substring(i)); i = sql.length }
+      else {
+        out.append(sql.substring(i, at))
+        var depth = 0; var j = at; var end = -1; var inStr = false
+        while (end < 0 && j < sql.length) {
+          val c = sql.charAt(j)
+          if (c == '\'') inStr = !inStr
+          else if (!inStr && c == '{') depth += 1
+          else if (!inStr && c == '}') { depth -= 1; if (depth == 0) end = j }
+          j += 1
+        }
+        require(end > 0, s"unbalanced struct literal at $at in oracle SQL")
+        val fields = splitArgs(sql.substring(at + 1, end)).map { f =>
+          val Array(k, v) = f.split(":", 2)
+          s"${k.trim}, ${v.trim}"
+        }
+        out.append(s"named_struct(${fields.mkString(", ")})")
+        i = end + 1
+      }
+    }
+    out.toString
+  }
+
   /** Bracket operations with a CALL base or a slice body —
     * `f(x)[i]` → `element_at(f(x), i)`,
     * `f(x)[a:b]` → `slice(...)` for list-producing bases
@@ -248,10 +278,14 @@ object DuckToSpark {
     // the oracle corpus, so double them all.
     s = s.replace("\\", "\\\\")
     // structural rewrites first (they reference the DuckDB names)
+    s = rewriteStructLiteral(s)
     s = rewriteLateralUnnest(s)
     s = rewriteZip(s)
     s = rewriteHexCast(s)
     s = rewriteBracketOps(s)
+    // empty typed list literals (before the VARCHAR→STRING type rename)
+    s = s.replace("CAST([] AS VARCHAR[])", "CAST(array() AS ARRAY<STRING>)")
+    s = s.replace("CAST([] AS INTEGER[])", "CAST(array() AS ARRAY<INT>)")
     s = rewriteCall(s, "string_split", { a =>
       // Spark's split() delimiter is a REGEX; escape metacharacters in
       // literal delimiters ('.' would otherwise split every char).
@@ -347,6 +381,7 @@ object DuckToSpark {
     s = s.replaceAll("\\blist_sort\\(", "array_sort(")
     s = s.replaceAll("\\blist_distinct\\(", "array_distinct(")
     s = s.replaceAll("\\blist_contains\\(", "array_contains(")
+    s = s.replaceAll("\\blist_position\\(", "array_position(")
     s = s.replaceAll("\\blist_intersect\\(", "array_intersect(")
     s = s.replaceAll("\\barray_to_string\\(", "array_join(")
     s = s.replaceAll("\\bstring_split_regex\\(", "split(")
@@ -360,6 +395,21 @@ object DuckToSpark {
     // aggregates / folds that need argument surgery
     s = rewriteCall(s, "list_sum",
       a => s"aggregate($a, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+    // 2-arg list_reduce folds with the FIRST ELEMENT as initial
+    // accumulator; Spark's aggregate takes an explicit init, so seed
+    // it with element 1 and fold the tail (empty-tail slice length is
+    // clamped to 0, which returns the seed — DuckDB's 1-element case)
+    s = rewriteCall(s, "list_reduce", { a =>
+      val parts = splitArgs(a)
+      if (parts.size == 2) {
+        val l = parts(0)
+        s"aggregate(slice($l, 2, greatest(size($l) - 1, 0)), " +
+          s"element_at($l, 1), ${parts(1)})"
+      } else s"list_reduce($a)"
+    })
+    // bare list() aggregate (collect; order restored by a later
+    // list_sort in the corpus)
+    s = s.replaceAll("\\blist\\(", "collect_list(")
     s = rewriteCall(s, "sha256", a => s"sha2($a, 256)")
     // window IGNORE NULLS sits inside the call parens in DuckDB,
     // outside in Spark
