@@ -863,19 +863,30 @@ object TextQueries {
       (s, dir) => Tables(s, dir, "documents")
         .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"),
           TextFns.shingles(col("text"), 3).as("w"))
-        .withColumn("spans", expr(
-          "CASE WHEN size(w) < 1 THEN CAST(array() AS ARRAY<INT>) " +
-            "ELSE filter(sequence(1, size(w)), " +
-            "i -> array_position(w, element_at(w, i)) < i) END"))
-        .withColumn("kept", expr(
-          "CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<INT>) " +
-            "ELSE filter(sequence(1, size(toks)), " +
-            "j -> size(filter(spans, x -> j >= x AND j <= x + 2)) = 0) END"))
+        // `spans` and `kept` are bound as LAMBDA VARIABLES (a `let`
+        // spelled transform(array(e), v -> …)) instead of projected
+        // columns: CollapseProject would inline a projected `spans`
+        // into kept's per-element lambda and re-run the O(|w|²)
+        // first-occurrence scan for every token — 40 s instead of
+        // ~1 s at sf0.1. A lambda binding is evaluated once per row
+        // by construction, whatever the optimizer does.
+        .withColumn("r", expr(
+          """element_at(transform(array(
+            |  CASE WHEN size(w) < 1 THEN CAST(array() AS ARRAY<INT>)
+            |    ELSE filter(sequence(1, size(w)),
+            |      i -> array_position(w, element_at(w, i)) < i) END),
+            |spans -> element_at(transform(array(
+            |    CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<INT>)
+            |      ELSE filter(sequence(1, size(toks)),
+            |        j -> size(filter(spans, x -> j >= x AND j <= x + 2)) = 0) END),
+            |  kept -> named_struct(
+            |    'n_removed', CAST(size(toks) - size(kept) AS BIGINT),
+            |    'scrubbed', array_join(transform(kept,
+            |       j -> element_at(toks, j)), ' '))), 1)), 1)""".stripMargin))
         .select(col("doc_id"),
           size(col("toks")).cast(LongType).as("n_tokens"),
-          (size(col("toks")) - size(col("kept"))).cast(LongType).as("n_removed"),
-          expr("array_join(transform(kept, j -> element_at(toks, j)), ' ')")
-            .as("scrubbed"))
+          col("r.n_removed").as("n_removed"),
+          col("r.scrubbed").as("scrubbed"))
         .orderBy(col("doc_id")),
       Some("""WITH d AS (SELECT doc_id,
              |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks

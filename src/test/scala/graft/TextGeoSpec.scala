@@ -162,4 +162,24 @@ class TextGeoSpec extends SparkSpec {
       .as[(String, String)].collect().toMap
     assert(got == exp)
   }
+
+  test("q107 repeated-span scrub removes covered tokens, keeps first occurrence") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q107").toString
+    Seq(
+      (1L, "a b c a b c a b c"), // all windows past the first 3 repeat
+      (2L, "x y"),               // shorter than a window: pass-through
+      (3L, "   "),               // whitespace-only: zero tokens
+      (4L, "p q r s p q r")      // one repeated window at position 5
+    ).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val got = graft.queries.Registry.byName("q107_selfrepeat_scrub")
+      .run(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got(1L) == ((9L, 6L, "a b c")))
+    assert(got(2L) == ((2L, 0L, "x y")))
+    assert(got(3L) == ((0L, 0L, "")))
+    // spans start at window 5 ('p q r' again) → tokens 5,6,7 covered
+    assert(got(4L) == ((7L, 3L, "p q r s")))
+  }
 }
