@@ -861,30 +861,46 @@ object TextQueries {
     // trivially identical.
     Q("q107_selfrepeat_scrub",
       (s, dir) => Tables(s, dir, "documents")
-        .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"),
-          TextFns.shingles(col("text"), 3).as("w"))
-        // `spans` and `kept` are bound as LAMBDA VARIABLES (a `let`
-        // spelled transform(array(e), v -> …)) instead of projected
-        // columns: CollapseProject would inline a projected `spans`
-        // into kept's per-element lambda and re-run the O(|w|²)
-        // first-occurrence scan for every token — 40 s instead of
-        // ~1 s at sf0.1. A lambda binding is evaluated once per row
-        // by construction, whatever the optimizer does.
-        .withColumn("r", expr(
+        // EVERY intermediate (tokens, windows, sorted windows, span
+        // starts, kept indices) is bound as a LAMBDA VARIABLE — a
+        // `let` spelled element_at(transform(array(e), v -> …), 1) —
+        // instead of a projected column: CollapseProject inlines a
+        // projected column into each consumer's per-ELEMENT lambda
+        // and re-runs its whole computation per element (the first
+        // cut re-split the text for every token of every doc: 40 s
+        // at sf0.1; a let chain is ~0.5 s). First occurrences come
+        // from one (window, idx) sort — adjacent-equal in sorted
+        // order = repeat — O(|w| log |w|) per row instead of
+        // array_position's O(|w|²) scan; the DuckDB oracle keeps the
+        // positional spelling, same result.
+        .select(col("doc_id"), expr(
           """element_at(transform(array(
-            |  CASE WHEN size(w) < 1 THEN CAST(array() AS ARRAY<INT>)
-            |    ELSE filter(sequence(1, size(w)),
-            |      i -> array_position(w, element_at(w, i)) < i) END),
-            |spans -> element_at(transform(array(
-            |    CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<INT>)
-            |      ELSE filter(sequence(1, size(toks)),
-            |        j -> size(filter(spans, x -> j >= x AND j <= x + 2)) = 0) END),
-            |  kept -> named_struct(
-            |    'n_removed', CAST(size(toks) - size(kept) AS BIGINT),
-            |    'scrubbed', array_join(transform(kept,
-            |       j -> element_at(toks, j)), ' '))), 1)), 1)""".stripMargin))
+            |  filter(split(trim(text), '\\s+'), x -> x <> '')),
+            |toks -> element_at(transform(array(
+            |    CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
+            |      ELSE transform(sequence(1, size(toks) - 2),
+            |        i -> array_join(slice(toks, i, 3), ' ')) END),
+            |  w -> element_at(transform(array(
+            |      CASE WHEN size(w) < 1 THEN CAST(array() AS ARRAY<STRUCT<s: STRING, i: INT>>)
+            |        ELSE array_sort(transform(sequence(1, size(w)),
+            |          i -> named_struct('s', element_at(w, i), 'i', i))) END),
+            |    srt -> element_at(transform(array(
+            |        CASE WHEN size(srt) < 2 THEN CAST(array() AS ARRAY<INT>)
+            |          ELSE transform(filter(sequence(2, size(srt)),
+            |            p -> element_at(srt, p).s == element_at(srt, p - 1).s),
+            |            p -> element_at(srt, p).i) END),
+            |      spans -> element_at(transform(array(
+            |          CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<INT>)
+            |            ELSE filter(sequence(1, size(toks)),
+            |              j -> size(filter(spans, x -> j >= x AND j <= x + 2)) = 0) END),
+            |        kept -> named_struct(
+            |          'n_tokens', CAST(size(toks) AS BIGINT),
+            |          'n_removed', CAST(size(toks) - size(kept) AS BIGINT),
+            |          'scrubbed', array_join(transform(kept,
+            |             j -> element_at(toks, j)), ' '))), 1)), 1)), 1)), 1)), 1)""".stripMargin)
+          .as("r"))
         .select(col("doc_id"),
-          size(col("toks")).cast(LongType).as("n_tokens"),
+          col("r.n_tokens").as("n_tokens"),
           col("r.n_removed").as("n_removed"),
           col("r.scrubbed").as("scrubbed"))
         .orderBy(col("doc_id")),

@@ -25,11 +25,19 @@ object ProfileQ {
       })
     // cold + warm: the first pass pays JVM/codegen/scan warmup that
     // Bench amortizes across the suite; the warm pass is the number
-    // comparable to BENCH_r*.json
+    // comparable to BENCH_r*.json. Force every output column like
+    // Bench.force — a bare count() lets Catalyst prune the very
+    // columns being measured (q107's scrub once profiled 0.4 s
+    // "warm" while the bench's honest force showed 3.7 s).
     Seq("cold", "warm").foreach { label =>
       val t0 = System.nanoTime()
-      val n = Registry.byName(name).run(spark, dir).count()
-      println(f"$name[$label]: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val df = Registry.byName(name).run(spark, dir)
+      val n = df.select(
+        df.columns.map(c => org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.col(c))).reduce(_ + _))
+        .head().getLong(0)
+      println(f"$name[$label]: forced in ${(System.nanoTime() - t0) / 1e9}%.2fs " +
+        s"(count-sum $n)")
     }
     spark.stop()
   }
