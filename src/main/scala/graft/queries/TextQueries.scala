@@ -924,7 +924,8 @@ object TextQueries {
              |  FROM sp)
              |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
              |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
-             |  array_to_string(list_transform(kept, j -> toks[j]), ' ') AS scrubbed
+             |  COALESCE(array_to_string(list_transform(kept, j -> toks[j]), ' '), '')
+             |    AS scrubbed
              |FROM k ORDER BY doc_id""".stripMargin))
   )
 }
