@@ -62,7 +62,12 @@ object StreamQueries {
 
   private def source(s: SparkSession, dir: String): DataFrame =
     s.readStream.schema(EventStreams.eventSchema)
-      .option("maxFilesPerTrigger", "2") // 8 files → 4 micro-batch polls
+      // 8 files → 2 micro-batch polls: still a real cross-batch drain
+      // (state persists between the polls), at half the per-batch
+      // state-store commit floor of the earlier 4-poll setting.
+      // StreamingSpec pins the N-batch state semantics separately
+      // with 1-file triggers.
+      .option("maxFilesPerTrigger", "4")
       .parquet(staged(s, dir))
 
   // q93's source: the events staged TWICE (append of a second full
@@ -78,7 +83,7 @@ object StreamQueries {
       d
     })
     s.readStream.schema(EventStreams.eventSchema)
-      .option("maxFilesPerTrigger", "4") // 16 files → 4 polls
+      .option("maxFilesPerTrigger", "8") // 16 files → 2 polls
       .parquet(out)
   }
 
