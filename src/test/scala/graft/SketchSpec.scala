@@ -49,6 +49,42 @@ class SketchSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  /** CMS counter matrix (row, col) → n, as in q109_cms_counts. */
+  private def cmsCounters(df: DataFrame): Map[(Int, Int), Long] = df
+    .select(explode(expr(
+      "transform(sequence(0, 3), i -> named_struct('r', i, " +
+        "'c', CAST(conv(substring(md5(concat(k, '#', CAST(i AS STRING))), " +
+        "1, 8), 16, 10) AS BIGINT) % 64))")).as("b"))
+    .groupBy(col("b.r").as("r"), col("b.c").as("c"))
+    .agg(count(lit(1)).as("n"))
+    .as[(Int, Long, Long)].collect().map { case (r, c, n) => (r, c.toInt) -> n }.toMap
+
+  test("CMS counters merge by addition; estimates bound exact counts from above") {
+    val rng = new scala.util.Random(17)
+    // zipfish key stream: few hot keys, long tail — the regime CMS is for
+    val keys = Seq.fill(4000)("k" + (math.sqrt(rng.nextInt(10000)).toInt))
+    val (a, b) = keys.splitAt(1500)
+    def df(s: Seq[String]) = s.toDF("k")
+    val whole = cmsCounters(df(keys))
+    val merged = (cmsCounters(df(a)).toSeq ++ cmsCounters(df(b)).toSeq)
+      .groupBy(_._1).map { case (rc, vs) => rc -> vs.map(_._2).sum }
+    assert(merged == whole, "counter matrices must merge by addition")
+    // point estimate = min over the d rows; never underestimates
+    val exact = keys.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val est = exact.keys.map { k =>
+      val cells = cmsCounters(df(Seq(k))) // this key's (r,c) positions
+      k -> cells.keys.map(whole).min
+    }.toMap
+    exact.foreach { case (k, n) =>
+      assert(est(k) >= n, s"CMS underestimated $k: ${est(k)} < $n")
+    }
+    // with 4000 draws over ~100 keys and 4×64 counters, the hot keys
+    // dominate their cells: the estimate must be tight for the hottest
+    val hottest = exact.maxBy(_._2)._1
+    assert(est(hottest) <= exact(hottest) * 2,
+      "CMS estimate wildly loose on the hottest key — hash scheme broken?")
+  }
+
   test("BottomKDistinct aggregator: partition-count invariant, dedups, no window in plan") {
     val k = 8
     val agg = org.apache.spark.sql.functions.udaf(
