@@ -38,9 +38,14 @@ object PageRank {
     * dstType, dstKey)` (typed keys let bipartite graphs share the
     * node space); returns `(node_type, node_key, score)`. */
   def apply(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    // materialize the (possibly expensive) caller-supplied edge
+    // derivation ONCE — e feeds both deg and eAug, and without the
+    // checkpoint its upstream plan (q106: an orders⋈lineitem distinct)
+    // executes twice
     val e = edges.select(
       col("srcType").as("st"), col("srcKey").cast(LongType).as("sk"),
       col("dstType").as("dt"), col("dstKey").cast(LongType).as("dk"))
+      .localCheckpoint()
     val deg = e.groupBy(col("st"), col("sk"))
       .agg(count(lit(1)).cast(LongType).as("outdeg"))
       .localCheckpoint()
@@ -61,14 +66,20 @@ object PageRank {
     var state = deg.crossJoin(broadcast(nn))
       .selectExpr("st AS nt", "sk AS nk", "outdeg",
         s"CAST($scale AS BIGINT) DIV n AS score")
-      .localCheckpoint()
     for (_ <- 0 until iters) {
       // broadcast the node-sized state into the stationary edge
       // relation: no edge shuffle per iteration, only the
       // map-side-combined contribution aggregate. On a graph whose
       // node table outgrows the broadcast threshold, drop the hint —
       // the pre-partitioned eAug then takes a state-side-only shuffle
-      // join (AQE picks the same split at runtime).
+      // join (AQE picks the same split at runtime). The chain stays
+      // LAZY across iterations: each state is consumed exactly once
+      // (by the next iteration's broadcast), so nothing recomputes,
+      // and fusing the bounded-depth chain into one job avoids an
+      // eager materialization + driver action per iteration (5
+      // per-iteration localCheckpoints cost ~2× wall-clock here;
+      // eAug's checkpoint above is the one that matters — it is read
+      // `iters` times).
       state = broadcast(state)
         .join(eAug, col("nt") === col("st") && col("nk") === col("sk"))
         .selectExpr("dt", "dk", "dst_outdeg", "score DIV outdeg AS c")
@@ -77,7 +88,6 @@ object PageRank {
         .crossJoin(broadcast(nn))
         .selectExpr("dt AS nt", "dk AS nk", "dst_outdeg AS outdeg",
           s"(15 * (CAST($scale AS BIGINT) DIV n)) DIV 100 + (85 * inc) DIV 100 AS score")
-        .localCheckpoint()
     }
     state.select(col("nt").as("node_type"), col("nk").as("node_key"), col("score"))
   }

@@ -24,7 +24,10 @@ object PlanAudit {
     "q91_quantile_sketch", // 1-row min/max bounds broadcast into the bin scan
     "q97_semdedup",     // centroid broadcast × corpus — assignment stage
     "q98_lm_quality",   // 1-row vocabulary-size scalar broadcast into the model
-    "q99_dsir_select")  // 1-row gram-total scalar broadcast into the B-bucket model
+    "q99_dsir_select",  // 1-row gram-total scalar broadcast into the B-bucket model
+    "q106_pagerank")    // 1-row node-count scalar broadcast into each power
+                        // iteration's base term (visible since the iteration
+                        // chain went lazy; bounded by construction)
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)

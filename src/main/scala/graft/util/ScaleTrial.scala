@@ -91,10 +91,17 @@ object ScaleTrial {
         "q86_dedup_survivors", "q87_source_mixture", "q88_sequence_packing",
         "q89_kmeans_step")
     val headline = if (only.nonEmpty) only else defaultHeadline
+    // Force EVERY output column (count(col) per column + the row count
+    // in ONE aggregate) — under a bare count() Catalyst prunes dead
+    // projections (q108's EWMA fold, q104's interval columns) and
+    // eliminates unique-key joins, timing a thinner plan than users
+    // run. Same force shape as Bench.
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
-      val rows = Registry.byName(name).run(spark, dir).count()
-      ((System.nanoTime() - t0) / 1e9, rows)
+      val df = Registry.byName(name).run(spark, dir)
+      val row = df.select(count(lit(1)) +: df.columns.map(c => count(col(c))): _*)
+        .collect()(0)
+      ((System.nanoTime() - t0) / 1e9, row.getLong(0))
     }
     // output rows at both scales distinguish output-bound growth (the
     // true answer got bigger — replication makes every replica a
