@@ -338,6 +338,65 @@ object ExtraQueries {
              |  round(quantile_cont(CAST(l_quantity AS DOUBLE), 0.9), 6) AS p90,
              |  round(MIN(l_quantity), 6) AS qmin,
              |  round(MAX(l_quantity), 6) AS qmax
-             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin))
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Bloom-filter semi-join prefilter (operators/BloomFilter): build
+    // the sketch over the selective dim-side key set (top-priced
+    // orders), probe every fact-side order key against the broadcast
+    // (word, bits) table, and publish the funnel — probe count, bloom
+    // pass count, exact semi-join count, observed false positives,
+    // and the structurally-zero false-negative count — in ONE
+    // aggregate over a flags frame (bloom verdict ⋈ exact verdict),
+    // so the whole check is a single pass with no plan reuse. This is
+    // the engine-surfaced runtime-filter pattern: at 100 TB the pass
+    // bit would gate the fact scan BEFORE its shuffle join.
+    Q("q110_bloom_prefilter",
+      (s, dir) => {
+        import graft.operators.BloomFilter
+        val keys = Tables(s, dir, "orders")
+          .filter(col("o_totalprice") >= 495000)
+          .select(col("o_orderkey").as("k"))
+        val bloom = BloomFilter.build(keys, "k", words = 1024, k = 3)
+        val flags = BloomFilter.probe(
+            Tables(s, dir, "lineitem"), "l_orderkey", bloom,
+            words = 1024, k = 3)
+          .join(broadcast(keys.withColumn("in_build", lit(1))), Seq("k"), "left")
+        flags.agg(
+          count(lit(1)).cast(LongType).as("n_probe"),
+          sum(col("pass")).cast(LongType).as("n_pass"),
+          count(col("in_build")).cast(LongType).as("n_exact"),
+          sum(when(col("pass") === 1 && col("in_build").isNull, 1)
+            .otherwise(0)).cast(LongType).as("n_false_pos"),
+          sum(when(col("pass") === 0 && col("in_build").isNotNull, 1)
+            .otherwise(0)).cast(LongType).as("n_missed"))
+      },
+      Some("""WITH keys AS (SELECT o_orderkey AS k FROM orders
+             |    WHERE o_totalprice >= 495000),
+             |hb AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR) || '#' ||
+             |      CAST(i AS VARCHAR)), 1, 8))::BIGINT AS h
+             |  FROM keys, unnest(range(0, 3)) AS u(i)),
+             |bloom AS (SELECT (h // 32) % 1024 AS word,
+             |    bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits
+             |  FROM hb GROUP BY 1),
+             |probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+             |ph AS (SELECT k, ('0x' || substr(md5(CAST(k AS VARCHAR) || '#' ||
+             |      CAST(i AS VARCHAR)), 1, 8))::BIGINT AS h
+             |  FROM probe, unnest(range(0, 3)) AS u(i)),
+             |pj AS (SELECT ph.k, CASE WHEN b.bits IS NOT NULL
+             |      AND ((b.bits >> CAST(ph.h % 32 AS INT)) & 1) = 1
+             |    THEN 1 ELSE 0 END AS hit
+             |  FROM ph LEFT JOIN bloom b ON (ph.h // 32) % 1024 = b.word),
+             |fl AS (SELECT pj.k, MIN(pj.hit) AS pass FROM pj GROUP BY pj.k),
+             |fj AS (SELECT fl.k, fl.pass,
+             |    CASE WHEN keys.k IS NULL THEN NULL ELSE 1 END AS in_build
+             |  FROM fl LEFT JOIN keys ON fl.k = keys.k)
+             |SELECT CAST(COUNT(*) AS BIGINT) AS n_probe,
+             |  CAST(SUM(pass) AS BIGINT) AS n_pass,
+             |  CAST(COUNT(in_build) AS BIGINT) AS n_exact,
+             |  CAST(SUM(CASE WHEN pass = 1 AND in_build IS NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+             |  CAST(SUM(CASE WHEN pass = 0 AND in_build IS NOT NULL
+             |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
+             |FROM fj""".stripMargin))
   )
 }
