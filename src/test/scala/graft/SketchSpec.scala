@@ -85,6 +85,25 @@ class SketchSpec extends SparkSpec {
       "CMS estimate wildly loose on the hottest key — hash scheme broken?")
   }
 
+  test("Bloom filters over splits merge by bit_or; no false negatives") {
+    import graft.operators.BloomFilter
+    val rng = new scala.util.Random(23)
+    val keys = Seq.fill(600)(rng.nextLong().abs % 1000000L).distinct
+    val (a, b) = keys.splitAt(250)
+    def bits(s: Seq[Long]): Map[Long, Long] =
+      BloomFilter.build(s.toDF("k"), "k", words = 256)
+        .as[(Long, Long)].collect().toMap
+    val whole = bits(keys)
+    val merged = (bits(a).toSeq ++ bits(b).toSeq)
+      .groupBy(_._1).map { case (w, vs) => w -> vs.map(_._2).reduce(_ | _) }
+    assert(merged == whole, "bloom word tables must merge by bitwise OR")
+    // every build key must pass its own filter — zero false negatives
+    val pass = BloomFilter.probe(keys.toDF("k"), "k",
+        BloomFilter.build(keys.toDF("k"), "k", words = 256), words = 256)
+      .filter(col("pass") === 1).as[(Long, Int)].collect().map(_._1).toSet
+    assert(keys.forall(pass), "a build key failed its own bloom probe")
+  }
+
   test("BottomKDistinct aggregator: partition-count invariant, dedups, no window in plan") {
     val k = 8
     val agg = org.apache.spark.sql.functions.udaf(
