@@ -95,6 +95,99 @@ object ScaleQueries {
              |SELECT file_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(bytes) AS BIGINT) AS file_bytes,
              |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-             |FROM p GROUP BY file_id ORDER BY file_id""".stripMargin))
+             |FROM p GROUP BY file_id ORDER BY file_id""".stripMargin)),
+
+    // Z-order (Morton) layout vs key-order layout — the data-layout
+    // lever behind parquet file skipping at 100 TB: interleaving the
+    // bits of the two query dimensions makes per-file min/max stats
+    // tight on BOTH axes, so a box predicate prunes most files, where
+    // key-ordered files each span the full secondary-dimension range
+    // and prune nothing. The query materializes the comparison on the
+    // engine's derived POI grid (GeoQueries' c_custkey coordinate
+    // convention): assign each row a "file" under both layouts (z-cell
+    // prefix vs contiguous key chunk), compute per-file bboxes, and
+    // report — per layout — file count, files a fixed 100×100 box
+    // query must touch, rows those files hold (the scan cost), and
+    // matching rows (identical under both layouts, pinning that
+    // layout changes cost, not answers). All shuffle-on-bucket with
+    // map-side combine; the z-value is 20 bits of codegen'd integer
+    // arithmetic per row. Reference on the mechanism: Morton 1966;
+    // the same curve ordering Delta/Iceberg OPTIMIZE ZORDER applies.
+    Q("q111_zorder_layout",
+      (s, dir) => {
+        val base = Tables(s, dir, "customer").select(
+          col("c_custkey").as("k"),
+          expr("c_custkey % 1000").as("qx"),
+          expr("(c_custkey * 7) % 1000").as("qy"))
+        val inBox = expr("CASE WHEN qx BETWEEN 200 AND 299 " +
+          "AND qy BETWEEN 400 AND 499 THEN 1 ELSE 0 END")
+        def layoutStats(df: org.apache.spark.sql.DataFrame, label: String) =
+          df.groupBy(col("bucket"))
+            .agg(count(lit(1)).as("n"),
+              min(col("qx")).as("min_x"), max(col("qx")).as("max_x"),
+              min(col("qy")).as("min_y"), max(col("qy")).as("max_y"),
+              sum(inBox).as("nb"))
+            .agg(lit(label).as("layout"),
+              count(lit(1)).cast(LongType).as("n_files"),
+              sum(when(col("min_x") <= 299 && col("max_x") >= 200 &&
+                col("min_y") <= 499 && col("max_y") >= 400, 1).otherwise(0))
+                .cast(LongType).as("files_touched"),
+              sum(when(col("min_x") <= 299 && col("max_x") >= 200 &&
+                col("min_y") <= 499 && col("max_y") >= 400, col("n"))
+                .otherwise(0)).cast(LongType).as("rows_scanned"),
+              sum(col("nb")).cast(LongType).as("rows_matched"))
+        val keyed = base.withColumn("bucket", expr("k DIV 1000"))
+        val zed = base.withColumn("bucket", expr(
+          """aggregate(sequence(0, 9), CAST(0 AS BIGINT), (acc, i) ->
+            |  acc + shiftleft((qx >> i) & 1, 2 * i)
+            |      + shiftleft((qy >> i) & 1, 2 * i + 1)) >> 12""".stripMargin))
+        layoutStats(keyed, "key_order")
+          .unionAll(layoutStats(zed, "z_order"))
+          .orderBy(col("layout"))
+      },
+      Some("""WITH base AS (SELECT c_custkey AS k, c_custkey % 1000 AS qx,
+             |    (c_custkey * 7) % 1000 AS qy FROM customer),
+             |kb AS (SELECT k // 1000 AS bucket, COUNT(*) AS n,
+             |    MIN(qx) AS min_x, MAX(qx) AS max_x,
+             |    MIN(qy) AS min_y, MAX(qy) AS max_y,
+             |    SUM(CASE WHEN qx BETWEEN 200 AND 299
+             |      AND qy BETWEEN 400 AND 499 THEN 1 ELSE 0 END) AS nb
+             |  FROM base GROUP BY 1),
+             |zrow AS (SELECT qx, qy,
+             |    CAST(list_sum(list_transform(range(0, 10), i ->
+             |      (((qx >> i) & 1) << (2 * i))
+             |        + (((qy >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zv
+             |  FROM base),
+             |zb AS (SELECT zv >> 12 AS bucket, COUNT(*) AS n,
+             |    MIN(qx) AS min_x, MAX(qx) AS max_x,
+             |    MIN(qy) AS min_y, MAX(qy) AS max_y,
+             |    SUM(CASE WHEN qx BETWEEN 200 AND 299
+             |      AND qy BETWEEN 400 AND 499 THEN 1 ELSE 0 END) AS nb
+             |  FROM zrow GROUP BY 1),
+             |st AS (
+             |  SELECT 'key_order' AS layout,
+             |    CAST(COUNT(*) AS BIGINT) AS n_files,
+             |    CAST(SUM(CASE WHEN min_x <= 299 AND max_x >= 200
+             |      AND min_y <= 499 AND max_y >= 400 THEN 1 ELSE 0 END)
+             |      AS BIGINT) AS files_touched,
+             |    CAST(SUM(CASE WHEN min_x <= 299 AND max_x >= 200
+             |      AND min_y <= 499 AND max_y >= 400 THEN n ELSE 0 END)
+             |      AS BIGINT) AS rows_scanned,
+             |    CAST(SUM(nb) AS BIGINT) AS rows_matched
+             |  FROM kb
+             |  UNION ALL
+             |  SELECT 'z_order',
+             |    CAST(COUNT(*) AS BIGINT),
+             |    CAST(SUM(CASE WHEN min_x <= 299 AND max_x >= 200
+             |      AND min_y <= 499 AND max_y >= 400 THEN 1 ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(SUM(CASE WHEN min_x <= 299 AND max_x >= 200
+             |      AND min_y <= 499 AND max_y >= 400 THEN n ELSE 0 END)
+             |      AS BIGINT),
+             |    CAST(SUM(nb) AS BIGINT)
+             |  FROM zb)
+             |SELECT layout, n_files, files_touched, rows_scanned,
+             |  rows_matched
+             |FROM st ORDER BY layout""".stripMargin))
   )
 }
