@@ -210,6 +210,56 @@ object TemporalQueries {
              |    'v': acc.v // CAST(power(2, least((x.t - acc.t) // 3600, CAST(62 AS BIGINT))) AS BIGINT) + x.v}).v
              |    AS ewma_scaled,
              |  n_events
-             |FROM g ORDER BY user_id""".stripMargin))
+             |FROM g ORDER BY user_id""".stripMargin)),
+
+    // Weekly retention cohorts — the product-analytics matrix every
+    // event pipeline ships: users grouped by first-activity week,
+    // tracked by distinct active weeks since, with retention as an
+    // integer basis-point share of the cohort (scaled DIV — no float
+    // division to wobble). Shape: one distinct on (user, week) and
+    // one per-user min, both shuffle-on-user_id with map-side
+    // combine; the matrix aggregate keys on (cohort, age) — thousands
+    // of rows at any corpus size — and cohort sizes broadcast back.
+    // Both engines truncate weeks to Monday (date_trunc('week')).
+    Q("q112_retention_cohorts",
+      (s, dir) => {
+        val wk = EventQueries.events(s, dir)
+          .select(col("user_id"),
+            to_date(date_trunc("week", col("ts"))).as("wk"))
+          .distinct()
+        val first = wk.groupBy(col("user_id"))
+          .agg(min(col("wk")).as("cohort_wk"))
+        val sizes = first.groupBy(col("cohort_wk"))
+          .agg(count(lit(1)).cast(LongType).as("cohort_users"))
+        wk.join(first, "user_id")
+          .withColumn("age_weeks",
+            (datediff(col("wk"), col("cohort_wk")) / 7)
+              .cast(IntegerType).cast(LongType))
+          .groupBy(col("cohort_wk"), col("age_weeks"))
+          .agg(count(lit(1)).cast(LongType).as("n_active"))
+          .join(broadcast(sizes), "cohort_wk")
+          .select(col("cohort_wk"), col("age_weeks"), col("n_active"),
+            col("cohort_users"),
+            expr("n_active * 10000 DIV cohort_users").as("retention_bp"))
+          .orderBy(col("cohort_wk"), col("age_weeks"))
+      },
+      Some("""WITH wk AS (SELECT DISTINCT user_id,
+             |    CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS wk
+             |  FROM events),
+             |first AS (SELECT user_id, MIN(wk) AS cohort_wk
+             |  FROM wk GROUP BY user_id),
+             |sizes AS (SELECT cohort_wk,
+             |    CAST(COUNT(*) AS BIGINT) AS cohort_users
+             |  FROM first GROUP BY cohort_wk),
+             |m AS (SELECT f.cohort_wk,
+             |    CAST(datediff('day', f.cohort_wk, wk.wk) // 7 AS BIGINT)
+             |      AS age_weeks,
+             |    CAST(COUNT(*) AS BIGINT) AS n_active
+             |  FROM wk JOIN first f ON wk.user_id = f.user_id
+             |  GROUP BY 1, 2)
+             |SELECT m.cohort_wk, m.age_weeks, m.n_active, s.cohort_users,
+             |  m.n_active * 10000 // s.cohort_users AS retention_bp
+             |FROM m JOIN sizes s ON m.cohort_wk = s.cohort_wk
+             |ORDER BY m.cohort_wk, m.age_weeks""".stripMargin))
   )
 }
