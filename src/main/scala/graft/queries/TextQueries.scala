@@ -926,6 +926,61 @@ object TextQueries {
              |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
              |  COALESCE(array_to_string(list_transform(kept, j -> toks[j]), ' '), '')
              |    AS scrubbed
-             |FROM k ORDER BY doc_id""".stripMargin))
+             |FROM k ORDER BY doc_id""".stripMargin)),
+
+    // Inverted-index build — the retrieval-side artifact of a corpus
+    // pipeline (tf postings per term, the structure behind BM25 and
+    // the contamination probes): per-(term, doc) tf via one
+    // map-side-combined groupBy over the token stream; per-term
+    // document frequency, collection frequency, and an
+    // IMPACT-ORDERED, TRUNCATED posting string (top-50 docs by
+    // tf desc, doc_id tie-break — static index pruning, Carmel et
+    // al. 2001) in cross-engine canonical "doc:tf" form. The
+    // truncation is the scale guard: a stopword-class term's posting
+    // list is capped at 50 entries instead of a corpus-sized row, so
+    // no reducer ever materializes an unbounded aggregate. df ≥ 2
+    // drops hapax noise. Full-stream stats and truncated postings
+    // shuffle on the same term key (exchange-reusable).
+    Q("q113_inverted_index",
+      (s, dir) => {
+        val posting = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+          .groupBy(col("term"), col("doc_id"))
+          .agg(count(lit(1)).cast(LongType).as("tf"))
+        val stats = posting.groupBy(col("term"))
+          .agg(count(lit(1)).cast(LongType).as("df"),
+            sum(col("tf")).cast(LongType).as("cf"))
+        val tops = graft.operators.TopKPerGroup(posting,
+            Seq(col("term")), Seq(col("tf").desc, col("doc_id")), 50)
+          .groupBy(col("term"))
+          .agg(array_join(transform(
+            sort_array(collect_list(
+              struct(col("rnk"), col("doc_id"), col("tf")))),
+            x => concat_ws(":", x.getField("doc_id"), x.getField("tf"))),
+            ",").as("postings"))
+        stats.join(tops, "term").filter(col("df") >= 2)
+          .select(col("term"), col("df"), col("cf"), col("postings"))
+          .orderBy(col("term"))
+      },
+      Some("""WITH t AS (SELECT doc_id,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS term
+             |  FROM documents),
+             |p AS (SELECT term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM t GROUP BY term, doc_id),
+             |s AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+             |    CAST(SUM(tf) AS BIGINT) AS cf
+             |  FROM p GROUP BY term),
+             |r AS (SELECT term, doc_id, tf, ROW_NUMBER() OVER
+             |    (PARTITION BY term ORDER BY tf DESC, doc_id) AS rnk
+             |  FROM p),
+             |g AS (SELECT term,
+             |    string_agg(doc_id || ':' || tf, ',' ORDER BY rnk)
+             |      AS postings
+             |  FROM r WHERE rnk <= 50 GROUP BY term)
+             |SELECT s.term, df, cf, postings
+             |FROM s JOIN g ON s.term = g.term
+             |WHERE df >= 2 ORDER BY s.term""".stripMargin))
   )
 }
