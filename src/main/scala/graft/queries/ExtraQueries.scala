@@ -397,6 +397,58 @@ object ExtraQueries {
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
              |  CAST(SUM(CASE WHEN pass = 0 AND in_build IS NOT NULL
              |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed
-             |FROM fj""".stripMargin))
+             |FROM fj""".stripMargin)),
+
+    // Closed-form OLS per group (extendedprice-cents ~ quantity) via
+    // SUFFICIENT STATISTICS: one map-side-combined aggregate collects
+    // (n, Σx, Σy, Σxy, Σx²) exactly — inputs go to integer domains
+    // first (quantity is integer-valued; price → cents), the moments
+    // accumulate as decimal(38,0), and slope/intercept come out of
+    // the normal equations in exact integer micro-units (`div`
+    // truncates toward zero in BOTH engines, verified for negatives).
+    // This is how regression runs at 100 TB: a single wordcount-
+    // shaped pass builds X'X / X'y per group, the solve is O(1) per
+    // group — no gradient iterations, no per-row driver math.
+    // Distinct from q54 (z-score) and q39 (percentiles): those rank;
+    // this fits. Method: Hastie et al., ESL §3.2 (public).
+    Q("q116_ols_fit",
+      (s, dir) => {
+        val dec = DecimalType(38, 0)
+        val li = Tables(s, dir, "lineitem").select(
+          col("l_returnflag"),
+          col("l_quantity").cast(LongType).as("x"),
+          expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("y"))
+        li.groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("x").cast(dec)).as("sx"),
+            sum(col("y").cast(dec)).as("sy"),
+            sum((col("x") * col("y")).cast(dec)).as("sxy"),
+            sum((col("x") * col("x")).cast(dec)).as("sxx"))
+          .withColumn("slope_micro", expr(
+            "CAST((1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) AS BIGINT)"))
+          .withColumn("intercept_micro", expr(
+            "CAST((1000000 * sy - slope_micro * sx) div n AS BIGINT)"))
+          .select(col("l_returnflag"), col("n").cast(LongType).as("n"),
+            col("slope_micro"), col("intercept_micro"))
+          .orderBy(col("l_returnflag"))
+      },
+      Some("""WITH m AS (SELECT l_returnflag,
+             |    CAST(COUNT(*) AS HUGEINT) AS n,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sx,
+             |    CAST(SUM(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS HUGEINT) AS sy,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)
+             |      * CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS HUGEINT) AS sxy,
+             |    CAST(SUM(CAST(l_quantity AS BIGINT)
+             |      * CAST(l_quantity AS BIGINT)) AS HUGEINT) AS sxx
+             |  FROM lineitem GROUP BY l_returnflag),
+             |f AS (SELECT l_returnflag, n,
+             |    (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS slope_micro
+             |  FROM m)
+             |SELECT f.l_returnflag, CAST(f.n AS BIGINT) AS n,
+             |  CAST(f.slope_micro AS BIGINT) AS slope_micro,
+             |  CAST((1000000 * m.sy - f.slope_micro * m.sx) // m.n AS BIGINT)
+             |    AS intercept_micro
+             |FROM f JOIN m ON f.l_returnflag = m.l_returnflag
+             |ORDER BY f.l_returnflag""".stripMargin))
   )
 }

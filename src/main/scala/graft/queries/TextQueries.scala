@@ -981,6 +981,76 @@ object TextQueries {
              |  FROM r WHERE rnk <= 50 GROUP BY term)
              |SELECT s.term, df, cf, postings
              |FROM s JOIN g ON s.term = g.term
-             |WHERE df >= 2 ORDER BY s.term""".stripMargin))
+             |WHERE df >= 2 ORDER BY s.term""".stripMargin)),
+
+    // Corpus-level boilerplate scrub (C4 / CCNet line-dedup adapted to
+    // an unstructured corpus): a 3-gram window whose gram text occurs
+    // in >= 5 DISTINCT documents is boilerplate; every token covered
+    // by a boilerplate window is removed and the document re-joined.
+    // Complements q107 (intra-doc self-repeats) with the CROSS-doc
+    // frequency signal — the operation C4 applies to "any three-
+    // sentence span seen before" and CCNet to repeated paragraphs.
+    // Shape at scale: the gram→doc-frequency table is a wordcount
+    // (two-phase countDistinct, map-side combined); the boilerplate
+    // set is the Zipf head (df >= T keeps only the hot grams), so the
+    // join back onto the positional window stream is AQE-broadcast-
+    // able; per-doc span lists are bounded by document length. No
+    // all-pairs stage anywhere — this is the bucketed shape that
+    // survives a 100 TB corpus. reference: the dedup/scrub stage of
+    // src/ETL_DOCS/processor.py (document-level); method: Raffel et
+    // al. 2020 (C4, arXiv:1910.10683) §2.2, Wenzek et al. 2020
+    // (CCNet, arXiv:1911.00359) §3.
+    Q("q114_boilerplate_scrub",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
+        val win = toks.filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 2),
+              |  i -> named_struct('i', i, 'g', array_join(slice(toks, i, 3), ' ')))"""
+              .stripMargin)).as("w"))
+          .select(col("doc_id"), col("w.i").as("i"), col("w.g").as("g"))
+        val boiler = win.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("df"))
+          .filter(col("df") >= 5).select(col("g"))
+        val spans = win.join(boiler, "g")
+          .groupBy(col("doc_id")).agg(collect_set(col("i")).as("spans"))
+        toks.join(spans, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("toks"),
+            coalesce(col("spans"), expr("CAST(array() AS ARRAY<INT>)")).as("spans"))
+          .select(col("doc_id"), col("toks"), expr(
+            """filter(sequence(1, size(toks)),
+              |  j -> NOT exists(spans, x -> j >= x AND j <= x + 2))"""
+              .stripMargin).as("kept"))
+          .select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_tokens"),
+            (size(col("toks")) - size(col("kept"))).cast(LongType).as("n_removed"),
+            array_join(expr("transform(kept, j -> element_at(toks, j))"), " ")
+              .as("scrubbed"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |w AS (SELECT doc_id, i,
+             |    array_to_string(list_slice(toks, i, i + 2), ' ') AS g
+             |  FROM d, unnest(range(1, len(toks) - 1)) AS u(i)
+             |  WHERE len(toks) >= 3),
+             |b AS (SELECT g FROM w GROUP BY g
+             |  HAVING COUNT(DISTINCT doc_id) >= 5),
+             |sp AS (SELECT doc_id, list(DISTINCT i) AS spans
+             |  FROM w JOIN b USING (g) GROUP BY doc_id),
+             |k AS (SELECT d.doc_id, toks,
+             |    COALESCE(spans, CAST([] AS BIGINT[])) AS spans
+             |  FROM d LEFT JOIN sp ON d.doc_id = sp.doc_id),
+             |k2 AS (SELECT doc_id, toks,
+             |    list_filter(range(1, len(toks) + 1),
+             |      j -> len(list_filter(spans, x -> j >= x AND j <= x + 2)) = 0) AS kept
+             |  FROM k)
+             |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+             |  COALESCE(array_to_string(list_transform(kept, j -> toks[j]), ' '), '')
+             |    AS scrubbed
+             |FROM k2 ORDER BY doc_id""".stripMargin))
   )
 }

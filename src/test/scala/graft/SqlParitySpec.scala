@@ -286,6 +286,7 @@ object DuckToSpark {
     // empty typed list literals (before the VARCHAR→STRING type rename)
     s = s.replace("CAST([] AS VARCHAR[])", "CAST(array() AS ARRAY<STRING>)")
     s = s.replace("CAST([] AS INTEGER[])", "CAST(array() AS ARRAY<INT>)")
+    s = s.replace("CAST([] AS BIGINT[])", "CAST(array() AS ARRAY<BIGINT>)")
     s = rewriteCall(s, "string_split", { a =>
       // Spark's split() delimiter is a REGEX; escape metacharacters in
       // literal delimiters ('.' would otherwise split every char).
