@@ -400,6 +400,84 @@ object EventQueries {
              |  FROM e GROUP BY event_type)
              |SELECT est.event_type AS event_type, est_count, exact_count
              |FROM est JOIN ex ON est.event_type = ex.event_type
-             |ORDER BY est.event_type""".stripMargin))
+             |ORDER BY est.event_type""".stripMargin)),
+
+    // KMV sketch SET ALGEBRA (Beyer et al., SIGMOD 2007 §3 — public):
+    // estimate |viewers ∩ purchasers| from two bottom-64 sketches
+    // WITHOUT touching the full sets again. X = bottom-k of the
+    // union sketch; ρ = |X ∩ K_A ∩ K_B|/|X| estimates the Jaccard
+    // share, scaled by the union estimate (k-1)·2⁴⁸/max(X). This is
+    // the audience-overlap query a 100 TB engine answers from
+    // kilobyte sketches: the only full-data pass is the same
+    // map-side-combined bottom-k aggregate as q79 (O(k) mergeable
+    // state per group); the algebra runs on two ≤64-element arrays.
+    // The exact intersection rides along to exhibit the estimate's
+    // accuracy; sketches are md5-derived so the oracle replays the
+    // whole pipeline bit-for-bit.
+    Q("q119_kmv_intersect",
+      (s, dir) => {
+        val k = 64
+        val bottomK = udaf(new graft.functions.BottomKDistinct(k),
+          org.apache.spark.sql.Encoders.scalaLong)
+        val h = events(s, dir)
+          .filter(col("user_id").isNotNull &&
+            col("event_type").isin("view", "purchase"))
+          .select(col("event_type"),
+            conv(substring(md5(col("user_id").cast(StringType)), 1, 12), 16, 10)
+              .cast(LongType).as("h"))
+          .distinct()
+        val sk = h.groupBy(col("event_type")).agg(bottomK(col("h")).as("bk"))
+        val ka = sk.filter(col("event_type") === "view")
+          .select(col("bk").as("ka"))
+        val kb = sk.filter(col("event_type") === "purchase")
+          .select(col("bk").as("kb"))
+        val exact = h.groupBy(col("h"))
+          .agg(countDistinct(col("event_type")).as("nt"))
+          .filter(col("nt") === 2)
+          .agg(count(lit(1)).cast(LongType).as("exact_intersection"))
+        ka.crossJoin(kb)
+          .select(size(col("ka")).cast(LongType).as("ka_n"),
+            size(col("kb")).cast(LongType).as("kb_n"),
+            slice(array_sort(array_union(col("ka"), col("kb"))), 1, k).as("x"),
+            col("ka"), col("kb"))
+          .select(col("ka_n"), col("kb_n"),
+            size(col("x")).cast(LongType).as("kx"),
+            expr("CAST(size(filter(x, v -> array_contains(ka, v) AND array_contains(kb, v))) AS BIGINT)")
+              .as("inter_k"),
+            element_at(col("x"), -1).as("hmax"))
+          .select(col("ka_n"), col("kb_n"), col("kx"), col("inter_k"),
+            round(when(col("kx") < k, col("inter_k").cast(DoubleType))
+              .otherwise(col("inter_k").cast(DoubleType) / col("kx") *
+                (lit((k - 1).toDouble * math.pow(2, 48)) /
+                  col("hmax").cast(DoubleType))), 4)
+              .as("est_intersection"))
+          .crossJoin(exact)
+      },
+      Some("""WITH h AS (SELECT DISTINCT event_type,
+             |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT AS h
+             |  FROM events WHERE user_id IS NOT NULL
+             |    AND event_type IN ('view', 'purchase')),
+             |rk AS (SELECT event_type, h,
+             |    ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM h),
+             |ka AS (SELECT h FROM rk WHERE event_type = 'view' AND rn <= 64),
+             |kb AS (SELECT h FROM rk WHERE event_type = 'purchase' AND rn <= 64),
+             |x AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) u
+             |  ORDER BY h LIMIT 64),
+             |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS kx, MAX(h) AS hmax,
+             |    CAST(SUM(CASE WHEN h IN (SELECT h FROM ka)
+             |      AND h IN (SELECT h FROM kb) THEN 1 ELSE 0 END) AS BIGINT) AS inter_k
+             |  FROM x),
+             |na AS (SELECT CAST(COUNT(*) AS BIGINT) AS ka_n FROM ka),
+             |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS kb_n FROM kb),
+             |ex AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_intersection
+             |  FROM (SELECT h FROM h WHERE event_type = 'view'
+             |    INTERSECT SELECT h FROM h WHERE event_type = 'purchase') i)
+             |SELECT ka_n, kb_n, kx, inter_k,
+             |  round(CASE WHEN kx < 64 THEN CAST(inter_k AS DOUBLE)
+             |    ELSE CAST(inter_k AS DOUBLE) / kx *
+             |      (CAST(17732923532771328 AS DOUBLE) / CAST(hmax AS DOUBLE))
+             |    END, 4) AS est_intersection,
+             |  exact_intersection
+             |FROM st, na, nb, ex""".stripMargin))
   )
 }

@@ -449,6 +449,29 @@ object ExtraQueries {
              |  CAST((1000000 * m.sy - f.slope_micro * m.sx) // m.n AS BIGINT)
              |    AS intercept_micro
              |FROM f JOIN m ON f.l_returnflag = m.l_returnflag
-             |ORDER BY f.l_returnflag""".stripMargin))
+             |ORDER BY f.l_returnflag""".stripMargin)),
+
+    // Pareto frontier (skyline) on parts: cheapest-for-their-size
+    // rows under (minimize retailprice, maximize size). The operator
+    // runs the sort-scan algorithm with a DISTRIBUTED prefix-max (two
+    // shuffles, O(numParts) sequential step — see operators/Skyline);
+    // the oracle states the DEFINITION instead: the all-pairs
+    // NOT-EXISTS dominance test, a genuinely different O(n²) plan
+    // that proves the O(n log n) one. Coordinate-tied rows both
+    // survive (no strict edge) — exercised: parts duplicate
+    // (price, size) pairs in this data.
+    Q("q118_skyline",
+      (s, dir) => graft.operators.Skyline(
+          Tables(s, dir, "part")
+            .select(col("p_partkey"), col("p_retailprice"), col("p_size")),
+          "p_retailprice", "p_size")
+        .orderBy(col("p_partkey")),
+      Some("""SELECT p_partkey, p_retailprice, p_size FROM part p
+             |WHERE NOT EXISTS (SELECT 1 FROM part q
+             |  WHERE q.p_retailprice <= p.p_retailprice
+             |    AND q.p_size >= p.p_size
+             |    AND (q.p_retailprice < p.p_retailprice
+             |      OR q.p_size > p.p_size))
+             |ORDER BY p_partkey""".stripMargin))
   )
 }

@@ -248,5 +248,40 @@ object StreamQueries {
              |SELECT user_id, l_id, r_id, l_ts, r_ts
              |FROM l JOIN r ON user_id = r_user
              |  AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 6 HOUR
-             |ORDER BY l_id, r_id""".stripMargin)))
+             |ORDER BY l_id, r_id""".stripMargin)),
+
+    // ST4/ST5 companion: EVENT-TIME SESSION WINDOWS under the drain —
+    // native session_window state (merging sessions as micro-batches
+    // arrive out of order) with a complete-mode snapshot, the
+    // streaming twin of q16's batch gap sessionization. Semantics
+    // differ from q16 at the exact boundary BY DESIGN: session_window
+    // ends are exclusive (an event at prev + gap starts a NEW
+    // session; q16's `> gap` keeps it), and session_end = last event
+    // + gap rather than last event — the oracle replays exactly the
+    // session_window definition so the boundary case is verified, not
+    // papered over. State scales as one (user, open-session) row —
+    // bytes per key, shuffle-on-user — the bounded-state shape
+    // documented for q93.
+    Q("q117_streaming_sessions",
+      (s, dir) => withStatePartitions(s, Seq(staged(s, dir))) {
+        val sessions = EventStreams.sessionized(source(s, dir))
+        EventStreams.runAvailableNow(s, sessions, uniq("q117"))
+          .orderBy(col("user_id"), col("session_start"))
+      },
+      Some("""WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t
+             |  FROM events),
+             |lagd AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id) AS pt FROM e),
+             |flag AS (SELECT *, CASE WHEN pt IS NULL
+             |    OR t >= pt + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS nf
+             |  FROM lagd),
+             |sess AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id
+             |    ORDER BY t, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sseq
+             |  FROM flag)
+             |SELECT user_id, MIN(t) AS session_start,
+             |  MAX(t) + INTERVAL 30 MINUTE AS session_end,
+             |  COUNT(*) AS n_events
+             |FROM sess GROUP BY user_id, sseq
+             |ORDER BY user_id, session_start""".stripMargin)))
 }

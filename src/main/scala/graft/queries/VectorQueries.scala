@@ -402,6 +402,87 @@ object VectorQueries {
            |  CAST(CASE WHEN d.id_b IS NULL THEN 1 ELSE 0 END AS INT) AS kept
            |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.id_b
            |ORDER BY a.vec_id""".stripMargin
+      }),
+
+    // ANN RECALL EVALUATION — the eval harness every approximate
+    // index deployment needs: recall@10 of the IVF probe (q27's
+    // configuration) against brute-force exact ground truth, per
+    // query, as exact integers (hits, recall in basis points). At
+    // 100 TB this is how an index's nProbe/nCells tradeoff is tuned:
+    // ground truth over a bounded query sample (10 queries here) via
+    // the two-phase exact top-k, candidates from the probed index —
+    // both already bounded-shuffle operators; the comparison itself
+    // is a k-row-per-query equi-join. Ties broken (cosine desc,
+    // n_id) identically in both engines, so recall is deterministic.
+    Q("q120_ann_recall",
+      (s, dir) => {
+        val emb = Tables(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+        val queries = emb.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        val corpus = emb.select(col("vec_id").as("n_id"), col("embedding"))
+        val exact = SimilaritySearch.bruteForceTopK(queries, corpus,
+            "q_id", "q_vec", "n_id", "embedding", k = 10)
+          .select(col("q_id"), col("n_id"))
+        val approx = SimilaritySearch.ivfTopK(queries, corpus, centroids,
+            "q_id", "q_vec", "n_id", "embedding", k = 10, nProbe = 3)
+          .select(col("q_id"), col("n_id"))
+        val hits = approx.join(exact, Seq("q_id", "n_id"))
+          .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+        queries.select(col("q_id"))
+          .join(hits, Seq("q_id"), "left")
+          .select(col("q_id"),
+            coalesce(col("h"), lit(0L)).as("n_hits"),
+            (coalesce(col("h"), lit(0L)) * 1000).as("recall_bp"))
+          .orderBy(col("q_id"))
+      },
+      Some {
+        def l2(a: String, b: String) =
+          s"(${normSql(a)} - 2 * ${dotSql(a, b)} + ${normSql(b)})"
+        s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv
+           |    FROM embeddings WHERE vec_id < 10),
+           |corp AS (SELECT vec_id AS n_id, embedding AS cv FROM embeddings),
+           |exd AS (SELECT q_id, n_id,
+           |    CASE WHEN ${normSql("qv")} = 0 OR ${normSql("cv")} = 0 THEN NULL
+           |      ELSE CAST(${dotSql("qv", "cv")} AS DOUBLE) /
+           |        sqrt(CAST(${normSql("qv")} AS DOUBLE) * CAST(${normSql("cv")} AS DOUBLE)) END AS cosine
+           |  FROM q, corp WHERE q_id <> n_id),
+           |ex AS (SELECT q_id, n_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY cosine DESC, n_id) AS rnk FROM exd) t
+           |  WHERE rnk <= 10),
+           |cent AS (SELECT vec_id AS cell_id, embedding AS cell_vec
+           |    FROM embeddings WHERE vec_id % 50 = 0),
+           |assigned AS (SELECT n_id, cv, cell_id,
+           |    ROW_NUMBER() OVER (PARTITION BY n_id
+           |      ORDER BY ${l2("cv", "cell_vec")}, cell_id) AS arn
+           |  FROM corp, cent),
+           |idx AS (SELECT n_id, cv, cell_id AS cell FROM assigned WHERE arn = 1),
+           |qcell AS (SELECT q_id, qv, cell_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY ${l2("qv", "cell_vec")}, cell_id) AS prn
+           |  FROM q, cent),
+           |probes AS (SELECT q_id, qv, cell_id AS cell FROM qcell WHERE prn <= 3),
+           |cand AS (SELECT p.q_id, i.n_id, p.qv, i.cv
+           |  FROM probes p JOIN idx i ON p.cell = i.cell
+           |  WHERE p.q_id <> i.n_id),
+           |apd AS (SELECT q_id, n_id,
+           |    CASE WHEN ${normSql("qv")} = 0 OR ${normSql("cv")} = 0 THEN NULL
+           |      ELSE CAST(${dotSql("qv", "cv")} AS DOUBLE) /
+           |        sqrt(CAST(${normSql("qv")} AS DOUBLE) * CAST(${normSql("cv")} AS DOUBLE)) END AS cosine
+           |  FROM cand),
+           |ap AS (SELECT q_id, n_id FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY cosine DESC, n_id) AS rnk FROM apd) t
+           |  WHERE rnk <= 10),
+           |hits AS (SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS h
+           |  FROM ap a JOIN ex e ON a.q_id = e.q_id AND a.n_id = e.n_id
+           |  GROUP BY a.q_id)
+           |SELECT q.q_id, COALESCE(h, 0) AS n_hits,
+           |  COALESCE(h, 0) * 1000 AS recall_bp
+           |FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN hits USING (q_id)
+           |ORDER BY q.q_id""".stripMargin
       })
   )
 }

@@ -25,9 +25,14 @@ object PlanAudit {
     "q97_semdedup",     // centroid broadcast × corpus — assignment stage
     "q98_lm_quality",   // 1-row vocabulary-size scalar broadcast into the model
     "q99_dsir_select",  // 1-row gram-total scalar broadcast into the B-bucket model
-    "q106_pagerank")    // 1-row node-count scalar broadcast into each power
+    "q106_pagerank",    // 1-row node-count scalar broadcast into each power
                         // iteration's base term (visible since the iteration
                         // chain went lazy; bounded by construction)
+    "q119_kmv_intersect", // two 1-row (≤64-element sketch) frames crossed +
+                          // the 1-row exact-count frame — sketch ALGEBRA is
+                          // O(k) by design, never corpus-sized
+    "q120_ann_recall")  // inherits q26/q27's |Q|=10 broadcast × corpus
+                        // shapes (exact ground truth + probe assignment)
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)
