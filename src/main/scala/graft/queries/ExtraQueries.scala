@@ -472,6 +472,45 @@ object ExtraQueries {
              |    AND q.p_size >= p.p_size
              |    AND (q.p_retailprice < p.p_retailprice
              |      OR q.p_size > p.p_size))
-             |ORDER BY p_partkey""".stripMargin))
+             |ORDER BY p_partkey""".stripMargin)),
+
+    // EXACT decile binning (the quantile discretizer of feature
+    // engineering) without any global sort: per-value counts (a
+    // wordcount), a DISTRIBUTED prefix sum over the value order
+    // (operators/PrefixSum — range partition, O(numParts) sequential
+    // step), and the bin rule decile = (rows_strictly_below × 10)
+    // div N. Ties share a bin by construction, so the assignment is
+    // deterministic under any partitioning — unlike ntile(), whose
+    // global ORDER BY window funnels every row through one task AND
+    // splits ties arbitrarily. The oracle uses exactly that
+    // single-window formulation (the obvious SQL), proving the
+    // distributed plan against it; DuckDB's window is fine at test
+    // scale — Spark's would not be at 100 TB.
+    Q("q122_decile_bins",
+      (s, dir) => {
+        val v = Tables(s, dir, "lineitem")
+          .select(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("p"))
+        val g = v.groupBy(col("p")).agg(count(lit(1)).cast(LongType).as("c"))
+        val cum = graft.operators.PrefixSum(g, "p", "c", "cum")
+        val n = g.agg(sum(col("c")).as("n"))
+        cum.crossJoin(broadcast(n))
+          .withColumn("decile", expr("((cum - c) * 10) div n"))
+          .groupBy(col("decile"))
+          .agg(sum(col("c")).cast(LongType).as("n_rows"),
+            min(col("p")).as("min_cents"),
+            max(col("p")).as("max_cents"))
+          .orderBy(col("decile"))
+      },
+      Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
+             |  FROM lineitem),
+             |g AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY p),
+             |cum AS (SELECT p, c, SUM(c) OVER (ORDER BY p
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS ce
+             |  FROM g),
+             |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+             |SELECT (ce * 10) // n.n AS decile,
+             |  CAST(SUM(c) AS BIGINT) AS n_rows,
+             |  MIN(p) AS min_cents, MAX(p) AS max_cents
+             |FROM cum, n GROUP BY decile ORDER BY decile""".stripMargin))
   )
 }

@@ -1051,6 +1051,65 @@ object TextQueries {
              |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
              |  COALESCE(array_to_string(list_transform(kept, j -> toks[j]), ' '), '')
              |    AS scrubbed
-             |FROM k2 ORDER BY doc_id""".stripMargin))
+             |FROM k2 ORDER BY doc_id""".stripMargin)),
+
+    // PMI collocations (Church & Hanks 1990 — public): which adjacent
+    // word pairs co-occur more than chance? pmi = log2(P(w1w2) /
+    // (P(w1)·P(w2))) = log2(c12·N_tok² / (N_bg·c1·c2)). Everything
+    // the oracle compares is INTEGER: the ratio is scaled by 2²⁰ in
+    // exact decimal(38,0) arithmetic and the log2 is the integer
+    // floor-log2 (length(bin(r))-1, the q98 discipline) — a floating
+    // log here would let 1-ulp differences flip a bucket. Shape at
+    // scale: two wordcounts (unigram, bigram — map-side combined),
+    // vocabulary-sized joins, two 1-row scalar totals broadcast;
+    // c12 ≥ 5 keeps the output collocation-sized. The corpus is
+    // touched exactly twice (token stream, bigram stream).
+    Q("q121_pmi_collocations",
+      (s, dir) => {
+        val dec = DecimalType(38, 0)
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        val uni = toks.select(explode(col("toks")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("c"))
+        val bg = toks.filter(size(col("toks")) >= 2)
+          .select(explode(expr(
+            """transform(sequence(1, size(toks) - 1),
+              |  i -> named_struct('w1', element_at(toks, i),
+              |                    'w2', element_at(toks, i + 1)))""".stripMargin))
+            .as("b"))
+          .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+          .agg(count(lit(1)).cast(LongType).as("c12"))
+        val nTok = uni.agg(sum(col("c").cast(dec)).as("n"))
+        val nBg = bg.agg(sum(col("c12").cast(dec)).as("m"))
+        bg.filter(col("c12") >= 5)
+          .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+          .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+          .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+          .withColumn("r", expr(
+            "CAST((CAST(c12 AS DECIMAL(38,0)) * n * n * 1048576) div (m * c1 * c2) AS BIGINT)"))
+          .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+            ((length(bin(greatest(col("r"), lit(1L)))) - 1).cast(LongType) - 20)
+              .as("pmi_fl2"))
+          .orderBy(col("w1"), col("w2"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |t AS (SELECT unnest(toks) AS w FROM d),
+             |u AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY w),
+             |bgr AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+             |  FROM d, unnest(range(1, len(toks))) AS ui(i)
+             |  WHERE len(toks) >= 2),
+             |b AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+             |  FROM bgr GROUP BY w1, w2),
+             |nt AS (SELECT CAST(SUM(c) AS HUGEINT) AS n FROM u),
+             |nb AS (SELECT CAST(SUM(c12) AS HUGEINT) AS m FROM b)
+             |SELECT w1, w2, c12, u1.c AS c1, u2.c AS c2,
+             |  CAST((length(bin(GREATEST(
+             |      CAST((CAST(c12 AS HUGEINT) * n * n * 1048576)
+             |        // (m * u1.c * u2.c) AS BIGINT), 1))) - 1) - 20 AS BIGINT)
+             |    AS pmi_fl2
+             |FROM b JOIN u u1 ON b.w1 = u1.w JOIN u u2 ON b.w2 = u2.w, nt, nb
+             |WHERE c12 >= 5 ORDER BY w1, w2""".stripMargin))
   )
 }

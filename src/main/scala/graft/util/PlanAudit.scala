@@ -31,8 +31,12 @@ object PlanAudit {
     "q119_kmv_intersect", // two 1-row (≤64-element sketch) frames crossed +
                           // the 1-row exact-count frame — sketch ALGEBRA is
                           // O(k) by design, never corpus-sized
-    "q120_ann_recall")  // inherits q26/q27's |Q|=10 broadcast × corpus
+    "q120_ann_recall",  // inherits q26/q27's |Q|=10 broadcast × corpus
                         // shapes (exact ground truth + probe assignment)
+    "q121_pmi_collocations", // two 1-row corpus-total scalars broadcast
+                             // into the vocabulary-sized PMI table
+    "q122_decile_bins") // 1-row row-count scalar broadcast into the
+                        // per-value bin rule
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)

@@ -423,6 +423,9 @@ object DuckToSpark {
     // indices; Spark brackets are 0-based, element_at is 1-based
     s = s.replaceAll("\\b([A-Za-z_]+)\\[(-?\\d+)\\]", "element_at($1, $2)")
     s = s.replaceAll("\\b([A-Za-z_]+)\\[([a-z_][a-z_0-9]*)\\]", "element_at($1, $2)")
+    // identifier indexed by simple offset arithmetic (`toks[i + 1]`)
+    s = s.replaceAll("\\b([A-Za-z_]+)\\[([a-z_][a-z_0-9]* [+-] \\d+)\\]",
+      "element_at($1, $2)")
     // list literals ONLY: brackets of comma-separated simple-word
     // strings (anything looser spans [..] embedded in JSON string
     // literals — quote pairing in SQL text differs from regex intuition)
