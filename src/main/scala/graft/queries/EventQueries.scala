@@ -478,6 +478,55 @@ object EventQueries {
              |      (CAST(17732923532771328 AS DOUBLE) / CAST(hmax AS DOUBLE))
              |    END, 4) AS est_intersection,
              |  exact_intersection
-             |FROM st, na, nb, ex""".stripMargin))
+             |FROM st, na, nb, ex""".stripMargin)),
+
+    // Time-series GAP FILL / resample: hourly per-type aggregates
+    // DENSIFIED onto the complete hour spine (every hour between the
+    // corpus min and max, per type, zero-filled) — the operation
+    // every downstream charting/forecast join needs, and one naive
+    // SQL gets wrong by just GROUP BY-ing observed hours. The spine
+    // is generated, not scanned: |types| × |hours| rows from a 1-row
+    // bounds scalar broadcast into a sequence() explode — no
+    // corpus-sized shuffle beyond the base aggregate; the left join
+    // back is keyed on (type, hour), the same key the aggregate
+    // already shuffled on. Sums accumulate as DECIMAL(18,2) (q15
+    // discipline) so the zero-fill and the observed values share one
+    // exact domain.
+    Q("q124_gap_fill",
+      (s, dir) => {
+        val ev = events(s, dir).select(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"), col("value"))
+        val agg = ev.groupBy(col("event_type"), col("h"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+        val bounds = ev.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        val spine = agg.select(col("event_type")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("event_type"),
+            explode(expr("sequence(h0, h1, INTERVAL 1 HOUR)")).as("h"))
+        spine.join(agg, Seq("event_type", "h"), "left")
+          .select(col("event_type"), col("h").as("hour_start"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("sv"), lit(BigDecimal(0)).cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_value"))
+          .orderBy(col("event_type"), col("hour_start"))
+      },
+      Some("""WITH e AS (SELECT event_type,
+             |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+             |  FROM events),
+             |a AS (SELECT event_type, h, CAST(COUNT(*) AS BIGINT) AS n,
+             |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+             |  FROM e GROUP BY event_type, h),
+             |b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM e),
+             |t AS (SELECT DISTINCT event_type FROM a),
+             |spine AS (SELECT event_type,
+             |    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+             |  FROM t, b)
+             |SELECT s.event_type, s.h AS hour_start,
+             |  COALESCE(n, 0) AS n,
+             |  CAST(COALESCE(sv, 0) AS DOUBLE) AS sum_value
+             |FROM spine s LEFT JOIN a ON s.event_type = a.event_type
+             |  AND s.h = a.h
+             |ORDER BY s.event_type, hour_start""".stripMargin))
   )
 }

@@ -511,6 +511,58 @@ object ExtraQueries {
              |SELECT (ce * 10) // n.n AS decile,
              |  CAST(SUM(c) AS BIGINT) AS n_rows,
              |  MIN(p) AS min_cents, MAX(p) AS max_cents
-             |FROM cum, n GROUP BY decile ORDER BY decile""".stripMargin))
+             |FROM cum, n GROUP BY decile ORDER BY decile""".stripMargin)),
+
+    // Chi-square contingency association (returnflag × linestatus) in
+    // EXACT integer arithmetic: observed counts O, margins R/C, and
+    // per-cell contribution (10⁶·(O·N − R·C)²) div (N·R·C) — the ppm
+    // value of (O−E)²/E with E = R·C/N, kept rational until one
+    // integer floor per cell so both engines agree bit-for-bit
+    // (decimal-38 / HUGEINT headroom: (O·N)² ≲ 10²³, ×10⁶ ≲ 10²⁹).
+    // One map-side-combined cell count; margins are group-count-sized
+    // broadcasts. The statistic behind categorical feature selection
+    // at corpus scale (Pearson 1900 — public).
+    Q("q125_chisq",
+      (s, dir) => {
+        val dec = DecimalType(38, 0)
+        val cells = Tables(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).cast(LongType).as("o"))
+        val rows = cells.groupBy(col("l_returnflag"))
+          .agg(sum(col("o")).cast(LongType).as("r"))
+        val cols = cells.groupBy(col("l_linestatus"))
+          .agg(sum(col("o")).cast(LongType).as("cc"))
+        val n = cells.agg(sum(col("o")).cast(dec).as("n"))
+        cells.join(broadcast(rows), "l_returnflag")
+          .join(broadcast(cols), "l_linestatus")
+          .crossJoin(broadcast(n))
+          .withColumn("expected_milli",
+            expr("CAST((CAST(r AS DECIMAL(38,0)) * cc * 1000) div n AS BIGINT)"))
+          .withColumn("contrib_ppm", expr(
+            """CAST((1000000 * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * cc)
+              |  * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * cc))
+              |  div (n * r * cc) AS BIGINT)""".stripMargin))
+          .select(col("l_returnflag"), col("l_linestatus"), col("o"),
+            col("expected_milli"), col("contrib_ppm"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""WITH cells AS (SELECT l_returnflag, l_linestatus,
+             |    CAST(COUNT(*) AS BIGINT) AS o
+             |  FROM lineitem GROUP BY l_returnflag, l_linestatus),
+             |r AS (SELECT l_returnflag, CAST(SUM(o) AS BIGINT) AS r
+             |  FROM cells GROUP BY l_returnflag),
+             |c AS (SELECT l_linestatus, CAST(SUM(o) AS BIGINT) AS cc
+             |  FROM cells GROUP BY l_linestatus),
+             |n AS (SELECT CAST(SUM(o) AS HUGEINT) AS n FROM cells)
+             |SELECT cells.l_returnflag, cells.l_linestatus, o,
+             |  CAST((CAST(r.r AS HUGEINT) * c.cc * 1000) // n.n AS BIGINT)
+             |    AS expected_milli,
+             |  CAST((1000000 * (CAST(o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.cc)
+             |    * (CAST(o AS HUGEINT) * n.n - CAST(r.r AS HUGEINT) * c.cc))
+             |    // (n.n * r.r * c.cc) AS BIGINT) AS contrib_ppm
+             |FROM cells
+             |JOIN r ON cells.l_returnflag = r.l_returnflag
+             |JOIN c ON cells.l_linestatus = c.l_linestatus, n
+             |ORDER BY cells.l_returnflag, cells.l_linestatus""".stripMargin))
   )
 }

@@ -35,8 +35,12 @@ object PlanAudit {
                         // shapes (exact ground truth + probe assignment)
     "q121_pmi_collocations", // two 1-row corpus-total scalars broadcast
                              // into the vocabulary-sized PMI table
-    "q122_decile_bins") // 1-row row-count scalar broadcast into the
+    "q122_decile_bins", // 1-row row-count scalar broadcast into the
                         // per-value bin rule
+    "q124_gap_fill",    // 1-row (min,max)-hour bounds broadcast into the
+                        // |types| × |hours| generated spine
+    "q125_chisq")       // 1-row grand-total scalar broadcast into the
+                        // cell-count contingency table
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)
