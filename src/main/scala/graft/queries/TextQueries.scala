@@ -1019,8 +1019,12 @@ object TextQueries {
           .select(col("doc_id"), col("toks"),
             coalesce(col("spans"), expr("CAST(array() AS ARRAY<INT>)")).as("spans"))
           .select(col("doc_id"), col("toks"), expr(
-            """filter(sequence(1, size(toks)),
-              |  j -> NOT exists(spans, x -> j >= x AND j <= x + 2))"""
+            // size 0 guard: Spark's sequence(1, 0) DESCENDS ([1, 0])
+            // instead of being empty — an unguarded empty doc would
+            // index element_at(toks, 1) on a 0-element array
+            """CASE WHEN size(toks) < 1 THEN CAST(array() AS ARRAY<INT>)
+              |  ELSE filter(sequence(1, size(toks)),
+              |    j -> NOT exists(spans, x -> j >= x AND j <= x + 2)) END"""
               .stripMargin).as("kept"))
           .select(col("doc_id"),
             size(col("toks")).cast(LongType).as("n_tokens"),
