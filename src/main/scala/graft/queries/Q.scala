@@ -29,7 +29,7 @@ object Registry {
       ExtraQueries.all ++ DomainQueries.all ++ MultimodalQueries.all ++
       ScaleQueries.all ++ GcQueries.all ++ TemporalQueries.all ++
       CleanQueries.all ++ SurfaceQueries.all ++ StreamQueries.all ++
-      GraphQueries.all
+      GraphQueries.all ++ RetrievalQueries.all ++ ProfileQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }

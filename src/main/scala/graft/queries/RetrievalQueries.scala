@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.functions.TextFns
+import graft.operators.TopKPerGroup
+import graft.util.Tables
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Retrieval / supervised-classification surface over `documents` —
+  * the query-time counterparts of the corpus artifacts built by
+  * q113 (inverted index) and the model-training stack (q97–q102).
+  *
+  * Everything the oracle compares is INTEGER: ratios are scaled into
+  * exact decimal/HUGEINT arithmetic with integer (floor) division and
+  * logs are the integer floor-log2 (`length(bin(r)) - 1`, the q98
+  * discipline) — a floating log or sqrt would let 1-ulp engine
+  * differences flip an ordering. The resulting scores are coarser
+  * than float BM25/NB but rank-faithful and bit-reproducible across
+  * engines, partition counts, and reduction orders.
+  */
+object RetrievalQueries {
+
+  /** Fixed keyword query for the BM25 ranking demo (high-df corpus
+    * terms — exercises the Lucene-style always-positive idf). */
+  private val BmTerms = Seq("join", "hash", "vector")
+
+  val all: Seq[Q] = Seq(
+
+    // BM25 top-k retrieval (Robertson & Walker 1994; the Lucene
+    // practical variant with idf = log(1 + (N - df + ½)/(df + ½)) =
+    // log((N+1)/(df+½)), which never goes negative). k1 = 1.2 and
+    // b = 0.75 are rational, so the tf-saturation term
+    //   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    // multiplies out to the exact integer form
+    //   22·tf·S·2¹⁰ div (10·tf·S + 3·S + 9·dl·N)      (S = Σ dl)
+    // and idf becomes floor-log2(((2N+2)·2²⁰) div (2df+1)) − 20.
+    // Shape at scale: the tf table is a wordcount restricted to the
+    // query terms (the predicate reaches the token stream before any
+    // shuffle — per-doc work is O(dl), state is |q| rows per doc);
+    // df and the 1-row corpus stats broadcast; the final top-50 is a
+    // total order over (score, doc_id). At 100 TB this is the
+    // standard query-evaluation shape: score only docs containing a
+    // query term, never materialize the full corpus ranking.
+    Q("q126_bm25_topk",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        val dl = toks.select(col("doc_id"),
+          size(col("toks")).cast(LongType).as("dl"))
+        val stats = dl.agg(count(lit(1)).cast(LongType).as("n"),
+          sum(col("dl").cast(DecimalType(38, 0))).as("s"))
+        val tf = toks
+          .select(col("doc_id"), explode(col("toks")).as("term"))
+          .filter(col("term").isin(BmTerms: _*))
+          .groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).cast(LongType).as("tf"))
+        val dfk = tf.groupBy(col("term"))
+          .agg(count(lit(1)).cast(LongType).as("df"))
+        tf.join(broadcast(dfk), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("r_idf", expr(
+            """CAST((2 * CAST(n AS DECIMAL(38,0)) + 2) * 1048576
+              |  div (2 * CAST(df AS DECIMAL(38,0)) + 1) AS BIGINT)"""
+              .stripMargin))
+          .withColumn("idf_fl2",
+            (length(bin(greatest(col("r_idf"), lit(1L)))) - 1)
+              .cast(LongType) - 20)
+          .withColumn("s_tf", expr(
+            """CAST((22 * CAST(tf AS DECIMAL(38,0)) * s * 1024)
+              |  div (10 * CAST(tf AS DECIMAL(38,0)) * s + 3 * s
+              |       + 9 * CAST(dl AS DECIMAL(38,0)) * CAST(n AS DECIMAL(38,0)))
+              |  AS BIGINT)""".stripMargin))
+          .withColumn("contrib", col("idf_fl2") * col("s_tf"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_terms"),
+            sum(col("contrib")).cast(LongType).as("bm25_s"))
+          .orderBy(col("bm25_s").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+             |st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             |    CAST(SUM(dl) AS HUGEINT) AS s FROM dl),
+             |t AS (SELECT doc_id, unnest(toks) AS term FROM d),
+             |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM t WHERE term IN (${BmTerms.map("'" + _ + "'").mkString(", ")})
+             |  GROUP BY doc_id, term),
+             |dfk AS (SELECT term, CAST(COUNT(*) AS HUGEINT) AS df
+             |  FROM tf GROUP BY term),
+             |sc AS (SELECT tf.doc_id,
+             |    CAST(length(bin(GREATEST(CAST((2 * n + 2) * 1048576
+             |        // (2 * df + 1) AS BIGINT), 1))) - 1 - 20 AS BIGINT)
+             |    * CAST((22 * CAST(tf AS HUGEINT) * s * 1024)
+             |        // (10 * CAST(tf AS HUGEINT) * s + 3 * s
+             |           + 9 * CAST(dl AS HUGEINT) * n) AS BIGINT) AS contrib
+             |  FROM tf JOIN dfk USING (term) JOIN dl ON tf.doc_id = dl.doc_id, st)
+             |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+             |  CAST(SUM(contrib) AS BIGINT) AS bm25_s
+             |FROM sc GROUP BY doc_id
+             |ORDER BY bm25_s DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // Multinomial Naive Bayes train + apply (Manning et al., IIR ch.
+    // 13 — public): train on the 80% split (doc_id % 5 ≠ 0), predict
+    // `source` for the held-out 20% (the q71 hash-split convention).
+    // Add-one smoothing over the TRAIN vocabulary; out-of-vocabulary
+    // test tokens are dropped (standard NB practice) and test docs
+    // with zero in-vocab tokens are excluded on both engines.
+    // Likelihoods are integer-quantized: per-token surprisal
+    //   sl2(w,c) = 20 − floor-log2(((cnt+1)·2²⁰) div (tot_c + V))
+    // and class-prior surprisal the same way, so the per-doc score is
+    // an exact integer sum and argmin (score, then class name) is a
+    // total order. Shape at scale: class-conditional counts are a
+    // wordcount (map-side combined, ≤ V·C rows); the model grid
+    // (vocab × classes, zero-filled) broadcasts onto the test token
+    // stream; per-doc reduction shuffles on doc_id; the argmin is a
+    // bounded per-doc window. No all-pairs, no driver-side state.
+    Q("q127_nb_classify",
+      (s, dir) => {
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            TextFns.tokens(col("text")).as("toks"))
+        val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        val test = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        val cnt = train.select(col("source"), explode(col("toks")).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).cast(LongType).as("c"))
+        val vocab = cnt.select(col("w")).distinct()
+        val vsz = vocab.agg(count(lit(1)).cast(LongType).as("vsz"))
+        val classes = train.groupBy(col("source"))
+          .agg(count(lit(1)).cast(LongType).as("docs_c"))
+        val docsTot = train.agg(count(lit(1)).cast(LongType).as("docs_tot"))
+        val totals = cnt.groupBy(col("source"))
+          .agg(sum(col("c")).cast(LongType).as("tot"))
+        val model = vocab
+          .crossJoin(broadcast(classes.join(totals, "source")))
+          .join(cnt, Seq("source", "w"), "left")
+          .crossJoin(broadcast(vsz))
+          .withColumn("p_s", expr(
+            "((coalesce(c, 0L) + 1) * 1048576L) div (tot + vsz)"))
+          .withColumn("sl2", lit(20L) -
+            (length(bin(greatest(col("p_s"), lit(1L)))) - 1).cast(LongType))
+          .select(col("source"), col("w"), col("sl2"))
+        val prior = classes.crossJoin(broadcast(docsTot))
+          .withColumn("pp_s", expr("(docs_c * 1048576L) div docs_tot"))
+          .withColumn("sp", lit(20L) -
+            (length(bin(greatest(col("pp_s"), lit(1L)))) - 1).cast(LongType))
+          .select(col("source"), col("sp"))
+        val stream = test.select(col("doc_id"), explode(col("toks")).as("w"))
+          .groupBy(col("doc_id"), col("w"))
+          .agg(count(lit(1)).cast(LongType).as("tf"))
+        val scores = stream.join(broadcast(model), "w")
+          .groupBy(col("doc_id"), col("source"))
+          .agg(sum(col("tf") * col("sl2")).cast(LongType).as("ll"))
+          .join(broadcast(prior), "source")
+          .withColumn("score_s", col("ll") + col("sp"))
+        scores
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id"))
+              .orderBy(col("score_s"), col("source"))))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("source").as("pred"), col("score_s"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |tr AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+             |te AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+             |cnt AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM (SELECT source, unnest(toks) AS w FROM tr) GROUP BY source, w),
+             |vocab AS (SELECT DISTINCT w FROM cnt),
+             |vsz AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz FROM vocab),
+             |cls AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_c
+             |  FROM tr GROUP BY source),
+             |dt AS (SELECT CAST(COUNT(*) AS BIGINT) AS docs_tot FROM tr),
+             |tot AS (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+             |  FROM cnt GROUP BY source),
+             |model AS (SELECT cls.source, v.w,
+             |    20 - (length(bin(GREATEST(
+             |      ((COALESCE(c, 0) + 1) * 1048576) // (tot + vsz), 1))) - 1)
+             |      AS sl2
+             |  FROM vocab v CROSS JOIN cls
+             |  JOIN tot ON cls.source = tot.source
+             |  LEFT JOIN cnt ON cnt.source = cls.source AND cnt.w = v.w
+             |  CROSS JOIN vsz),
+             |prior AS (SELECT source,
+             |    20 - (length(bin(GREATEST(
+             |      (docs_c * 1048576) // docs_tot, 1))) - 1) AS sp
+             |  FROM cls CROSS JOIN dt),
+             |st AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+             |  FROM (SELECT doc_id, unnest(toks) AS w FROM te) GROUP BY doc_id, w),
+             |sc AS (SELECT doc_id, m.source,
+             |    CAST(SUM(tf * sl2) AS BIGINT) + MIN(sp) AS score_s
+             |  FROM st JOIN model m ON st.w = m.w
+             |  JOIN prior p ON m.source = p.source
+             |  GROUP BY doc_id, m.source),
+             |r AS (SELECT doc_id, source, score_s, ROW_NUMBER() OVER
+             |    (PARTITION BY doc_id ORDER BY score_s, source) AS rn
+             |  FROM sc)
+             |SELECT doc_id, source AS pred, CAST(score_s AS BIGINT) AS score_s
+             |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin)),
+
+    // Document-level term co-occurrence graph (the distributional-
+    // similarity counterpart of q121's ADJACENT-bigram PMI): which
+    // term pairs appear in the same documents? c_ab = |docs with
+    // both|, and a scaled-integer Jaccard over document sets
+    //   jac_s = (c_ab · 2²⁰) div (df1 + df2 − c_ab).
+    // Shape at scale: per-doc DISTINCT terms are capped at the 64
+    // lexicographically-smallest (the star-cap convention — bounds
+    // the per-doc pair fan-out at K², the same guard SemanticDedup
+    // uses for hot cells; df is computed on the SAME capped stream so
+    // the Jaccard identity stays exact). Pair counting is then a
+    // wordcount on the (w1, w2) key — map-side combined, shuffled
+    // once; c_ab ≥ 5 keeps the output collocation-sized.
+    Q("q128_term_cooccur",
+      (s, dir) => {
+        val d0 = Tables(s, dir, "documents")
+          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
+          .distinct()
+        val d = TopKPerGroup(d0, Seq(col("doc_id")), Seq(col("w")), 64)
+          .select(col("doc_id"), col("w"))
+        val dfw = d.groupBy(col("w"))
+          .agg(count(lit(1)).cast(LongType).as("df"))
+        val pairs = d.as("a")
+          .join(d.as("b"), Seq("doc_id"))
+          .filter(col("a.w") < col("b.w"))
+          .select(col("a.w").as("w1"), col("b.w").as("w2"))
+          .groupBy(col("w1"), col("w2"))
+          .agg(count(lit(1)).cast(LongType).as("c_ab"))
+          .filter(col("c_ab") >= 5)
+        pairs
+          .join(dfw.withColumnRenamed("w", "w1").withColumnRenamed("df", "df1"), "w1")
+          .join(dfw.withColumnRenamed("w", "w2").withColumnRenamed("df", "df2"), "w2")
+          .withColumn("jac_s", expr("(c_ab * 1048576L) div (df1 + df2 - c_ab)"))
+          .select(col("w1"), col("w2"), col("c_ab"), col("df1"), col("df2"),
+            col("jac_s"))
+          .orderBy(col("w1"), col("w2"))
+      },
+      Some("""WITH t0 AS (SELECT DISTINCT doc_id, w
+             |  FROM (SELECT doc_id,
+             |      unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |        x -> x <> '')) AS w
+             |    FROM documents)),
+             |c AS (SELECT doc_id, w FROM (SELECT doc_id, w, ROW_NUMBER() OVER
+             |    (PARTITION BY doc_id ORDER BY w) AS rn FROM t0) WHERE rn <= 64),
+             |dfw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM c GROUP BY w),
+             |p AS (SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS c_ab
+             |  FROM c a JOIN c b ON a.doc_id = b.doc_id AND a.w < b.w
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+             |SELECT w1, w2, c_ab, d1.df AS df1, d2.df AS df2,
+             |  CAST((c_ab * 1048576) // (d1.df + d2.df - c_ab) AS BIGINT) AS jac_s
+             |FROM p JOIN dfw d1 ON p.w1 = d1.w JOIN dfw d2 ON p.w2 = d2.w
+             |ORDER BY w1, w2""".stripMargin))
+  )
+}

@@ -39,8 +39,13 @@ object PlanAudit {
                         // per-value bin rule
     "q124_gap_fill",    // 1-row (min,max)-hour bounds broadcast into the
                         // |types| × |hours| generated spine
-    "q125_chisq")       // 1-row grand-total scalar broadcast into the
+    "q125_chisq",       // 1-row grand-total scalar broadcast into the
                         // cell-count contingency table
+    "q126_bm25_topk",   // 1-row corpus-stats scalar (N, Σdl) broadcast
+                        // into the query-term-filtered tf table
+    "q127_nb_classify") // 1-row vocab-size / train-doc-count scalars +
+                        // |classes| grid crossed into the vocab-sized
+                        // model build — all bounded by construction
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)
