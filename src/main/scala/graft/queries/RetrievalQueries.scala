@@ -254,6 +254,123 @@ object RetrievalQueries {
              |SELECT w1, w2, c_ab, d1.df AS df1, d2.df AS df2,
              |  CAST((c_ab * 1048576) // (d1.df + d2.df - c_ab) AS BIGINT) AS jac_s
              |FROM p JOIN dfw d1 ON p.w1 = d1.w JOIN dfw d2 ON p.w2 = d2.w
-             |ORDER BY w1, w2""".stripMargin))
+             |ORDER BY w1, w2""".stripMargin)),
+
+    // EXACT all-pairs set-similarity join over 3-shingle sets with
+    // prefix filtering (Bayardo, Ma & Srikant, WWW 2007; Chaudhuri et
+    // al. 2006) — the exact ground truth the q22 MinHash-LSH pipeline
+    // approximates. Jaccard ≥ ½ is the integer test 3·|A∩B| ≥
+    // |A|+|B|. Prefix filter: shingles ranked per doc by global
+    // (df, shingle) ascending — rarest first; two sets with J ≥ ½
+    // MUST share one of each other's first ⌊sz/2⌋+1 shingles, so
+    // candidates come from an EQUI-join on prefix shingles only
+    // (rare-first ordering makes those buckets the SMALLEST df
+    // buckets — the Zipf head never generates candidates), then the
+    // exact intersection verifies candidates only. THE ORACLE IS THE
+    // BRUTE-FORCE DEFINITION — a dropped pair (broken completeness)
+    // fails verification, not just a spec. Scale: candidate work is
+    // Σ df(prefix-shingle)², df of rare shingles ≈ dup-cluster size;
+    // arrays carried to the verify are doc-sized (AllPairs' design).
+    Q("q133_allpairs_jaccard",
+      (s, dir) => {
+        val sh = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            explode(TextFns.shingles(col("text"), 3)).as("w"))
+          .distinct()
+        val dfw = sh.groupBy(col("w"))
+          .agg(count(lit(1)).cast(LongType).as("df"))
+        val ranked = sh.join(dfw, "w")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+        val arrs = sh.groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("w"))).as("arr"),
+            count(lit(1)).cast(LongType).as("sz"))
+        val prefix = ranked.join(arrs.select(col("doc_id"), col("sz")), "doc_id")
+          .filter(col("rn") <= expr("sz div 2 + 1"))
+          .select(col("doc_id"), col("w"))
+        val cand = prefix.as("a").join(prefix.as("b"), Seq("w"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+          .distinct()
+        cand
+          .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"),
+            col("sz").as("sz1")), "d1")
+          .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"),
+            col("sz").as("sz2")), "d2")
+          .withColumn("inter",
+            size(array_intersect(col("arr1"), col("arr2"))).cast(LongType))
+          .filter(expr("3 * inter >= sz1 + sz2"))
+          .withColumn("jac_bp", expr("(inter * 10000) div (sz1 + sz2 - inter)"))
+          .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+            col("jac_bp"))
+          .orderBy(col("d1"), col("d2"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    array_to_string(list_slice(toks, i, i + 2), ' ') AS w
+             |  FROM d, unnest(range(1, len(toks) - 1)) AS u(i)
+             |  WHERE len(toks) >= 3),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+             |  FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+             |    CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d1, d2, inter, s1.sz AS sz1, s2.sz AS sz2,
+             |  (inter * 10000) // (s1.sz + s2.sz - inter) AS jac_bp
+             |FROM p JOIN sz s1 ON d1 = s1.doc_id JOIN sz s2 ON d2 = s2.doc_id
+             |WHERE 3 * inter >= s1.sz + s2.sz
+             |ORDER BY d1, d2""".stripMargin)),
+
+    // Per-source corpus diversity diagnostics: unigram Shannon
+    // surprisal totals (the "is this source repetitive?" signal a
+    // data-mixture pipeline reads before weighting sources — the
+    // entropy column of a datacard). Per-token surprisal is the
+    // integer-quantized 20 − floor-log2((c·2²⁰) div N_src) (q98
+    // discipline); the per-source total Σ c_w·sl2_w and the
+    // bits-per-token ratio (×100, floor) are exact integers. One
+    // wordcount + one vocabulary-sized pass; everything map-side
+    // combined.
+    Q("q134_source_entropy",
+      (s, dir) => {
+        val c = Tables(s, dir, "documents")
+          .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).cast(LongType).as("c"))
+        val n = c.groupBy(col("source"))
+          .agg(sum(col("c")).cast(LongType).as("n_tok"),
+            count(lit(1)).cast(LongType).as("n_vocab"))
+        val sur = c.join(n.select(col("source"), col("n_tok")), "source")
+          .withColumn("sl2", lit(20L) - (length(bin(greatest(
+            expr("CAST((CAST(c AS DECIMAL(38,0)) * 1048576) div n_tok AS BIGINT)"),
+            lit(1L)))) - 1).cast(LongType))
+          .groupBy(col("source"))
+          .agg(sum(col("c") * col("sl2")).cast(LongType).as("sur_bits"))
+        n.join(sur, "source")
+          .withColumn("bpt_x100", expr("(sur_bits * 100) div n_tok"))
+          .select(col("source"), col("n_tok"), col("n_vocab"),
+            col("sur_bits"), col("bpt_x100"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT source,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS w
+             |  FROM documents),
+             |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM t GROUP BY 1, 2),
+             |n AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_tok,
+             |    CAST(COUNT(*) AS BIGINT) AS n_vocab FROM c GROUP BY 1),
+             |sur AS (SELECT c.source,
+             |    CAST(SUM(c * (20 - (length(bin(GREATEST(
+             |      CAST((CAST(c AS HUGEINT) * 1048576) // n_tok AS BIGINT),
+             |      1))) - 1))) AS BIGINT) AS sur_bits
+             |  FROM c JOIN n ON c.source = n.source GROUP BY c.source)
+             |SELECT source, n_tok, n_vocab, sur_bits,
+             |  (sur_bits * 100) // n_tok AS bpt_x100
+             |FROM n JOIN sur USING (source)
+             |ORDER BY source""".stripMargin))
   )
 }

@@ -43,9 +43,12 @@ object PlanAudit {
                         // cell-count contingency table
     "q126_bm25_topk",   // 1-row corpus-stats scalar (N, Σdl) broadcast
                         // into the query-term-filtered tf table
-    "q127_nb_classify") // 1-row vocab-size / train-doc-count scalars +
+    "q127_nb_classify", // 1-row vocab-size / train-doc-count scalars +
                         // |classes| grid crossed into the vocab-sized
                         // model build — all bounded by construction
+    "q135_decision_stump") // |classes| grid cross + 1-row total-count
+                           // scalar broadcast into the per-threshold
+                           // Gini table — both bounded
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)
