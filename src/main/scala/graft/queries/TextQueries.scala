@@ -51,7 +51,7 @@ object TextQueries {
     * TextFns.qualityScore replayed ONCE for every oracle that needs it
     * (q25 row-level, q90 datacard rollup). `carry` is the column list
     * threaded through unchanged. */
-  private def qualitySql(carry: String): String = {
+  private[queries] def qualitySql(carry: String): String = {
     val sw = TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")
     s"""toks AS (SELECT $carry,
        |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
