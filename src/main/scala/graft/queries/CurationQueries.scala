@@ -1,0 +1,206 @@
+package graft.queries
+
+import graft.functions.TextFns
+import graft.operators.Dedup
+import graft.util.Tables
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation audit surface: the checks a training-data pipeline
+  * runs on its SPLITS and its INCREMENTAL state — leakage across
+  * held-out splits, n-gram novelty of the eval sets, deterministic
+  * weighted sampling, and the merge-equals-recompute law for
+  * incremental aggregation.
+  */
+object CurationQueries {
+
+  /** q71's deterministic md5 90/5/5 split — shared so the audits
+    * interrogate the SAME membership the split query publishes. */
+  private def splitCol: Column = {
+    val h = Dedup.md5Int32(col("doc_id").cast(StringType))
+    when(h % 100 < 90, "train").when(h % 100 < 95, "val").otherwise("test")
+  }
+
+  private val splitSql =
+    """CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |       % 100 < 90 THEN 'train'
+      |     WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      |       % 100 < 95 THEN 'val'
+      |     ELSE 'test' END""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // Split-leakage audit: where do duplicate groups land across
+    // q71's train/val/test splits? The held-out set is only held out
+    // if no copy of a train document sits in val/test
+    // (deduplication-before-splitting is the rule this audit
+    // enforces; cf. Lee et al. 2022 "Deduplicating Training Data
+    // Makes Language Models Better", arXiv:2107.06499 §5 on
+    // train/test overlap). The dup key is THE ENGINE'S OWN exact-
+    // dedup key (q21's 3-token prefix) so the audit interrogates
+    // precisely the groups the dedup pass would collapse. Every dup
+    // group (≥ 2 copies) is keyed by its SORTED split set — a
+    // multi-split row IS a leak; single-split rows are the safe
+    // baseline that keeps the audit verifiable when no leak exists.
+    // One wordcount on the dup key; that shuffle is the only
+    // corpus-scale stage.
+    Q("q139_split_leakage",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            array_join(slice(TextFns.tokens(col("text")), 1, 3), " ").as("th"),
+            splitCol.as("split"))
+        d.groupBy(col("th"))
+          .agg(countDistinct(col("split")).as("ns"),
+            count(lit(1)).cast(LongType).as("n_docs"),
+            array_join(sort_array(collect_set(col("split"))), ",")
+              .as("split_set"))
+          .filter(col("n_docs") >= 2)
+          .groupBy(col("split_set"))
+          .agg(count(lit(1)).cast(LongType).as("n_groups"),
+            sum(col("n_docs")).cast(LongType).as("n_docs"),
+            max(col("ns") >= 2).as("leaky"))
+          .orderBy(col("split_set"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id,
+             |    COALESCE(array_to_string(list_slice(
+             |      list_filter(string_split_regex(trim(text), '\\s+'),
+             |        x -> x <> ''), 1, 3), ' '), '') AS th,
+             |    $splitSql AS split
+             |  FROM documents),
+             |g AS (SELECT th, COUNT(DISTINCT split) AS ns,
+             |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |    array_to_string(list_sort(list(DISTINCT split)), ',')
+             |      AS split_set
+             |  FROM d GROUP BY th)
+             |SELECT split_set, CAST(COUNT(*) AS BIGINT) AS n_groups,
+             |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+             |  MAX(ns >= 2) AS leaky
+             |FROM g WHERE n_docs >= 2
+             |GROUP BY split_set ORDER BY split_set""".stripMargin)),
+
+    // Eval-set n-gram novelty: what fraction of val/test 8-gram
+    // occurrences never appear in train? The memorization-risk
+    // complement of the q81 contamination probe (high overlap ⇒ the
+    // eval split measures recall of train, not generalization —
+    // Carlini et al. 2023 quantify memorization by exactly this
+    // n-gram overlap). Train's DISTINCT gram set is wordcount-shaped;
+    // the eval gram stream left-anti-joins it on the gram key (one
+    // bucketed shuffle, AQE-broadcastable when train's distinct set
+    // is small); novelty is exact basis points.
+    Q("q140_ngram_novelty",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), splitCol.as("split"),
+            explode(TextFns.shingles(col("text"), 8)).as("g"))
+        val train = d.filter(col("split") === "train")
+          .select(col("g")).distinct()
+        val ev = d.filter(col("split") =!= "train")
+        val novel = ev.join(train, Seq("g"), "left_anti")
+          .groupBy(col("split"))
+          .agg(count(lit(1)).cast(LongType).as("n_novel"))
+        ev.groupBy(col("split"))
+          .agg(count(lit(1)).cast(LongType).as("n_grams"))
+          .join(novel, Seq("split"), "left")
+          .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+          .withColumn("novelty_bp", expr("(n_novel * 10000) div n_grams"))
+          .orderBy(col("split"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, $splitSql AS split,
+             |    unnest(CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+             |      ELSE list_transform(range(1, len(toks) - 6),
+             |        i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+             |      END) AS g
+             |  FROM (SELECT doc_id,
+             |      list_filter(string_split_regex(trim(text), '\\s+'),
+             |        x -> x <> '') AS toks
+             |    FROM documents)),
+             |train AS (SELECT DISTINCT g FROM d WHERE split = 'train'),
+             |ev AS (SELECT split, g FROM d WHERE split <> 'train'),
+             |nv AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_novel
+             |  FROM ev ANTI JOIN train USING (g) GROUP BY split),
+             |tot AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_grams
+             |  FROM ev GROUP BY split)
+             |SELECT split, n_grams, COALESCE(n_novel, 0) AS n_novel,
+             |  (COALESCE(n_novel, 0) * 10000) // n_grams AS novelty_bp
+             |FROM tot LEFT JOIN nv USING (split)
+             |ORDER BY split""".stripMargin)),
+
+    // Deterministic weighted sampling per group: k docs per source
+    // with inclusion preference proportional to n_chars — the
+    // RNG-free analog of weighted reservoir sampling (Efraimidis &
+    // Spirtakis 2006 order by u^(1/w); here the order key is the
+    // exact integer (md5(id)·2²⁰) div w, so heavier docs draw
+    // smaller keys more often and ANY engine recomputes identical
+    // membership from ids alone). Runs through the bounded-buffer
+    // top-k physical operator (per-task k-row state — a window would
+    // sort whole source partitions; the q72 scale argument).
+    Q("q141_weighted_sample",
+      (s, dir) => {
+        val key = expr(
+          "(CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) " +
+            "AS BIGINT) * 1048576) div greatest(n_chars, 1L)")
+        graft.plans.TopKPhysical.topK(
+          Tables(s, dir, "documents").withColumn("_k", key),
+          groupBy = Seq("source"),
+          orderBy = Seq(("_k", true), ("doc_id", true)), k = 10,
+          rankName = "rn")
+          .select(col("source"), col("rn"), col("doc_id"),
+            col("_k").as("wkey"))
+          .orderBy(col("source"), col("rn"))
+      },
+      Some("""SELECT source, CAST(rn AS INT) AS rn, doc_id, wkey FROM (
+             |  SELECT source, doc_id, wkey,
+             |    ROW_NUMBER() OVER (PARTITION BY source
+             |      ORDER BY wkey, doc_id) AS rn
+             |  FROM (SELECT source, doc_id,
+             |      (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |        * 1048576) // GREATEST(n_chars, 1) AS wkey
+             |    FROM documents))
+             |WHERE rn <= 10 ORDER BY source, rn""".stripMargin)),
+
+    // Incremental aggregation: merge yesterday's per-user state with
+    // today's delta and land EXACTLY what a full recompute lands —
+    // the merge-equals-recompute law every incremental pipeline
+    // depends on (partial-aggregate semantics made explicit). Spark
+    // computes state(before cutoff) ⟕⟖ delta(after cutoff) with
+    // coalesce-add merge; THE ORACLE IS THE FULL RECOMPUTE, so any
+    // divergence between the incremental path and the one-shot
+    // aggregate fails verification. Sums are micro-unit integers;
+    // both sides shuffle once per branch on user_id.
+    Q("q142_incremental_agg",
+      (s, dir) => {
+        val cut = lit("2024-01-16 00:00:00").cast(TimestampType)
+        val ev = Tables(s, dir, "events")
+          .select(col("user_id"), col("ts"),
+            expr("CAST(round(value * 1000000) AS BIGINT)").as("v_us"))
+        def agg(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).cast(LongType).as("n"),
+            sum(col("v_us")).cast(LongType).as("sum_us"),
+            max(col("ts")).as("last_ts"))
+        val state = agg(ev.filter(col("ts") < cut))
+        val delta = agg(ev.filter(col("ts") >= cut))
+        state.select(col("user_id"), col("n").as("n0"),
+            col("sum_us").as("s0"), col("last_ts").as("t0"))
+          .join(delta.select(col("user_id"), col("n").as("n1"),
+            col("sum_us").as("s1"), col("last_ts").as("t1")),
+            Seq("user_id"), "full_outer")
+          .select(col("user_id"),
+            (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+              .as("n_events"),
+            (coalesce(col("s0"), lit(0L)) + coalesce(col("s1"), lit(0L)))
+              .as("sum_us"),
+            unix_micros(greatest(
+              coalesce(col("t0"), col("t1")),
+              coalesce(col("t1"), col("t0")))).as("last_us"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             |    AS sum_us,
+             |  epoch_us(MAX(ts)) AS last_us
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+  )
+}

@@ -29,7 +29,8 @@ object Registry {
       ExtraQueries.all ++ DomainQueries.all ++ MultimodalQueries.all ++
       ScaleQueries.all ++ GcQueries.all ++ TemporalQueries.all ++
       CleanQueries.all ++ SurfaceQueries.all ++ StreamQueries.all ++
-      GraphQueries.all ++ RetrievalQueries.all ++ ProfileQueries.all
+      GraphQueries.all ++ RetrievalQueries.all ++ ProfileQueries.all ++
+      CurationQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 }
