@@ -89,21 +89,33 @@ object CurationQueries {
     // the eval gram stream left-anti-joins it on the gram key (one
     // bucketed shuffle, AQE-broadcastable when train's distinct set
     // is small); novelty is exact basis points.
+    // ONE pass over the corpus-sized gram stream: a single wordcount
+    // on the gram key carrying per-split occurrence counts; novelty
+    // per eval split falls out of the same vocabulary-sized aggregate
+    // (a gram is novel for a split iff its train count is zero) — no
+    // second explode, no anti-join shuffle. The oracle keeps the
+    // readable DISTINCT-set/anti-join formulation, so the two
+    // formulations check each other.
     Q("q140_ngram_novelty",
       (s, dir) => {
-        val d = Tables(s, dir, "documents")
-          .select(col("doc_id"), splitCol.as("split"),
+        val gc = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+          .select(splitCol.as("split"),
             explode(TextFns.shingles(col("text"), 8)).as("g"))
-        val train = d.filter(col("split") === "train")
-          .select(col("g")).distinct()
-        val ev = d.filter(col("split") =!= "train")
-        val novel = ev.join(train, Seq("g"), "left_anti")
+          .groupBy(col("g"))
+          .agg(
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("c_tr"),
+            sum(when(col("split") === "val", 1L).otherwise(0L)).as("c_va"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("c_te"))
+        gc.select(explode(array(
+            struct(lit("test").as("split"), col("c_te").as("c"), col("c_tr")),
+            struct(lit("val").as("split"), col("c_va").as("c"), col("c_tr"))))
+            .as("p"))
+          .select(col("p.split").as("split"), col("p.c").as("c"),
+            col("p.c_tr").as("c_tr"))
           .groupBy(col("split"))
-          .agg(count(lit(1)).cast(LongType).as("n_novel"))
-        ev.groupBy(col("split"))
-          .agg(count(lit(1)).cast(LongType).as("n_grams"))
-          .join(novel, Seq("split"), "left")
-          .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
+          .agg(sum(col("c")).cast(LongType).as("n_grams"),
+            sum(when(col("c_tr") === 0L, col("c")).otherwise(0L))
+              .cast(LongType).as("n_novel"))
           .withColumn("novelty_bp", expr("(n_novel * 10000) div n_grams"))
           .orderBy(col("split"))
       },

@@ -273,10 +273,14 @@ object RetrievalQueries {
     // arrays carried to the verify are doc-sized (AllPairs' design).
     Q("q133_allpairs_jaccard",
       (s, dir) => {
-        val sh = Tables(s, dir, "documents")
+        // materialized once (the SemanticDedup.scala:47 precedent):
+        // four consumers (df, rank, arrays, prefix) would otherwise
+        // recompute the corpus-sized explode+distinct per branch
+        val sh = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
           .select(col("doc_id"),
             explode(TextFns.shingles(col("text"), 3)).as("w"))
           .distinct()
+          .localCheckpoint()
         val dfw = sh.groupBy(col("w"))
           .agg(count(lit(1)).cast(LongType).as("df"))
         val ranked = sh.join(dfw, "w")
