@@ -375,6 +375,74 @@ object RetrievalQueries {
              |SELECT source, n_tok, n_vocab, sur_bits,
              |  (sur_bits * 100) // n_tok AS bpt_x100
              |FROM n JOIN sur USING (source)
-             |ORDER BY source""".stripMargin))
+             |ORDER BY source""".stripMargin)),
+
+    // EXACT asymmetric containment join (Shrivastava & Li 2015 frame
+    // the asymmetric-similarity problem; exact filtering per Chaudhuri
+    // et al. 2006): ordered pairs (a, b) where ≥ 80% of a's 3-shingle
+    // set lies inside b's — the SUBSET-duplication case (quotes,
+    // excerpts, doc-inside-doc) that symmetric Jaccard misses: a
+    // 10-line excerpt of a 1000-line doc has J ≈ 0.01 but containment
+    // 1.0. Integer test 5·|A∩B| ≥ 4·|A|. Prefix filter is one-sided:
+    // any pair with |A∩B| ≥ ⌈0.8·|A|⌉ must hit one of A's
+    // ⌊|A|/5⌋+1 RAREST shingles, so A's prefix stream joins b's FULL
+    // stream (the contained side pays the prefix, the container pays
+    // nothing). Oracle is again the brute-force definition —
+    // completeness is verified, not asserted. At 100 TB the full side
+    // takes q75's maxDf boilerplate cap; here the corpus is exact.
+    Q("q143_containment_join",
+      (s, dir) => {
+        val sh = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            explode(TextFns.shingles(col("text"), 3)).as("w"))
+          .distinct()
+          .localCheckpoint()
+        val dfw = sh.groupBy(col("w"))
+          .agg(count(lit(1)).cast(LongType).as("df"))
+        val arrs = sh.groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("w"))).as("arr"),
+            count(lit(1)).cast(LongType).as("sz"))
+        val prefix = sh.join(dfw, "w")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+          .join(arrs.select(col("doc_id"), col("sz")), "doc_id")
+          .filter(col("rn") <= expr("sz div 5 + 1"))
+          .select(col("doc_id"), col("w"))
+        val cand = prefix.as("a").join(sh.as("b"), Seq("w"))
+          .filter(col("a.doc_id") =!= col("b.doc_id"))
+          .select(col("a.doc_id").as("d_a"), col("b.doc_id").as("d_b"))
+          .distinct()
+        cand
+          .join(arrs.select(col("doc_id").as("d_a"), col("arr").as("arr_a"),
+            col("sz").as("sz_a")), "d_a")
+          .join(arrs.select(col("doc_id").as("d_b"), col("arr").as("arr_b"),
+            col("sz").as("sz_b")), "d_b")
+          .withColumn("inter",
+            size(array_intersect(col("arr_a"), col("arr_b"))).cast(LongType))
+          .filter(expr("5 * inter >= 4 * sz_a"))
+          .withColumn("cont_bp", expr("(inter * 10000) div sz_a"))
+          .select(col("d_a"), col("d_b"), col("inter"), col("sz_a"),
+            col("sz_b"), col("cont_bp"))
+          .orderBy(col("d_a"), col("d_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id,
+             |    array_to_string(list_slice(toks, i, i + 2), ' ') AS w
+             |  FROM d, unnest(range(1, len(toks) - 1)) AS u(i)
+             |  WHERE len(toks) >= 3),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+             |  FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS d_a, b.doc_id AS d_b,
+             |    CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM sh a JOIN sh b ON a.w = b.w AND a.doc_id <> b.doc_id
+             |  GROUP BY 1, 2)
+             |SELECT d_a, d_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             |  (inter * 10000) // sa.sz AS cont_bp
+             |FROM p JOIN sz sa ON d_a = sa.doc_id JOIN sz sb ON d_b = sb.doc_id
+             |WHERE 5 * inter >= 4 * sa.sz
+             |ORDER BY d_a, d_b""".stripMargin))
   )
 }

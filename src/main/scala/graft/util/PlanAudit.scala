@@ -46,9 +46,12 @@ object PlanAudit {
     "q127_nb_classify", // 1-row vocab-size / train-doc-count scalars +
                         // |classes| grid crossed into the vocab-sized
                         // model build — all bounded by construction
-    "q135_decision_stump") // |classes| grid cross + 1-row total-count
+    "q135_decision_stump", // |classes| grid cross + 1-row total-count
                            // scalar broadcast into the per-threshold
                            // Gini table — both bounded
+    "q144_time_to_convert", // 1-row total + 1-row quantile frames
+                            // crossed into the 1-row report
+    "q145_session_stats")   // 1-row totals × 1-row median — bounded
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)
