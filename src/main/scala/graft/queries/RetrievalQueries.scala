@@ -44,7 +44,7 @@ object RetrievalQueries {
     // query term, never materialize the full corpus ranking.
     Q("q126_bm25_topk",
       (s, dir) => {
-        val toks = Tables(s, dir, "documents")
+        val toks = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
           .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         val dl = toks.select(col("doc_id"),
           size(col("toks")).cast(LongType).as("dl"))
@@ -120,7 +120,7 @@ object RetrievalQueries {
     // bounded per-doc window. No all-pairs, no driver-side state.
     Q("q127_nb_classify",
       (s, dir) => {
-        val docs = Tables(s, dir, "documents")
+        val docs = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
           .select(col("doc_id"), col("source"),
             TextFns.tokens(col("text")).as("toks"))
         val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
@@ -218,7 +218,7 @@ object RetrievalQueries {
     // once; c_ab ≥ 5 keeps the output collocation-sized.
     Q("q128_term_cooccur",
       (s, dir) => {
-        val d0 = Tables(s, dir, "documents")
+        val d0 = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
           .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
           .distinct()
         val d = TopKPerGroup(d0, Seq(col("doc_id")), Seq(col("w")), 64)
@@ -340,7 +340,7 @@ object RetrievalQueries {
     // combined.
     Q("q134_source_entropy",
       (s, dir) => {
-        val c = Tables(s, dir, "documents")
+        val c = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
           .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
           .groupBy(col("source"), col("w"))
           .agg(count(lit(1)).cast(LongType).as("c"))
