@@ -25,6 +25,8 @@ object GraftFunctions {
       exprs => DifflibRatioExpr(exprs(0), exprs(1)))
     ColumnBridge.registerFunction(spark, "dot_scaled",
       exprs => DotScaledExpr(exprs(0), exprs(1)))
+    ColumnBridge.registerFunction(spark, "sorted_intersect_count",
+      exprs => SortedIntersectCountExpr(exprs(0), exprs(1)))
     ColumnBridge.registerFunction(spark, "shingle_hashes",
       exprs => ShingleHashesExpr(exprs(0), exprs(1) match {
         case org.apache.spark.sql.catalyst.expressions.Literal(v: Number,

@@ -302,8 +302,8 @@ object RetrievalQueries {
             col("sz").as("sz1")), "d1")
           .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"),
             col("sz").as("sz2")), "d2")
-          .withColumn("inter",
-            size(array_intersect(col("arr1"), col("arr2"))).cast(LongType))
+          .withColumn("inter", graft.functions.SortedIntersect
+            .intersectCount(col("arr1"), col("arr2")))
           .filter(expr("3 * inter >= sz1 + sz2"))
           .withColumn("jac_bp", expr("(inter * 10000) div (sz1 + sz2 - inter)"))
           .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
@@ -418,8 +418,8 @@ object RetrievalQueries {
             col("sz").as("sz_a")), "d_a")
           .join(arrs.select(col("doc_id").as("d_b"), col("arr").as("arr_b"),
             col("sz").as("sz_b")), "d_b")
-          .withColumn("inter",
-            size(array_intersect(col("arr_a"), col("arr_b"))).cast(LongType))
+          .withColumn("inter", graft.functions.SortedIntersect
+            .intersectCount(col("arr_a"), col("arr_b")))
           .filter(expr("5 * inter >= 4 * sz_a"))
           .withColumn("cont_bp", expr("(inter * 10000) div sz_a"))
           .select(col("d_a"), col("d_b"), col("inter"), col("sz_a"),

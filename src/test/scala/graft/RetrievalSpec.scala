@@ -113,6 +113,29 @@ class RetrievalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on random " +
+    "sorted distinct arrays, codegen and interpreted") {
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 200).map { i =>
+      def arr() = (0 until rng.nextInt(30))
+        .map(_ => s"w${rng.nextInt(40)}").distinct.sorted
+      (i, arr(), arr())
+    }
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+        graft.functions.SortedIntersect.intersectCount(col("a"), col("b"))
+          .as("k"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect()
+    got.foreach(r => assert(r.getLong(1) === r.getLong(2), s"row ${r.getInt(0)}"))
+    // SQL-registered path too
+    graft.GraftFunctions.registerAll(spark)
+    df.createOrReplaceTempView("si_t")
+    val viaSql = spark.sql(
+      "SELECT sum(sorted_intersect_count(a, b)) FROM si_t").collect()(0).getLong(0)
+    assert(viaSql === got.map(_.getLong(2)).sum)
+  }
+
   test("q126 BM25 idf is always positive and tf term saturates " +
     "below (k1+1) scale") {
     val out = Registry.byName("q126_bm25_topk").run(spark, sf001)
