@@ -52,9 +52,11 @@ object PlanAudit {
     "q144_time_to_convert", // 1-row total + 1-row quantile frames
                             // crossed into the 1-row report
     "q145_session_stats",   // 1-row totals × 1-row median — bounded
-    "q146_psi_drift")       // 1-row period-count scalar + 1-row
+    "q146_psi_drift",       // 1-row period-count scalar + 1-row
                             // 9-element boundary array broadcast into
                             // the bucket assignment — bounded
+    "q149_burst_hours")     // 1-row (min,max)-hour bounds broadcast
+                            // into the generated spine (q124's shape)
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)
