@@ -22,14 +22,18 @@ import org.apache.spark.sql.types.LongType
   *     (85 * inc) DIV 100`.
   *
   * Scale shape: the edge set is materialized ONCE (with the
-  * destination's outdeg attached, so no per-iteration degree join)
-  * and pre-partitioned on the source key — each iteration then
-  * shuffles only the node-sized state into the join, followed by a
-  * map-side-combined SUM per destination: the Pregel message
-  * exchange, with the big relation stationary. State is
-  * `localCheckpoint`ed so lineage stays flat (the KMeansTrain
-  * convention). Every node must appear as a destination (true for
-  * any symmetrized edge set — callers passing a directed graph
+  * destination's outdeg attached, so no per-iteration degree join),
+  * pre-partitioned on the source key — each iteration then shuffles
+  * only the node-sized state into the join (the stationary-relation
+  * Pregel message exchange), followed by a map-side-combined SUM per
+  * destination. The iteration chain is one LAZY plan: no per-iteration
+  * driver action, no broadcast collect — the five message exchanges
+  * run as ten small dependent stages inside a single job. The node
+  * count enters as a literal (one bounded 1-row driver read of the
+  * checkpointed degree table — the KMeansTrain convention for
+  * O(1)-sized artifacts) instead of six broadcast-exchange barriers
+  * of a 1-row frame. Every node must appear as a destination (true
+  * for any symmetrized edge set — callers passing a directed graph
   * should union the reverse edges or accept dangling-node drop-out).
   */
 object PageRank {
@@ -38,6 +42,7 @@ object PageRank {
     * dstType, dstKey)` (typed keys let bipartite graphs share the
     * node space); returns `(node_type, node_key, score)`. */
   def apply(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    val spark = edges.sparkSession
     // materialize the (possibly expensive) caller-supplied edge
     // derivation ONCE — e feeds both deg and eAug, and without the
     // checkpoint its upstream plan (q106: an orders⋈lineitem distinct)
@@ -49,45 +54,41 @@ object PageRank {
     val deg = e.groupBy(col("st"), col("sk"))
       .agg(count(lit(1)).cast(LongType).as("outdeg"))
       .localCheckpoint()
-    // node count as a one-row broadcast frame — keeps the base term
-    // identical on every row without a driver-side action
-    val nn = deg.agg(count(lit(1)).cast(LongType).as("n"))
-    // materialize the iteration-invariant relation once: edges with
-    // the DESTINATION's outdeg attached, so the next state's outdeg
-    // needs no per-iteration join. No pre-partitioning: the iteration
-    // joins broadcast the node-sized state into this stationary
-    // relation, so an edge shuffle would be pure setup cost (callers
-    // with an unbroadcastable node table should repartition on
-    // (st, sk) here and drop the broadcast hint below).
+    // node count and the damped base term as literals: one bounded
+    // 1-row read of the node-sized checkpointed degree table, replacing
+    // a broadcast nn-frame cross-joined into every iteration
+    val n = deg.count()
+    val base = (15L * (scale / n)) / 100L
+    // the stationary relation: edges with the DESTINATION's outdeg
+    // attached (so the next state's outdeg needs no per-iteration
+    // join), PRE-PARTITIONED on the source key — localCheckpoint
+    // preserves the partitioning, so each iteration's join shuffles
+    // only the node-sized state
     val eAug = e
       .join(deg.select(col("st").as("dt"), col("sk").as("dk"),
         col("outdeg").as("dst_outdeg")), Seq("dt", "dk"))
+      .repartition(col("st"), col("sk"))
       .localCheckpoint()
-    var state = deg.crossJoin(broadcast(nn))
-      .selectExpr("st AS nt", "sk AS nk", "outdeg",
-        s"CAST($scale AS BIGINT) DIV n AS score")
+    var state = deg.selectExpr("st AS nt", "sk AS nk", "outdeg",
+      s"CAST($scale AS BIGINT) DIV CAST($n AS BIGINT) AS score")
     for (_ <- 0 until iters) {
-      // broadcast the node-sized state into the stationary edge
-      // relation: no edge shuffle per iteration, only the
-      // map-side-combined contribution aggregate. On a graph whose
-      // node table outgrows the broadcast threshold, drop the hint —
-      // the pre-partitioned eAug then takes a state-side-only shuffle
-      // join (AQE picks the same split at runtime). The chain stays
-      // LAZY across iterations: each state is consumed exactly once
-      // (by the next iteration's broadcast), so nothing recomputes,
-      // and fusing the bounded-depth chain into one job avoids an
-      // eager materialization + driver action per iteration (5
-      // per-iteration localCheckpoints cost ~2× wall-clock here;
-      // eAug's checkpoint above is the one that matters — it is read
-      // `iters` times).
-      state = broadcast(state)
+      // state (node-sized) shuffles onto eAug's stationary
+      // partitioning; the contribution aggregate is map-side combined
+      // down to node cardinality. The chain stays LAZY across
+      // iterations: each state is consumed exactly once by the next
+      // join, so nothing recomputes, and the whole fixed-depth power
+      // iteration executes as one job — no driver round-trip per
+      // iteration. (A broadcast of the small state would also work but
+      // costs an eager collect + broadcast barrier per iteration,
+      // ~2× wall-clock here; on a cluster whose node table outgrows
+      // memory the shuffle join is also the only correct choice.)
+      state = state.hint("shuffle_hash")
         .join(eAug, col("nt") === col("st") && col("nk") === col("sk"))
         .selectExpr("dt", "dk", "dst_outdeg", "score DIV outdeg AS c")
         .groupBy(col("dt"), col("dk"), col("dst_outdeg"))
         .agg(sum(col("c")).as("inc"))
-        .crossJoin(broadcast(nn))
         .selectExpr("dt AS nt", "dk AS nk", "dst_outdeg AS outdeg",
-          s"(15 * (CAST($scale AS BIGINT) DIV n)) DIV 100 + (85 * inc) DIV 100 AS score")
+          s"CAST($base AS BIGINT) + (85 * inc) DIV 100 AS score")
     }
     state.select(col("nt").as("node_type"), col("nk").as("node_key"), col("score"))
   }

@@ -1,0 +1,48 @@
+package graft.util
+
+import graft.queries.Registry
+import org.apache.spark.sql.functions._
+
+/** Dev-loop subset bench replicating [[graft.Bench]]'s protocol
+  * exactly (session table cache, build-plus-force timed, two sweeps,
+  * per-query min) so per-query numbers are comparable to
+  * `bench_detail.json`: `runMain graft.util.BenchSome <sfDir> <q>...`. */
+object BenchSome {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val names = args.drop(1)
+    val spark = Tables.session("bench-some")
+    spark.sparkContext.setLogLevel("WARN")
+    if (sys.env.contains("BENCH_SOME_STAGES"))
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val dur = (si.completionTime.getOrElse(0L) - si.submissionTime.getOrElse(0L)) / 1000.0
+            if (dur > 0.3)
+              println(f"  stage ${si.stageId}%-4d $dur%6.2fs tasks=${si.numTasks}%-4d ${si.name.take(70)}")
+          }
+        })
+    Tables.enableSessionCache()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    Tables.names.foreach { t =>
+      try Tables(spark, dir, t).count() catch { case _: Throwable => }
+    }
+    def timeOne(n: String): Double = {
+      val t0 = System.nanoTime()
+      val df = Registry.byName(n).run(spark, dir)
+      df.select(df.columns.map(c => count(col(c))).reduce(_ + _)).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup sweep (codegen/classload), then two timed sweeps, min
+    names.foreach { n => try timeOne(n) catch { case e: Throwable =>
+      System.err.println(s"$n warmup failed: ${e.getMessage}") } }
+    val s1 = names.map(n => n -> timeOne(n)).toMap
+    val s2 = names.map(n => n -> timeOne(n)).toMap
+    names.foreach { n =>
+      println(f"$n%-32s min=${math.min(s1(n), s2(n))}%6.2f s  (s1=${s1(n)}%5.2f s2=${s2(n)}%5.2f)")
+    }
+    spark.stop()
+  }
+}
