@@ -38,19 +38,24 @@ object Tables {
         // The generator writes each table as ONE row group, so the scan
         // (and therefore the cached relation) is a single partition no
         // matter what maxPartitionBytes says — every downstream explode/
-        // filter/projection would run on one core until its first
-        // shuffle. Widen the non-dim tables to the session parallelism
-        // AT CACHE TIME (paid once, in the warmup, outside any timed
-        // sweep) instead of per-query (queries.NgramLm.widen). A
-        // single-partition source makes the round-robin deterministic:
-        // rows are assigned cyclically in file order and each reducer
-        // drains one map output, so cached row order is stable run to
-        // run. On a real cluster the writer would produce many row
+        // filter/projection runs on one core until its first shuffle.
+        // Widen ONLY the compute-amplified table (documents: its query
+        // family explodes each row into 100s of shingles/grams before
+        // the first exchange) to session parallelism AT CACHE TIME,
+        // paid once in the warmup. Byte-based thresholds are the wrong
+        // heuristic here — a same-window A/B showed widening ALL
+        // non-dim tables costs ~0.3-0.9 s of extra task scheduling on
+        // every sub-second events/lineitem query (+40 s suite-wide)
+        // while only the documents explodes gain. A single-partition
+        // source keeps the round-robin deterministic (rows assigned
+        // cyclically in file order), so cached row order is stable run
+        // to run. On a real cluster the writer produces many row
         // groups and this branch never fires.
         val target = spark.sparkContext.defaultParallelism
-        val bytes = new java.io.File(s"$sfDir/$name.parquet").length
+        val widenNames = sys.env.getOrElse("GRAFT_WIDEN_TABLES", "documents")
+          .split(",").toSet
         val wide =
-          if (bytes > 100000 && raw.rdd.getNumPartitions < target)
+          if (widenNames(name) && raw.rdd.getNumPartitions < target)
             raw.repartition(target)
           else raw
         wide.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
