@@ -29,11 +29,21 @@ object BenchSome {
     Tables.names.foreach { t =>
       try Tables(spark, dir, t).count() catch { case _: Throwable => }
     }
+    // same scratch hygiene as Bench: drop per-query localCheckpoint
+    // blocks (everything outside the session table cache) after each
+    // timed run so numbers stay comparable to bench_detail.json
+    val keepRdds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+    def release(): Unit =
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keepRdds(id)) rdd.unpersist(blocking = false)
+      }
     def timeOne(n: String): Double = {
       val t0 = System.nanoTime()
       val df = Registry.byName(n).run(spark, dir)
       df.select(df.columns.map(c => count(col(c))).reduce(_ + _)).collect()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      release()
+      dt
     }
     // warmup sweep (codegen/classload), then two timed sweeps, min
     names.foreach { n => try timeOne(n) catch { case e: Throwable =>
