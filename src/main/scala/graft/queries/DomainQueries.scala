@@ -172,10 +172,10 @@ object DomainQueries {
             round(col("ratio"), 6).as("ratio"))
           .orderBy(col("p_partkey"))
       },
-      Some("""SELECT p.p_partkey, p.dirty_name, f.matched_brand, f.ratio
+      Some(s"""SELECT p.p_partkey, p.dirty_name, f.matched_brand, f.ratio
              |FROM (SELECT p_partkey, replace(p_brand, '#', '-') AS dirty_name
              |      FROM part WHERE p_partkey <= 2000) p
-             |JOIN '/root/repo/fixtures/q43_expected.parquet' f
+             |JOIN '${graft.util.RepoRoot.fixture("q43_expected.parquet")}' f
              |  ON p.dirty_name = f.dirty_name
              |ORDER BY p.p_partkey""".stripMargin)),
 

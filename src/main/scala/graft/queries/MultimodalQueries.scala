@@ -54,7 +54,7 @@ object MultimodalQueries {
             col("embed_norm_sq"))
           .orderBy(col("asset_id"))
       },
-      Some("""SELECT d.doc_id AS asset_id,
+      Some(s"""SELECT d.doc_id AS asset_id,
              |  CASE CAST(d.doc_id % 3 AS INT) WHEN 0 THEN 'image'
              |    WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
              |  CAST(strlen(d.text) AS INT) AS byte_size,
@@ -65,7 +65,7 @@ object MultimodalQueries {
              |    WHEN 1 THEN 'pcm16' ELSE 'h264' END AS format,
              |  f.embed_norm_sq
              |FROM documents d
-             |JOIN '/root/repo/fixtures/q46_meta.parquet' f
+             |JOIN '${graft.util.RepoRoot.fixture("q46_meta.parquet")}' f
              |  ON sha256(d.text) = f.content_hash
              |ORDER BY asset_id""".stripMargin)),
 
@@ -83,10 +83,10 @@ object MultimodalQueries {
             length(col("frame_bytes")).as("frame_len"))
           .orderBy(col("asset_id"), col("frame_no"))
       },
-      Some("""WITH a AS (SELECT d.doc_id AS asset_id,
+      Some(s"""WITH a AS (SELECT d.doc_id AS asset_id,
              |    CAST(strlen(d.text) AS BIGINT) AS len, f.n_frames
              |  FROM documents d
-             |  JOIN '/root/repo/fixtures/q46_meta.parquet' f
+             |  JOIN '${graft.util.RepoRoot.fixture("q46_meta.parquet")}' f
              |    ON sha256(d.text) = f.content_hash
              |  WHERE CAST(d.doc_id % 3 AS INT) = 2),
              |fr AS (SELECT asset_id, len,
