@@ -26,6 +26,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf (see util/Tables.session): the 100-entry default
+      // codegen class cache thrashes under a 150-query session — the
+      // heavy lazy-chain queries repaid seconds of janino compilation
+      // every sweep (q106 measured 2.3× slower from eviction alone)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

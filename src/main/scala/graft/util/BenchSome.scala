@@ -43,6 +43,7 @@ object BenchSome {
       df.select(df.columns.map(c => count(col(c))).reduce(_ + _)).collect()
       val dt = (System.nanoTime() - t0) / 1e9
       release()
+      if (sys.env.contains("BENCH_SOME_GC")) System.gc()
       dt
     }
     // warmup sweep (codegen/classload), then two timed sweeps, min

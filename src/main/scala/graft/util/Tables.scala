@@ -74,6 +74,14 @@ object Tables {
       .master(s"local[$cpus]")
       .appName(appName)
       .config("spark.sql.shuffle.partitions", cpus)
+      // static conf, must be set before the context starts: the
+      // whole-stage-codegen class cache defaults to 100 entries, and a
+      // 150-query session generates far more — the expensive compiles
+      // (q106's 5-iteration lazy chain is ~11 generated stages, seconds
+      // of janino work) get evicted between sweeps and repaid every
+      // run. Size the cache to the workload's working set; on a
+      // long-lived multi-query cluster session this is the same knob.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
