@@ -88,10 +88,16 @@ object GraphQueries {
           .filter(col("l_orderkey") % 4 === 0)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
+        // materialize the co-purchase edge derivation ONCE — e feeds
+        // deg, the orientation joins, AND the closing-edge broadcast
+        // probe, and each consumer joins on different keys so no
+        // exchange is reusable; without the checkpoint the self-join +
+        // distinct recomputes three times (the q106 convention)
         val e = li.as("a").join(li.as("b"),
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .select(col("a.pk").as("u"), col("b.pk").as("v"))
           .distinct()
+          .localCheckpoint()
         val deg = e.select(col("u").as("n"))
           .unionAll(e.select(col("v").as("n")))
           .groupBy(col("n")).agg(count(lit(1)).as("d"))
