@@ -490,7 +490,10 @@ object ExtraQueries {
       (s, dir) => {
         val v = Tables(s, dir, "lineitem")
           .select(expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)").as("p"))
+        // materialized once: g feeds the prefix sum (which range-
+        // repartitions it) and the global total — different exchanges
         val g = v.groupBy(col("p")).agg(count(lit(1)).cast(LongType).as("c"))
+          .localCheckpoint()
         val cum = graft.operators.PrefixSum(g, "p", "c", "cum")
         val n = g.agg(sum(col("c")).as("n"))
         cum.crossJoin(broadcast(n))
