@@ -221,8 +221,12 @@ object RetrievalQueries {
         val d0 = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
           .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
           .distinct()
+        // materialized once: d feeds the df aggregate and both sides
+        // of the pair self-join — the explode + distinct + per-doc cap
+        // would otherwise recompute for each consumer
         val d = TopKPerGroup(d0, Seq(col("doc_id")), Seq(col("w")), 64)
           .select(col("doc_id"), col("w"))
+          .localCheckpoint()
         val dfw = d.groupBy(col("w"))
           .agg(count(lit(1)).cast(LongType).as("df"))
         val pairs = d.as("a")
