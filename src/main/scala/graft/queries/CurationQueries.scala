@@ -213,6 +213,79 @@ object CurationQueries {
              |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
              |    AS sum_us,
              |  epoch_us(MAX(ts)) AS last_us
-             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Cross-document exact-substring duplication pairs — the PAIRWISE
+    // half of exact-substring dedup (Lee et al., arXiv:2107.06499;
+    // q107 scrubs the intra-doc half, q114 the corpus-frequency
+    // boilerplate): which document PAIRS share exact 8-token windows,
+    // and how much of the smaller document is covered? This is the
+    // decision input for span-level dedup — symmetric Jaccard (q133)
+    // misses an excerpt inside a long doc, and winnowing (q75)
+    // samples; this is exact and exhaustive over qualifying windows.
+    // Shape at scale: per-doc DISTINCT windows (wordcount-shaped),
+    // window df once, and pairing ONLY inside windows with
+    // 2 ≤ df ≤ 50 — pair work is Σ df² bounded by 50·Σ df, the
+    // bucketed-not-all-pairs discipline (SemanticDedup's cap
+    // convention); df > 50 windows ARE boilerplate and belong to
+    // q114's scrub, and the cap is modeled IDENTICALLY in the oracle
+    // so parity is exact by construction, not luck. share_bp is an
+    // exact integer over the smaller doc's window count (the
+    // containment direction, q143's asymmetric-similarity argument).
+    Q("q151_substring_pairs",
+      (s, dir) => {
+        // materialized once: the distinct window stream feeds the df
+        // aggregate, the per-doc totals, and the pair join
+        val w = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            explode(TextFns.shingles(col("text"), 8)).as("g"))
+          .distinct()
+          .localCheckpoint()
+        val nw = w.groupBy(col("doc_id"))
+          .agg(count(lit(1)).cast(LongType).as("nw"))
+        val shared = w.groupBy(col("g"))
+          .agg(count(lit(1)).cast(LongType).as("df"))
+          .filter(col("df").between(2L, 50L))
+          .select(col("g"))
+        val ww = w.join(shared, "g")
+        val p = ww.as("a").join(ww.as("b"), Seq("g"))
+          .filter(col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).cast(LongType).as("n_shared"))
+          .filter(col("n_shared") >= 3L)
+        p.join(nw.select(col("doc_id").as("doc_a"), col("nw").as("nw_a")),
+            "doc_a")
+          .join(nw.select(col("doc_id").as("doc_b"), col("nw").as("nw_b")),
+            "doc_b")
+          .withColumn("share_bp",
+            expr("(n_shared * 10000) div least(nw_a, nw_b)"))
+          .select(col("doc_a"), col("doc_b"), col("n_shared"),
+            col("nw_a"), col("nw_b"), col("share_bp"))
+          .orderBy(col("doc_a"), col("doc_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |w AS (SELECT DISTINCT doc_id,
+             |    unnest(CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+             |      ELSE list_transform(range(1, len(toks) - 6),
+             |        i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+             |      END) AS g
+             |  FROM d),
+             |nw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw
+             |  FROM w GROUP BY doc_id),
+             |df AS (SELECT g FROM w GROUP BY g
+             |  HAVING COUNT(*) BETWEEN 2 AND 50),
+             |ww AS (SELECT doc_id, g FROM w SEMI JOIN df USING (g)),
+             |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             |    CAST(COUNT(*) AS BIGINT) AS n_shared
+             |  FROM ww a JOIN ww b ON a.g = b.g AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+             |SELECT doc_a, doc_b, n_shared, na.nw AS nw_a, nb.nw AS nw_b,
+             |  (n_shared * 10000) // LEAST(na.nw, nb.nw) AS share_bp
+             |FROM p JOIN nw na ON doc_a = na.doc_id
+             |  JOIN nw nb ON doc_b = nb.doc_id
+             |ORDER BY doc_a, doc_b""".stripMargin))
   )
 }
