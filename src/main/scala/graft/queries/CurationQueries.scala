@@ -286,6 +286,55 @@ object CurationQueries {
              |  (n_shared * 10000) // LEAST(na.nw, nb.nw) AS share_bp
              |FROM p JOIN nw na ON doc_a = na.doc_id
              |  JOIN nw nb ON doc_b = nb.doc_id
-             |ORDER BY doc_a, doc_b""".stripMargin))
+             |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Tokenizer vocabulary-budget curve: what fraction of corpus token
+    // OCCURRENCES does a top-V vocabulary cover, for a ladder of V?
+    // The coverage/OOV-rate analysis run before fixing a tokenizer's
+    // vocab size (Sennrich et al. arXiv:1508.07909 motivate BPE by
+    // exactly this open-vocabulary coverage gap; q100–q102 train the
+    // merges, this sizes the budget). Shape at scale: one map-side-
+    // combined wordcount; the global top-V ladder head runs through
+    // the bounded-buffer top-k physical operator (≤ max-V rows per
+    // task — never a global ORDER BY of the vocabulary); the
+    // vocabulary-HEAD-sized artifact (16 rows here) cross-joins the
+    // broadcast threshold ladder and total, so the curve is exact
+    // integer basis points at any corpus size. The ladder tops out at
+    // 16 because the synthetic corpus has a 31-token vocabulary — on
+    // a real corpus the same ladder reads {1k..256k} with identical
+    // plan shape (K = max rung, still bounded state).
+    Q("q152_vocab_coverage",
+      (s, dir) => {
+        val c = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+          .select(explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("c"))
+        val tot = c.agg(sum(col("c")).cast(LongType).as("n"))
+        val top = graft.plans.TopKPhysical.topK(
+          c.withColumn("all", lit(1)), Seq("all"),
+          Seq(("c", false), ("w", true)), 16, rankName = "rn")
+        top
+          .select(col("c"), col("rn"),
+            explode(expr("array(1, 2, 4, 8, 16)")).as("vocab_size"))
+          .filter(col("rn") <= col("vocab_size"))
+          .groupBy(col("vocab_size"))
+          .agg(sum(col("c")).cast(LongType).as("n_covered"))
+          .crossJoin(broadcast(tot))
+          .select(col("vocab_size"), col("n_covered"),
+            col("n").as("n_total"),
+            expr("(n_covered * 10000) div n").as("coverage_bp"))
+          .orderBy(col("vocab_size"))
+      },
+      Some("""WITH t AS (SELECT unnest(list_filter(
+             |      string_split_regex(trim(text), '\s+'), x -> x <> '')) AS w
+             |  FROM documents),
+             |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM t GROUP BY w),
+             |r AS (SELECT w, c, ROW_NUMBER() OVER (ORDER BY c DESC, w) AS rn
+             |  FROM c),
+             |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c)
+             |SELECT vs AS vocab_size, CAST(SUM(c) AS BIGINT) AS n_covered,
+             |  MAX(n) AS n_total,
+             |  (CAST(SUM(c) AS BIGINT) * 10000) // MAX(n) AS coverage_bp
+             |FROM r, tot, unnest([1, 2, 4, 8, 16]) AS v(vs)
+             |WHERE rn <= vs GROUP BY vs ORDER BY vs""".stripMargin))
   )
 }

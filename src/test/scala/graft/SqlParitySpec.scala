@@ -363,6 +363,9 @@ object DuckToSpark {
     s = s.replaceAll("\\bepoch_us\\(", "unix_micros(")
     // bracket array literal over simple expressions: [k, k + 1] → array(...)
     s = s.replaceAll("\\[([A-Za-z_][A-Za-z_0-9]*(?: [-+] \\d+)?(?:, [A-Za-z_][A-Za-z_0-9]*(?: [-+] \\d+)?)+)\\]", "array($1)")
+    // ... and over integer-literal lists: [1, 2, 4] → array(1, 2, 4)
+    // (the empty typed lists above are handled by their own rule)
+    s = s.replaceAll("\\[(\\d+(?:, \\d+)+)\\]", "array($1)")
     s = s.replaceAll("\\bepoch\\(", "unix_timestamp(")
     s = s.replaceAll("\\bdatediff\\('(\\w+)',", "datediff($1,")
     // DuckDB dayofweek is 0-based (Sun=0); Spark's is 1-based (Sun=1)
