@@ -55,8 +55,10 @@ object PlanAudit {
     "q146_psi_drift",       // 1-row period-count scalar + 1-row
                             // 9-element boundary array broadcast into
                             // the bucket assignment — bounded
-    "q149_burst_hours")     // 1-row (min,max)-hour bounds broadcast
+    "q149_burst_hours",     // 1-row (min,max)-hour bounds broadcast
                             // into the generated spine (q124's shape)
+    "q152_vocab_coverage")  // 1-row corpus-total scalar broadcast into
+                            // the ≤16-row ladder curve — bounded
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)
