@@ -335,6 +335,77 @@ object CurationQueries {
              |  MAX(n) AS n_total,
              |  (CAST(SUM(c) AS BIGINT) * 10000) // MAX(n) AS coverage_bp
              |FROM r, tot, unnest([1, 2, 4, 8, 16]) AS v(vs)
-             |WHERE rn <= vs GROUP BY vs ORDER BY vs""".stripMargin))
+             |WHERE rn <= vs GROUP BY vs ORDER BY vs""".stripMargin)),
+
+    // Keep-first exact-substring scrub — the REMOVAL stage completing
+    // the q151 pairs (Lee et al. arXiv:2107.06499 remove all-but-one
+    // occurrence of each long duplicated span; q114's boilerplate
+    // scrub removes from EVERY doc, which destroys the canonical
+    // copy): for each qualifying shared 8-token window
+    // (2 ≤ doc-df ≤ 50, the q151 cap with the same boilerplate
+    // argument), the MIN-doc_id holder keeps its text and every other
+    // doc has the covered token positions removed. Doc-granularity
+    // keeper (not occurrence-granularity) makes the scrub
+    // deterministic under any partitioning — keeper choice is a pure
+    // min over the window group, no ordering dependence. Shape at
+    // scale: positional windows are q114's stream; the qualifying-
+    // window table carries (g → keeper) from the SAME aggregate that
+    // computes df (one shuffle); covered positions collect per doc
+    // (span-count-sized state); the rewrite is per-row HOF work with
+    // no further shuffle. Output is AFFECTED docs only.
+    Q("q153_keepfirst_scrub",
+      (s, dir) => {
+        val toks = Tables(s, dir, "documents")
+          .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
+        val win = toks.filter(size(col("toks")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            """transform(sequence(1, size(toks) - 7),
+              |  i -> named_struct('i', i, 'g', array_join(slice(toks, i, 8), ' ')))"""
+              .stripMargin)).as("w"))
+          .select(col("doc_id"), col("w.i").as("i"), col("w.g").as("g"))
+        val q = win.groupBy(col("g"))
+          .agg(countDistinct(col("doc_id")).as("df"),
+            min(col("doc_id")).as("keeper"))
+          .filter(col("df").between(2L, 50L))
+          .select(col("g"), col("keeper"))
+        val spans = win.join(q, "g")
+          .filter(col("doc_id") =!= col("keeper"))
+          .groupBy(col("doc_id")).agg(collect_set(col("i")).as("spans"))
+        toks.join(spans, "doc_id")
+          .select(col("doc_id"), col("toks"), expr(
+            """filter(sequence(1, size(toks)),
+              |  j -> NOT exists(spans, x -> j >= x AND j <= x + 7))"""
+              .stripMargin).as("kept"))
+          .select(col("doc_id"),
+            size(col("toks")).cast(LongType).as("n_tokens"),
+            (size(col("toks")) - size(col("kept"))).cast(LongType)
+              .as("n_removed"),
+            expr("((size(toks) - size(kept)) * 10000L) div size(toks)")
+              .as("scrub_bp"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |w AS (SELECT doc_id, i,
+             |    array_to_string(list_slice(toks, i, i + 7), ' ') AS g
+             |  FROM d, unnest(range(1, len(toks) - 6)) AS u(i)
+             |  WHERE len(toks) >= 8),
+             |q AS (SELECT g, MIN(doc_id) AS keeper FROM w GROUP BY g
+             |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 50),
+             |sp AS (SELECT doc_id, list(DISTINCT i) AS spans
+             |  FROM w JOIN q USING (g) WHERE doc_id <> keeper
+             |  GROUP BY doc_id),
+             |k2 AS (SELECT d.doc_id, toks,
+             |    list_filter(range(1, len(toks) + 1),
+             |      j -> len(list_filter(spans, x -> j >= x AND j <= x + 7)) = 0)
+             |      AS kept
+             |  FROM d JOIN sp ON d.doc_id = sp.doc_id)
+             |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+             |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+             |  (CAST(len(toks) - len(kept) AS BIGINT) * 10000) // len(toks)
+             |    AS scrub_bp
+             |FROM k2 ORDER BY doc_id""".stripMargin))
   )
 }
