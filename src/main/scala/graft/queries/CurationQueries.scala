@@ -406,6 +406,60 @@ object CurationQueries {
              |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
              |  (CAST(len(toks) - len(kept) AS BIGINT) * 10000) // len(toks)
              |    AS scrub_bp
-             |FROM k2 ORDER BY doc_id""".stripMargin))
+             |FROM k2 ORDER BY doc_id""".stripMargin)),
+
+    // Directional source-contamination matrix: for each ordered source
+    // pair (a, b), what fraction of a's distinct 8-token windows also
+    // appear in b? The source-granularity counterpart of q151's doc
+    // pairs and q81's train/eval probe — the diagnostic a mixture
+    // pipeline reads to find which feeds copy from which (direction
+    // matters: a small source fully contained in a large one is
+    // upstream syndication; the reverse is sampling). Shape at scale:
+    // per-source DISTINCT windows are wordcount-shaped; the pair join
+    // happens per window over its source set, bounded by |sources|²
+    // per window BY CONSTRUCTION (source df ≤ |sources| — no cap
+    // needed, unlike q151's doc-df); per-source window totals are a
+    // |sources|-row broadcast. Exact basis points, ordered pairs.
+    Q("q154_source_contamination",
+      (s, dir) => {
+        val w = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+          .select(col("source"),
+            explode(TextFns.shingles(col("text"), 8)).as("g"))
+          .distinct()
+          .localCheckpoint() // feeds totals and both pair sides
+        val nw = w.groupBy(col("source"))
+          .agg(count(lit(1)).cast(LongType).as("nw"))
+        val p = w.as("a").join(w.as("b"), Seq("g"))
+          .filter(col("a.source") =!= col("b.source"))
+          .groupBy(col("a.source").as("source_a"),
+            col("b.source").as("source_b"))
+          .agg(count(lit(1)).cast(LongType).as("n_shared"))
+        p.join(broadcast(nw.select(col("source").as("source_a"),
+            col("nw").as("nw_a"))), "source_a")
+          .withColumn("cont_bp", expr("(n_shared * 10000) div nw_a"))
+          .select(col("source_a"), col("source_b"), col("n_shared"),
+            col("nw_a"), col("cont_bp"))
+          .orderBy(col("source_a"), col("source_b"))
+      },
+      Some("""WITH d AS (SELECT doc_id, source,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |w AS (SELECT DISTINCT source,
+             |    unnest(CASE WHEN len(toks) < 8 THEN CAST([] AS VARCHAR[])
+             |      ELSE list_transform(range(1, len(toks) - 6),
+             |        i -> array_to_string(list_slice(toks, i, i + 7), ' '))
+             |      END) AS g
+             |  FROM d),
+             |nw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS nw
+             |  FROM w GROUP BY source),
+             |p AS (SELECT a.source AS source_a, b.source AS source_b,
+             |    CAST(COUNT(*) AS BIGINT) AS n_shared
+             |  FROM w a JOIN w b ON a.g = b.g AND a.source <> b.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, n_shared, nw.nw AS nw_a,
+             |  (n_shared * 10000) // nw.nw AS cont_bp
+             |FROM p JOIN nw ON source_a = nw.source
+             |ORDER BY source_a, source_b""".stripMargin))
   )
 }
