@@ -57,8 +57,11 @@ object PlanAudit {
                             // the bucket assignment — bounded
     "q149_burst_hours",     // 1-row (min,max)-hour bounds broadcast
                             // into the generated spine (q124's shape)
-    "q152_vocab_coverage")  // 1-row corpus-total scalar broadcast into
+    "q152_vocab_coverage",  // 1-row corpus-total scalar broadcast into
                             // the ≤16-row ladder curve — bounded
+    "q155_rfm_segments")    // 1-row customer-count scalar broadcast
+                            // into each dimension's bucket rule (q122's
+                            // shape, three times)
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)
