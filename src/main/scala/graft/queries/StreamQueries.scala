@@ -31,20 +31,10 @@ object StreamQueries {
   // temp dirs are removed by a JVM shutdown hook, so repeated sessions
   // don't leak /tmp directories.
   private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val stagedCleanup = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  Runtime.getRuntime.addShutdownHook(new Thread(() =>
-    stagedCleanup.forEach { d =>
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(); ()
-      }
-      rm(new java.io.File(d))
-    }))
-  private def newStagingDir(prefix: String): String = {
-    val out = java.nio.file.Files.createTempDirectory(prefix).toString
-    stagedCleanup.add(out)
-    out
-  }
+  // RAM-backed + deleted at JVM exit (graft.util.Scratch) — staged
+  // stream sources are per-session transient
+  private def newStagingDir(prefix: String): String =
+    graft.util.Scratch.tempDir(prefix)
   private def sourceFingerprint(dir: String): String = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk) else Seq(f)
@@ -179,8 +169,9 @@ object StreamQueries {
     // final combine, so batch boundaries can't perturb the result.
     Q("q94_streaming_sink",
       (s, dir) => withStatePartitions(s, Seq(staged(s, dir))) {
-        val sink = java.nio.file.Files.createTempDirectory("graft_q94_sink").toString
+        val sink = graft.util.Scratch.tempDir("graft_q94_sink")
         val q = source(s, dir).writeStream
+          .option("checkpointLocation", graft.util.Scratch.tempDir("graft_q94_ckpt"))
           .foreachBatch { (batch: DataFrame, _: Long) =>
             batch.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
               .agg(count(lit(1)).as("n"),

@@ -130,6 +130,10 @@ object EventStreams {
     applyStateStoreChoice(spark)
     val q = streamed.writeStream
       .format("memory").queryName(queryName).outputMode(outputMode)
+      // RAM-backed scratch checkpoint (graft.util.Scratch): offset log
+      // + state commits are per-invocation transient here; a durable
+      // URI takes this slot on a real deployment
+      .option("checkpointLocation", graft.util.Scratch.tempDir(s"ckpt_$queryName"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

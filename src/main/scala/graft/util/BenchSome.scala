@@ -26,6 +26,10 @@ object BenchSome {
         })
     Tables.enableSessionCache()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // A/B hook: AQE's coalesce floor (default 1m) vs compute-dense
+    // small-byte shuffles
+    sys.env.get("GRAFT_AQE_MINPART").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", v))
     Tables.names.foreach { t =>
       try Tables(spark, dir, t).count() catch { case _: Throwable => }
     }

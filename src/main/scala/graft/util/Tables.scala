@@ -39,20 +39,25 @@ object Tables {
         // (and therefore the cached relation) is a single partition no
         // matter what maxPartitionBytes says — every downstream explode/
         // filter/projection runs on one core until its first shuffle.
-        // Widen ONLY the compute-amplified table (documents: its query
-        // family explodes each row into 100s of shingles/grams before
-        // the first exchange) to session parallelism AT CACHE TIME,
-        // paid once in the warmup. Byte-based thresholds are the wrong
-        // heuristic here — a same-window A/B showed widening ALL
-        // non-dim tables costs ~0.3-0.9 s of extra task scheduling on
-        // every sub-second events/lineitem query (+40 s suite-wide)
-        // while only the documents explodes gain. A single-partition
-        // source keeps the round-robin deterministic (rows assigned
-        // cyclically in file order), so cached row order is stable run
-        // to run. On a real cluster the writer produces many row
-        // groups and this branch never fires.
+        // Widen the compute-amplified tables (documents: its query
+        // family explodes each row into 100s of shingles/grams;
+        // lineitem/orders: the 600k/150k-row agg map sides otherwise
+        // run on ONE core — a round-8 three-run A/B showed q01/q12/
+        // q13/q116 each drop 0.4-0.8 s, ~2.3 s suite-wide) to session
+        // parallelism AT CACHE TIME, paid once in the warmup.
+        // Events stays single-partition: the same A/B showed widening
+        // it REGRESSES the sessionization family (q144 +1.2 s, q105/
+        // q145/q150/q112/q148 +0.3-0.5 s each) more than it wins the
+        // scan-shaped events queries — its family's first operation
+        // is usually a user_id/window shuffle that re-spreads rows
+        // anyway. A single-partition source keeps the round-robin
+        // deterministic (rows assigned cyclically in file order), so
+        // cached row order is stable run to run. On a real cluster
+        // the writer produces many row groups and this branch never
+        // fires.
         val target = spark.sparkContext.defaultParallelism
-        val widenNames = sys.env.getOrElse("GRAFT_WIDEN_TABLES", "documents")
+        val widenNames = sys.env
+          .getOrElse("GRAFT_WIDEN_TABLES", "documents,lineitem,orders")
           .split(",").toSet
         val wide =
           if (widenNames(name) && raw.rdd.getNumPartitions < target)
