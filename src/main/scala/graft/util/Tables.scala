@@ -68,6 +68,25 @@ object Tables {
     else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
+  /** A session-parallelism copy of a table that is NOT widened at
+    * cache time (events: its sessionization family prefers the
+    * single-partition cache — see the widen-set note above — but its
+    * compute-amplified consumers still want a spread map side).
+    * Cached per (dir, table) when the session cache is on, so the
+    * repartition is paid once per session, not per query; without the
+    * cache this is just a plain repartition. */
+  def wide(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val target = spark.sparkContext.defaultParallelism
+    def widen(df: DataFrame): DataFrame =
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    if (cacheEnabled)
+      cache.getOrElseUpdate((sfDir, s"$name#wide"), {
+        val w = widen(apply(spark, sfDir, name))
+        w.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
+    else widen(apply(spark, sfDir, name))
+  }
+
   /** Session tuned for the graft engine. local[32] here; on a real
     * cluster the same knobs come from spark-submit. AQE handles runtime
     * re-planning (adaptive shuffle partition coalescing, broadcast
