@@ -460,6 +460,74 @@ object CurationQueries {
              |SELECT source_a, source_b, n_shared, nw.nw AS nw_a,
              |  (n_shared * 10000) // nw.nw AS cont_bp
              |FROM p JOIN nw ON source_a = nw.source
-             |ORDER BY source_a, source_b""".stripMargin))
+             |ORDER BY source_a, source_b""".stripMargin)),
+
+    // Zipf-fit slope per source (Zipf 1949; Piantadosi 2014's review —
+    // public): the log-log OLS of token frequency against rank, the
+    // datacard diagnostic that separates natural text (slope ≈ −1)
+    // from template/boilerplate-heavy sources (flatter or steeper
+    // tails) — a corpus-health number next to q134's entropy. Exact
+    // integers end-to-end: both axes quantize to floor-log2 via the
+    // length(bin(x))−1 identity (the q98 discipline), the closed-form
+    // OLS runs over DECIMAL(38,0) sums (the q116 convention;
+    // Spark div ≡ DuckDB // — both truncate toward zero, pinned for
+    // the negative slope here), and the slope/intercept publish in
+    // micro-units. Scale shape: one map-side-combined wordcount is
+    // the only corpus-sized pass; the rank window and the OLS sums
+    // run on the vocabulary-sized table, partitioned by source.
+    Q("q158_zipf_slope",
+      (s, dir) => {
+        val dec = DecimalType(38, 0)
+        val c = Tables(s, dir, "documents")
+          .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
+          .groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).cast(LongType).as("c"))
+        val xy = c.withColumn("rnk", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("source")).orderBy(col("c").desc, col("w"))))
+          .select(col("source"),
+            (length(bin(col("rnk"))) - 1).cast(LongType).as("x"),
+            (length(bin(col("c"))) - 1).cast(LongType).as("y"))
+        xy.groupBy(col("source"))
+          .agg(count(lit(1)).cast(dec).as("n"),
+            sum(col("x").cast(dec)).as("sx"),
+            sum(col("y").cast(dec)).as("sy"),
+            sum((col("x") * col("y")).cast(dec)).as("sxy"),
+            sum((col("x") * col("x")).cast(dec)).as("sxx"))
+          .withColumn("slope_micro", expr(
+            "CAST((1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) AS BIGINT)"))
+          .withColumn("intercept_micro", expr(
+            "CAST((1000000 * sy - slope_micro * sx) div n AS BIGINT)"))
+          .select(col("source"), col("n").cast(LongType).as("n_vocab"),
+            col("slope_micro"), col("intercept_micro"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH t AS (SELECT source,
+             |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS w
+             |  FROM documents),
+             |c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM t GROUP BY 1, 2),
+             |r AS (SELECT source,
+             |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, w) AS rnk,
+             |    c FROM c),
+             |xy AS (SELECT source,
+             |    CAST(length(bin(rnk)) - 1 AS BIGINT) AS x,
+             |    CAST(length(bin(c)) - 1 AS BIGINT) AS y
+             |  FROM r),
+             |m AS (SELECT source, CAST(COUNT(*) AS HUGEINT) AS n,
+             |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+             |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
+             |    CAST(SUM(x * x) AS HUGEINT) AS sxx
+             |  FROM xy GROUP BY 1),
+             |f AS (SELECT source, n,
+             |    (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS slope_micro
+             |  FROM m)
+             |SELECT f.source, CAST(f.n AS BIGINT) AS n_vocab,
+             |  CAST(f.slope_micro AS BIGINT) AS slope_micro,
+             |  CAST((1000000 * m.sy - f.slope_micro * m.sx) // m.n AS BIGINT)
+             |    AS intercept_micro
+             |FROM f JOIN m ON f.source = m.source
+             |ORDER BY f.source""".stripMargin))
   )
 }

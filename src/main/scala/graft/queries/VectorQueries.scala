@@ -483,6 +483,107 @@ object VectorQueries {
            |  COALESCE(h, 0) * 1000 AS recall_bp
            |FROM (SELECT DISTINCT q_id FROM q) q LEFT JOIN hits USING (q_id)
            |ORDER BY q.q_id""".stripMargin
-      })
+      }),
+
+    // Nearest-centroid classifier over the labeled embeddings (the
+    // Rocchio / nearest-class-mean classifier — Manning, Raghavan &
+    // Schütze, IIR §14.2, public): the cheap embedding-space quality/
+    // topic classifier a curation pipeline trains when a 10-class
+    // label sample exists (the fast-classifier slot of the CCNet/C4
+    // stacks, q98's LM being the other half). Exact by integer
+    // quantization: vectors quantize to micro-units, each class
+    // centroid is the per-dimension floor-mean, the assignment metric
+    // is integer squared L2, ties break to the smaller label. Output
+    // is the full confusion matrix (true label × predicted, counts) —
+    // the calibration artifact, not just an accuracy scalar.
+    // Scale shape: centroids are a (n_labels × dim) table built by one
+    // map-side-combined aggregate over exploded (label, dim) pairs —
+    // ≤ 640 rows — then BROADCAST; classification is one map-only
+    // pass (zip_with + aggregate per row, codegen, no per-row
+    // explode); the confusion matrix is a ≤ |labels|² aggregate.
+    // Corpus-scale sums per (label, dim) go through DECIMAL(38,0)
+    // (the NgramLm.scala:116 overflow discipline).
+    Q("q156_centroid_classify",
+      (s, dir) => {
+        val q = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("label"), expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("qv"))
+        val cent = q
+          .select(col("label").as("clabel"), posexplode(col("qv")).as(Seq("i", "v")))
+          .groupBy(col("clabel"), col("i"))
+          .agg(expr("CAST(sum(CAST(v AS DECIMAL(38,0))) div count(1) AS BIGINT)")
+            .as("cv"))
+          .groupBy(col("clabel"))
+          .agg(expr("transform(array_sort(collect_list(struct(i, cv))), p -> p.cv)")
+            .as("carr"))
+        q.join(broadcast(cent))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(qv, carr, (a, b) -> (a - b) * (a - b)), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+          .groupBy(col("vec_id"), col("label"))
+          .agg(min(struct(col("dist"), col("clabel"))).as("m"))
+          .select(col("label"), col("m.clabel").as("pred"))
+          .groupBy(col("label"), col("pred"))
+          .agg(count(lit(1)).cast(org.apache.spark.sql.types.LongType).as("n"))
+          .orderBy(col("label"), col("pred"))
+      },
+      Some("""WITH q AS (SELECT vec_id, label,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |e AS (SELECT label, i, qv[i] AS v
+           |  FROM q, unnest(range(1, 65)) AS u(i)),
+           |c AS (SELECT label AS clabel, i,
+           |    CAST(SUM(CAST(v AS HUGEINT)) // COUNT(*) AS BIGINT) AS cv
+           |  FROM e GROUP BY 1, 2),
+           |d AS (SELECT q.vec_id, q.label, c.clabel,
+           |    CAST(SUM((qv[i] - cv) * (qv[i] - cv)) AS BIGINT) AS dist
+           |  FROM q, c GROUP BY 1, 2, 3),
+           |p AS (SELECT vec_id, label, clabel AS pred FROM (
+           |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY dist, clabel) AS rn FROM d) t WHERE rn = 1)
+           |SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS n
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Exact Gram (second-moment) matrix over the embedding corpus —
+    // the Σ v·vᵀ accumulation behind PCA whitening, covariance-based
+    // embedding-drift detection, and OPQ rotation training (Jégou et
+    // al. 2011's PQ preprocessing; Ge et al. 2013 OPQ): the one
+    // corpus-scale reduction all of them share. Exact in integer
+    // space: micro-unit quantization, upper triangle only (i ≤ j —
+    // the matrix is symmetric), per-cell sums through DECIMAL(38,0).
+    // Scale shape: the d(d+1)/2 products per row are generated INSIDE
+    // the row (nested transform + one explode — no self-join, no
+    // shuffle of raw vectors) and map-side combine collapses every
+    // partition to ≤ 2,080 cells, so the single exchange carries
+    // partitions × 2,080 rows no matter the corpus size — the
+    // wordcount shape with a quadratic-in-d (but constant-in-corpus)
+    // key space.
+    Q("q157_gram_matrix",
+      (s, dir) => {
+        graft.operators.NgramLm.widen(Tables(s, dir, "embeddings"))
+          .select(expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("qv"))
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(qv)), i -> " +
+              "transform(sequence(i, size(qv)), j -> " +
+              "struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, " +
+              "qv[i-1] * qv[j-1] AS prod))))")).as("p"))
+          .select(col("p.i").as("i"), col("p.j").as("j"), col("p.prod").as("prod"))
+          .groupBy(col("i"), col("j"))
+          .agg(expr("CAST(sum(CAST(prod AS DECIMAL(38,0))) AS BIGINT)").as("s"))
+          .orderBy(col("i"), col("j"))
+      },
+      Some("""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |p AS (SELECT i, j, qv[i] * qv[j] AS prod
+           |  FROM q, unnest(range(1, 65)) AS u(i), unnest(range(i, 65)) AS w(j))
+           |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+           |  CAST(SUM(CAST(prod AS DECIMAL(38,0))) AS BIGINT) AS s
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

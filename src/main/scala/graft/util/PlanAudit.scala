@@ -59,9 +59,13 @@ object PlanAudit {
                             // into the generated spine (q124's shape)
     "q152_vocab_coverage",  // 1-row corpus-total scalar broadcast into
                             // the ≤16-row ladder curve — bounded
-    "q155_rfm_segments")    // 1-row customer-count scalar broadcast
+    "q155_rfm_segments",    // 1-row customer-count scalar broadcast
                             // into each dimension's bucket rule (q122's
                             // shape, three times)
+    "q156_centroid_classify") // |labels|-row (≤640-cell) centroid table
+                              // broadcast-crossed into the map-only
+                              // classify pass — bounded by the label
+                              // space, never corpus-sized
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)
