@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.streaming.EventStreams
+import graft.util.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -274,5 +275,42 @@ object StreamQueries {
              |  MAX(t) + INTERVAL 30 MINUTE AS session_end,
              |  COUNT(*) AS n_events
              |FROM sess GROUP BY user_id, sseq
-             |ORDER BY user_id, session_start""".stripMargin)))
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Stream-static enrichment join — the production shape the family
+    // still lacked: a micro-batch event stream BROADCAST-joined to a
+    // slowly-changing dimension (customer → nation) inside the
+    // stream, then aggregated across batches in complete mode. The
+    // static side is planned per micro-batch (Spark re-resolves the
+    // batch relation each trigger — the semantics that let a dim
+    // table refresh mid-stream), and because it is dim-sized it rides
+    // the broadcast: the stream never shuffles for the join, state is
+    // only the ≤ |nations|×|types| running aggregate. Batch-twin
+    // oracle: the identical join+rollup over the full table. Money
+    // accumulates as exact micro-units (decimal sum) so micro-batch
+    // boundaries can't perturb the result.
+    Q("q159_streaming_enrich",
+      (s, dir) => withStatePartitions(s, Seq(staged(s, dir))) {
+        val dims = Tables(s, dir, "customer")
+          .join(Tables(s, dir, "nation"),
+            col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_custkey").as("user_id"), col("n_name").as("nation"))
+        val enriched = source(s, dir)
+          .join(broadcast(dims), Seq("user_id"))
+          .groupBy(col("nation"), col("event_type"))
+          .agg(count(lit(1)).cast(LongType).as("n"),
+            sum(expr("CAST(round(value * 1000000) AS BIGINT)")
+              .cast(DecimalType(38, 0))).as("dec_sum"))
+          .select(col("nation"), col("event_type"), col("n"),
+            col("dec_sum").cast(LongType).as("sum_value_us"))
+        EventStreams.runAvailableNow(s, enriched, uniq("q159"))
+          .orderBy(col("nation"), col("event_type"))
+      },
+      Some("""SELECT n_name AS nation, event_type,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             |    AS sum_value_us
+             |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+             |JOIN nation n ON c.c_nationkey = n_nationkey
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
 }
