@@ -494,6 +494,11 @@ object CurationQueries {
             sum(col("y").cast(dec)).as("sy"),
             sum((col("x") * col("y")).cast(dec)).as("sxy"),
             sum((col("x") * col("x")).cast(dec)).as("sxx"))
+          // n ≥ 2 ⇒ ranks 1 and 2 exist ⇒ x takes two values ⇒ the
+          // OLS denominator is strictly positive — a single-word
+          // source (possible on adversarial corpora) would otherwise
+          // divide by zero under the driver's ANSI session
+          .filter(col("n") >= lit(2))
           .withColumn("slope_micro", expr(
             "CAST((1000000 * (n * sxy - sx * sy)) div (n * sxx - sx * sx) AS BIGINT)"))
           .withColumn("intercept_micro", expr(
@@ -519,7 +524,7 @@ object CurationQueries {
              |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
              |    CAST(SUM(x * y) AS HUGEINT) AS sxy,
              |    CAST(SUM(x * x) AS HUGEINT) AS sxx
-             |  FROM xy GROUP BY 1),
+             |  FROM xy GROUP BY 1 HAVING COUNT(*) >= 2),
              |f AS (SELECT source, n,
              |    (1000000 * (n * sxy - sx * sy)) // (n * sxx - sx * sx) AS slope_micro
              |  FROM m)
