@@ -141,6 +141,98 @@ object GeoQueries {
              |  CAST(COALESCE(has_premium_near, 0) = 1 AND COALESCE(has_anchor, 0) = 1 AS INT) AS is_premium
              |FROM c LEFT JOIN agg ON c.c_custkey = agg.c_custkey
              |ORDER BY c.c_custkey""".stripMargin),
-      headline = true)
+      headline = true),
+
+    // Point-in-polygon containment join — the PostGIS ST_Contains /
+    // zone-assignment operator (which delivery zone / admin region /
+    // geofence holds each point), the spatial-join class the radius
+    // join (J1) doesn't cover. EXACT integer geometry: coordinates
+    // are micro-degrees (the synthLat/synthLon formulas ×1e6 — pure
+    // integer arithmetic, no doubles anywhere), polygons are eight
+    // deterministic integer octagons generated from a closed formula,
+    // and containment is the even-odd ray-casting rule (Shimrat 1962,
+    // CACM alg. 112) with the crossing test cross-multiplied so no
+    // division or float ever occurs — the two engines agree
+    // bit-for-bit even for boundary points. Scale shape: the polygon
+    // set (vertices → edge arrays) is dimension-sized and BROADCAST;
+    // candidates come from a bbox prefilter (the q28 grid-prefilter
+    // discipline — the exact ray cast touches only bbox hits, and
+    // n_cand in the output keeps the prefilter selectivity observable);
+    // the exact test is one codegen aggregate over the ≤8-edge array
+    // per candidate; the rollup is map-side combined to ≤|polygons|
+    // rows. At 100 TB with many polygons the broadcast becomes the
+    // q28 grid-cell equi-join on bbox cells — same pipeline shape.
+    Q("q161_polygon_join",
+      (s, dir) => {
+        val polys = s.range(8).select(col("id").cast(LongType).as("p"))
+          .withColumn("cx",
+            lit(-84300000L) + ((col("p") * 131) % 900) * 800 + 40000)
+          .withColumn("cy",
+            lit(9600000L) + ((col("p") * 197) % 900) * 800 + 40000)
+          .withColumn("r", lit(30000L) + col("p") * 20000)
+          .withColumn("a", expr("(r * 7) div 10"))
+          .withColumn("vs", expr(
+            "array(struct(cx + r AS x, cy AS y), struct(cx + a AS x, cy + a AS y), " +
+              "struct(cx AS x, cy + r AS y), struct(cx - a AS x, cy + a AS y), " +
+              "struct(cx - r AS x, cy AS y), struct(cx - a AS x, cy - a AS y), " +
+              "struct(cx AS x, cy - r AS y), struct(cx + a AS x, cy - a AS y))"))
+          .withColumn("edges", expr(
+            "transform(sequence(0, 7), i -> struct(vs[i].x AS x1, vs[i].y AS y1, " +
+              "vs[(i + 1) % 8].x AS x2, vs[(i + 1) % 8].y AS y2))"))
+          .select(col("p"), col("cx"), col("cy"), col("r"), col("edges"))
+        val pts = Tables(s, dir, "customer").select(
+          col("c_custkey").as("ck"),
+          (lit(-84300000L) + ((col("c_custkey") * 7) % 1000) * 800).as("x"),
+          (lit(9600000L) + (col("c_custkey") % 1000) * 800).as("y"))
+        pts.join(broadcast(polys),
+            col("x").between(col("cx") - col("r"), col("cx") + col("r")) &&
+              col("y").between(col("cy") - col("r"), col("cy") + col("r")))
+          .withColumn("ncross", expr(
+            "aggregate(edges, CAST(0 AS BIGINT), (acc, e) -> acc + " +
+              "(CASE WHEN ((e.y1 > y) != (e.y2 > y)) AND " +
+              "(((e.x2 - e.x1) * (y - e.y1) - (x - e.x1) * (e.y2 - e.y1) > 0) " +
+              "= (e.y2 > e.y1)) THEN 1 ELSE 0 END))"))
+          .groupBy(col("p"))
+          .agg(count(lit(1)).cast(LongType).as("n_cand"),
+            sum(col("ncross") % 2).cast(LongType).as("n_inside"),
+            sum(when(col("ncross") % 2 === 1, col("ck")).otherwise(0L))
+              .cast(LongType).as("sum_ck_inside"))
+          .orderBy(col("p"))
+      },
+      Some("""WITH pl0 AS (SELECT CAST(v AS BIGINT) AS p
+             |  FROM (SELECT 1 AS one) dummy, unnest(range(0, 8)) AS z(v)),
+             |pl1 AS (SELECT p,
+             |    -84300000 + ((p * 131) % 900) * 800 + 40000 AS cx,
+             |    9600000 + ((p * 197) % 900) * 800 + 40000 AS cy,
+             |    30000 + p * 20000 AS r
+             |  FROM pl0),
+             |pl AS (SELECT p, cx, cy, r, (r * 7) // 10 AS a FROM pl1),
+             |vs AS (SELECT p, cx, cy, r, v,
+             |    CASE v WHEN 0 THEN cx + r WHEN 1 THEN cx + a WHEN 2 THEN cx
+             |      WHEN 3 THEN cx - a WHEN 4 THEN cx - r WHEN 5 THEN cx - a
+             |      WHEN 6 THEN cx WHEN 7 THEN cx + a END AS vx,
+             |    CASE v WHEN 0 THEN cy WHEN 1 THEN cy + a WHEN 2 THEN cy + r
+             |      WHEN 3 THEN cy + a WHEN 4 THEN cy WHEN 5 THEN cy - a
+             |      WHEN 6 THEN cy - r WHEN 7 THEN cy - a END AS vy
+             |  FROM pl, unnest(range(0, 8)) AS u(v)),
+             |ed AS (SELECT a.p, a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+             |  FROM vs a JOIN vs b ON a.p = b.p AND b.v = (a.v + 1) % 8),
+             |pt AS (SELECT c_custkey AS ck,
+             |    -84300000 + ((c_custkey * 7) % 1000) * 800 AS x,
+             |    9600000 + (c_custkey % 1000) * 800 AS y
+             |  FROM customer),
+             |cand AS (SELECT pl.p, pt.ck, pt.x, pt.y
+             |  FROM pt JOIN pl ON pt.x BETWEEN pl.cx - pl.r AND pl.cx + pl.r
+             |    AND pt.y BETWEEN pl.cy - pl.r AND pl.cy + pl.r),
+             |cr AS (SELECT c.p, c.ck,
+             |    CAST(SUM(CASE WHEN ((y1 > c.y) != (y2 > c.y))
+             |      AND (((x2 - x1) * (c.y - y1) - (c.x - x1) * (y2 - y1) > 0)
+             |        = (y2 > y1)) THEN 1 ELSE 0 END) AS BIGINT) AS ncross
+             |  FROM cand c JOIN ed ON ed.p = c.p GROUP BY 1, 2)
+             |SELECT p, CAST(COUNT(*) AS BIGINT) AS n_cand,
+             |  CAST(SUM(ncross % 2) AS BIGINT) AS n_inside,
+             |  CAST(SUM(CASE WHEN ncross % 2 = 1 THEN ck ELSE 0 END) AS BIGINT)
+             |    AS sum_ck_inside
+             |FROM cr GROUP BY p ORDER BY p""".stripMargin))
   )
 }

@@ -62,10 +62,15 @@ object PlanAudit {
     "q155_rfm_segments",    // 1-row customer-count scalar broadcast
                             // into each dimension's bucket rule (q122's
                             // shape, three times)
-    "q156_centroid_classify") // |labels|-row (≤640-cell) centroid table
+    "q156_centroid_classify", // |labels|-row (≤640-cell) centroid table
                               // broadcast-crossed into the map-only
                               // classify pass — bounded by the label
                               // space, never corpus-sized
+    "q161_polygon_join")      // 8-row polygon dim broadcast into the
+                              // bbox-range prefilter (non-equi ⇒ BNL by
+                              // construction; at many-polygon scale the
+                              // same pipeline becomes the q28 grid-cell
+                              // equi-join)
 
   final case class Audit(name: String, exchanges: Int, bnl: Boolean,
                          flag: String)
