@@ -516,6 +516,56 @@ object ExtraQueries {
              |  MIN(p) AS min_cents, MAX(p) AS max_cents
              |FROM cum, n GROUP BY decile ORDER BY decile""".stripMargin)),
 
+    // Benford first-digit audit (Newcomb 1881, Benford 1938 — public):
+    // the classic fabricated-data / quality screen — compare the
+    // observed leading-digit distribution of order totals against the
+    // Benford expectation. Exact integers: amounts in cents, the
+    // leading digit read off the decimal string, observed shares in
+    // basis points, and the Benford reference ⌊log10(1+1/d)·10⁴⌋
+    // entered as the standard literal table (both engines share the
+    // identical constants, so no transcendental ever evaluates at
+    // query time). One map-side-combined 9-row count; the 1-row total
+    // broadcasts (q125's shape). Deviation is reported per digit —
+    // the audit artifact — rather than collapsed to one statistic
+    // (q125 is the collapsed-statistic precedent).
+    Q("q123_benford",
+      (s, dir) => {
+        val benford = "CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760 " +
+          "WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 791 " +
+          "WHEN 6 THEN 669 WHEN 7 THEN 579 WHEN 8 THEN 511 ELSE 457 END"
+        val d = Tables(s, dir, "orders")
+          .select(expr(
+            "CAST(substring(CAST(CAST(round(o_totalprice * 100, 0) AS BIGINT) " +
+              "AS STRING), 1, 1) AS BIGINT)").as("digit"))
+          .filter(col("digit") >= 1)
+          .groupBy(col("digit"))
+          .agg(count(lit(1)).cast(LongType).as("n"))
+        val tot = d.agg(sum(col("n")).cast(LongType).as("t"))
+        d.crossJoin(broadcast(tot))
+          .withColumn("share_bp", expr("(n * 10000) div t"))
+          .withColumn("benford_bp", expr(benford).cast(LongType))
+          .withColumn("dev_bp", abs(col("share_bp") - col("benford_bp")))
+          .select(col("digit"), col("n"), col("share_bp"),
+            col("benford_bp"), col("dev_bp"))
+          .orderBy(col("digit"))
+      },
+      Some("""WITH d AS (SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100, 0)
+             |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit
+             |  FROM orders),
+             |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n
+             |  FROM d WHERE digit >= 1 GROUP BY digit),
+             |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM g)
+             |SELECT digit, n, (n * 10000) // t.t AS share_bp,
+             |  CAST(CASE digit WHEN 1 THEN 3010 WHEN 2 THEN 1760
+             |    WHEN 3 THEN 1249 WHEN 4 THEN 969 WHEN 5 THEN 791
+             |    WHEN 6 THEN 669 WHEN 7 THEN 579 WHEN 8 THEN 511
+             |    ELSE 457 END AS BIGINT) AS benford_bp,
+             |  abs((n * 10000) // t.t - CAST(CASE digit WHEN 1 THEN 3010
+             |    WHEN 2 THEN 1760 WHEN 3 THEN 1249 WHEN 4 THEN 969
+             |    WHEN 5 THEN 791 WHEN 6 THEN 669 WHEN 7 THEN 579
+             |    WHEN 8 THEN 511 ELSE 457 END AS BIGINT)) AS dev_bp
+             |FROM g, t ORDER BY digit""".stripMargin)),
+
     // Chi-square contingency association (returnflag × linestatus) in
     // EXACT integer arithmetic: observed counts O, margins R/C, and
     // per-cell contribution (10⁶·(O·N − R·C)²) div (N·R·C) — the ppm

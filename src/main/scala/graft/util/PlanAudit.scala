@@ -37,6 +37,8 @@ object PlanAudit {
                              // into the vocabulary-sized PMI table
     "q122_decile_bins", // 1-row row-count scalar broadcast into the
                         // per-value bin rule
+    "q123_benford",     // 1-row total-count scalar broadcast into the
+                        // 9-row digit table (q125's shape)
     "q124_gap_fill",    // 1-row (min,max)-hour bounds broadcast into the
                         // |types| × |hours| generated spine
     "q125_chisq",       // 1-row grand-total scalar broadcast into the
