@@ -86,11 +86,87 @@ object BpeTrain {
     out.toSeq
   }
 
+  /** Vocabulary-row ceiling below which the trainer loop runs on the
+    * collected (word, freq) table instead of 2·nMerges Spark jobs.
+    * The two-level shape every production tokenizer trainer uses
+    * (HuggingFace tokenizers train on word counts in memory after the
+    * distributed count): the CORPUS pass is always distributed; the
+    * inherently sequential per-rank argmax loop runs wherever the
+    * vocab table fits. 100k rows ≈ single-digit MB — a bounded
+    * driver artifact by the PageRank-n / q101-merge-table convention;
+    * a vocabulary that outgrows it takes the distributed loop above. */
+  val LocalVocabMax = 100000L
+
+  /** [[merges]] on the collected vocab table — the SAME algorithm with
+    * the SAME java.util.regex rewrites (Spark's regexp_replace is
+    * java.util.regex, so the encodings are bit-identical) and the same
+    * (n desc, l, r) tie-break compared in UTF-8 byte order (Spark's
+    * string ordering), exercised against the distributed path in
+    * BpeTrainSpec and against the independent Python trainer fixture. */
+  private[graft] def mergesLocal(wordFreq: Seq[(String, Long)],
+                                 nMerges: Int): Seq[(Long, String, String)] = {
+    import java.util.regex.{Matcher, Pattern}
+    val Sep = BpeApply.Sep
+    val utf8 = new Ordering[String] {
+      def compare(a: String, b: String): Int = {
+        val (x, y) = (a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        java.lang.Integer.compare(x.length, y.length)
+      }
+    }
+    var state = wordFreq.map { case (w, f) =>
+      (w.replaceAll("(?s)(.)", Matcher.quoteReplacement(Sep) + "$1") + Sep, f)
+    }
+    val out = ArrayBuffer.empty[(Long, String, String)]
+    var rank = 0
+    var exhausted = false
+    while (rank < nMerges && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      state.foreach { case (enc, f) =>
+        val t = enc.split(Sep).filter(_.nonEmpty)
+        var i = 0
+        while (i < t.length - 1) {
+          val k = (t(i), t(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        val ((l, r), _) = counts.minBy { case ((l, r), n) => (-n, l, r) }(
+          Ordering.Tuple3(Ordering.Long, utf8, utf8))
+        out += ((rank.toLong, l, r))
+        val re = Pattern.quote(Sep + l + Sep + r) + "(?=" + Sep + ")"
+        val repl = Matcher.quoteReplacement(Sep + l + r)
+        state = state.map { case (enc, f) => (enc.replaceAll(re, repl), f) }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
   /** The merge table as a rank-ordered DataFrame `(rank, left,
-    * right)` — the q102 registry surface. */
+    * right)` — the q102 registry surface. Two-level: the corpus-sized
+    * wordcount behind `wf` is always distributed; the sequential
+    * per-rank loop runs locally when the vocab table is bounded
+    * ([[LocalVocabMax]]) and as the distributed [[merges]] loop
+    * otherwise. */
   def mergeTable(spark: SparkSession, wf: DataFrame, nMerges: Int): DataFrame = {
     import spark.implicits._
-    merges(wf, nMerges)
+    val rows = wf.select(col("word").cast(org.apache.spark.sql.types.StringType),
+      col("freq").cast(LongType)).persist()
+    val table =
+      if (rows.count() <= LocalVocabMax)
+        mergesLocal(rows.collect().map(r => (r.getString(0), r.getLong(1))).toSeq,
+          nMerges)
+      else merges(rows.toDF("word", "freq"), nMerges)
+    rows.unpersist(blocking = false)
+    table
       .toDF("rank", "left", "right")
       .select(col("rank").cast(LongType), col("left"), col("right"))
       .orderBy(col("rank"))

@@ -134,6 +134,27 @@ class TextGeoSpec extends SparkSpec {
     assert(BpeTrain.merges(wf, 10).map(t => (t._2, t._3)) == Seq(("a", "b")))
   }
 
+  test("local BPE trainer path equals the distributed loop merge-for-merge") {
+    import graft.operators.BpeTrain
+    import graft.functions.TextFns
+    // the two-level gate (mergeTable) picks the local loop for bounded
+    // vocabularies — pin that both paths produce the identical table
+    // on the real corpus AND on the tie/early-stop hand cases
+    val wf = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      .select(explode(TextFns.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val dist = BpeTrain.merges(wf, 16)
+    val local = BpeTrain.mergesLocal(
+      wf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq, 16)
+    assert(local == dist)
+    val ties = Seq(("xy", 2L), ("yx", 2L))
+    assert(BpeTrain.mergesLocal(ties, 1) ==
+      BpeTrain.merges(ties.toDF("word", "freq"), 1))
+    val early = Seq(("ab", 5L), ("c", 9L))
+    assert(BpeTrain.mergesLocal(early, 10) ==
+      BpeTrain.merges(early.toDF("word", "freq"), 10))
+  }
+
   test("engine-trained BPE equals the independent Python artifact rank-for-rank") {
     import graft.operators.BpeTrain
     import graft.functions.{BpeApply, TextFns}
