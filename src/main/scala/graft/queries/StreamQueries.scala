@@ -312,5 +312,36 @@ object StreamQueries {
              |    AS sum_value_us
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
              |JOIN nation n ON c.c_nationkey = n_nationkey
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)))
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming per-user top-3 by value — custom BOUNDED-BUFFER state
+    // (EventStreams.streamingTopK): mapGroupsWithState holds at most
+    // k pairs per user across the whole drain, the streaming twin of
+    // the TopKPhysical partial pass and the third custom-state shape
+    // next to q65's transition machine and q93's dedupe keys. The
+    // update-mode memory sink appends one emission per (user, batch);
+    // the final snapshot is the max-version row per user, exploded to
+    // (user, rank, event) rows. The batch-twin oracle is the plain
+    // window top-k — the drain's batch split can't perturb it because
+    // the buffer merge re-sorts on (v_us desc, event_id).
+    Q("q162_streaming_topk",
+      (s, dir) => withStatePartitions(s, Seq(staged(s, dir))) {
+        val stepped = EventStreams.streamingTopK(source(s, dir), k = 3)
+        val snap = EventStreams.runAvailableNow(s, stepped, uniq("q162"),
+          outputMode = "update")
+        snap.withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col("user_id")).orderBy(col("ver").desc)))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), posexplode(col("items")).as(Seq("pos", "it")))
+          .select(col("user_id"), (col("pos") + 1).cast(LongType).as("rnk"),
+            col("it._2").as("event_id"), col("it._1").as("v_us"))
+          .orderBy(col("user_id"), col("rnk"))
+      },
+      Some("""WITH v AS (SELECT user_id, event_id,
+             |    CAST(round(value * 1000000) AS BIGINT) AS v_us FROM events),
+             |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+             |    ORDER BY v_us DESC, event_id) AS rnk FROM v)
+             |SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id, v_us
+             |FROM r WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)))
 }

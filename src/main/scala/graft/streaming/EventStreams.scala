@@ -17,6 +17,41 @@ import org.apache.spark.sql.types._
   */
 object EventStreams {
 
+  /** Per-key bounded top-k buffer carried across micro-batches by
+    * [[streamingTopK]]: `version` increments per emission so the
+    * final snapshot is selectable from an update-mode sink. */
+  final case class TopKBuf(version: Long, items: Seq[(Long, Long)])
+
+  /** Streaming per-user top-k by value — the bounded-buffer custom
+    * state shape (next to StatusMachine's transition state and the
+    * built-in dedupe/join state): `mapGroupsWithState` holds AT MOST
+    * k (v_us, event_id) pairs per user no matter how many events the
+    * drain replays — O(users·k) state, the streaming twin of the
+    * TopKPhysical partial pass. Each emission carries a per-key
+    * version; the final snapshot is the max-version row per user
+    * (update-mode sinks append every batch's emission). Deterministic
+    * under any batch split: the buffer merge re-sorts by
+    * (v_us desc, event_id) — pinned by the batch-twin oracle. */
+  def streamingTopK(events: DataFrame, k: Int): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").cast(LongType), col("event_id").cast(LongType),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("v_us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TopKBuf, (Long, Long, Seq[(Long, Long)])](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state) =>
+          val prev = state.getOption.getOrElse(TopKBuf(0L, Nil))
+          val merged = (prev.items ++ rows.map(r => (r._3, r._2)))
+            .sortBy { case (v, id) => (-v, id) }.take(k)
+          val next = TopKBuf(prev.version + 1, merged)
+          state.update(next)
+          (user, next.version, merged)
+      }
+      .toDF("user_id", "ver", "items")
+  }
+
   /** Schema of the events stream (ts pre-converted to µs). */
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType), StructField("ts", TimestampType),
