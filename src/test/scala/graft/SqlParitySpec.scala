@@ -450,7 +450,8 @@ class SqlParitySpec extends SparkSpec {
     * fills, so the exclusion documents WHY the engine surface exists. */
   private val exclusions: Map[String, String] = Map(
     "q41_cluster_unify" -> "recursive CTE termination needs UNION distinct; Spark recursion is UNION ALL only, and the iteration count (graph diameter) is data-dependent so unrolling is impossible (the ClusterUnify operator exists for exactly this)",
-    "q86_dedup_survivors" -> "same UNION-distinct recursive closure as q41 (ClusterUnify fills the gap)")
+    "q86_dedup_survivors" -> "same UNION-distinct recursive closure as q41 (ClusterUnify fills the gap)",
+    "q163_er_resolve" -> "same UNION-distinct recursive closure as q41/q86 over the fuzzy-match name graph (ClusterUnify.components fills the gap)")
 
   /** Spark SQL texts for queries whose DuckDB oracle leans on a
     * construct Spark's PARSER lacks, but whose SEMANTICS are plain
