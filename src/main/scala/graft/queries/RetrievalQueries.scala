@@ -125,9 +125,13 @@ object RetrievalQueries {
             TextFns.tokens(col("text")).as("toks"))
         val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
         val test = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        // materialized once (vocab×sources-sized): cnt feeds vocab,
+        // vsz, totals AND the model join — without the checkpoint the
+        // corpus-sized explode+groupBy recomputes for each consumer
         val cnt = train.select(col("source"), explode(col("toks")).as("w"))
           .groupBy(col("source"), col("w"))
           .agg(count(lit(1)).cast(LongType).as("c"))
+          .localCheckpoint()
         val vocab = cnt.select(col("w")).distinct()
         val vsz = vocab.agg(count(lit(1)).cast(LongType).as("vsz"))
         val classes = train.groupBy(col("source"))
