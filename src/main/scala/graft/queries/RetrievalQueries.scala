@@ -346,6 +346,84 @@ object RetrievalQueries {
     // bits-per-token ratio (×100, floor) are exact integers. One
     // wordcount + one vocabulary-sized pass; everything map-side
     // combined.
+    // INCREMENTAL dedup — the production shape q133's all-pairs
+    // doesn't cover: dedupe an INCOMING batch against the BASE corpus
+    // without ever pairing base docs with each other (a daily ingest
+    // never re-checks the existing 100 TB against itself). Split by
+    // the q71 md5 rule (base = the 90% train share, incoming = the
+    // rest); candidates still come from the two-sided prefix filter —
+    // the q133 bound carries: J ≥ ½ ⟹ 3i ≥ s₁+s₂ and i ≤ s₂ give
+    // i ≥ ⌈s₁/2⌉, so both prefixes must hit — but the pair join is
+    // RESTRICTED to incoming×base orientation, so base-side work
+    // scales with the increment, not the corpus². Output is the drop
+    // list: each duplicated incoming doc with its best-matching base
+    // doc (max Jaccard, then min base id). THE ORACLE IS THE
+    // BRUTE-FORCE DEFINITION over incoming×base — completeness is
+    // verified, not asserted.
+    Q("q165_incremental_dedup",
+      (s, dir) => {
+        val isBase = graft.operators.Dedup
+          .md5Int32(col("doc_id").cast(StringType)) % 100 < 90
+        val sh = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            explode(TextFns.shingles(col("text"), 3)).as("w"))
+          .distinct()
+          .localCheckpoint()
+        val dfw = sh.groupBy(col("w"))
+          .agg(count(lit(1)).cast(LongType).as("df"))
+        val ranked = sh.join(dfw, "w")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+        val arrs = sh.groupBy(col("doc_id"))
+          .agg(sort_array(collect_set(col("w"))).as("arr"),
+            count(lit(1)).cast(LongType).as("sz"))
+        val prefix = ranked.join(arrs.select(col("doc_id"), col("sz")), "doc_id")
+          .filter(col("rn") <= expr("sz div 2 + 1"))
+          .select(col("doc_id"), col("w"), isBase.as("base"))
+        val cand = prefix.filter(!col("base")).as("a")
+          .join(prefix.filter(col("base")).as("b"), Seq("w"))
+          .select(col("a.doc_id").as("inc"), col("b.doc_id").as("bs"))
+          .distinct()
+        cand
+          .join(arrs.select(col("doc_id").as("inc"), col("arr").as("arr1"),
+            col("sz").as("sz1")), "inc")
+          .join(arrs.select(col("doc_id").as("bs"), col("arr").as("arr2"),
+            col("sz").as("sz2")), "bs")
+          .withColumn("inter", graft.functions.SortedIntersect
+            .intersectCount(col("arr1"), col("arr2")))
+          .filter(expr("3 * inter >= sz1 + sz2"))
+          .withColumn("jac_bp", expr("(inter * 10000) div (sz1 + sz2 - inter)"))
+          .groupBy(col("inc"))
+          .agg(min(struct((-col("jac_bp")).as("nj"), col("bs").as("bs"))).as("m"))
+          .select(col("inc"), col("m.bs").as("base_id"),
+            (-col("m.nj")).cast(LongType).as("jac_bp"))
+          .orderBy(col("inc"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |      % 100 < 90 AS base,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |sh AS (SELECT DISTINCT doc_id, base,
+             |    array_to_string(list_slice(toks, i, i + 2), ' ') AS w
+             |  FROM d, unnest(range(1, len(toks) - 1)) AS u(i)
+             |  WHERE len(toks) >= 3),
+             |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+             |  FROM sh GROUP BY 1),
+             |p AS (SELECT a.doc_id AS inc, b.doc_id AS bs,
+             |    CAST(COUNT(*) AS BIGINT) AS inter
+             |  FROM sh a JOIN sh b ON a.w = b.w
+             |  WHERE NOT a.base AND b.base
+             |  GROUP BY 1, 2),
+             |j AS (SELECT inc, bs,
+             |    (inter * 10000) // (s1.sz + s2.sz - inter) AS jac_bp
+             |  FROM p JOIN sz s1 ON inc = s1.doc_id JOIN sz s2 ON bs = s2.doc_id
+             |  WHERE 3 * inter >= s1.sz + s2.sz)
+             |SELECT inc,
+             |  CAST(MIN({'nj': -jac_bp, 'bs': bs}).bs AS BIGINT) AS base_id,
+             |  CAST(-MIN({'nj': -jac_bp, 'bs': bs}).nj AS BIGINT) AS jac_bp
+             |FROM j GROUP BY inc ORDER BY inc""".stripMargin)),
+
     Q("q134_source_entropy",
       (s, dir) => {
         val c = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
