@@ -158,4 +158,39 @@ class StreamingSpec extends SparkSpec {
     assert(viaRocks.nonEmpty)
     assert(viaRocks == viaHdfs)
   }
+
+  test("streaming top-k state survives a forced many-batch drain (q162 twin)") {
+    // q162's registry drain replays a handful of micro-batches; force
+    // a one-file-per-trigger drain (8 files → 8 batches) so the
+    // bounded buffer provably merges across MANY state commits, and
+    // demand the final snapshot still equals the batch window top-k.
+    val batchDf = EventQueries.events(spark, sf001).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft_topk").toString
+    batchDf.repartition(8).write.mode("overwrite").parquet(dir)
+    val streamed = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val snap = EventStreams.runAvailableNow(spark,
+      EventStreams.streamingTopK(streamed, k = 3), "topk_test",
+      outputMode = "update")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ver").desc)
+    val result = snap.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), posexplode(col("items")).as(Seq("pos", "it")))
+      .select(col("user_id"), col("pos"), col("it._2").as("event_id"))
+      .orderBy(col("user_id"), col("pos"))
+    // at least one user saw 8 separate emissions (true cross-batch state)
+    assert(snap.groupBy(col("user_id")).count().agg(max("count"))
+      .head().getLong(0) >= 8)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(expr("CAST(round(value * 1000000) AS BIGINT)").desc,
+        col("event_id"))
+    val expected = batchDf
+      .withColumn("rn", row_number().over(wb)).filter(col("rn") <= 3)
+      .select(col("user_id"), (col("rn") - 1).as("pos"), col("event_id"))
+      .orderBy(col("user_id"), col("pos"))
+    assert(result.collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      == expected.collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))))
+  }
 }
