@@ -4,6 +4,7 @@ import graft.functions.TextFns
 import graft.operators.Dedup
 import graft.util.Tables
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -461,6 +462,79 @@ object CurationQueries {
              |  (n_shared * 10000) // nw.nw AS cont_bp
              |FROM p JOIN nw ON source_a = nw.source
              |ORDER BY source_a, source_b""".stripMargin)),
+
+    // Two-sample Kolmogorov–Smirnov drift audit per source (Smirnov
+    // 1939; Massey 1951 — public): the SUP-NORM counterpart of q146's
+    // PSI divergence — for each source, the maximum gap between its
+    // document-length CDF and the whole corpus's, in exact basis
+    // points. Lengths bucket to floor-log2 (≤ ~30 buckets), so the
+    // per-source CDFs live on a tiny shared support: one map-side-
+    // combined (source, bucket) count is the only corpus pass, the
+    // corpus CDF broadcasts, and the per-source running sums window
+    // over ≤ 30 rows per source. Exact integers throughout:
+    // F_src and F_all compare as cross-multiplied counts
+    // (|c_src·n_all − c_all·n_src| · 10⁴ div (n_src·n_all) after the
+    // max — one floor division per source). The bucket union is the
+    // corpus support by construction (every source bucket is a corpus
+    // bucket), and gaps are evaluated at every corpus bucket via a
+    // left join with running-sum carry, so the sup is over the full
+    // merged support.
+    Q("q166_ks_drift",
+      (s, dir) => {
+        val b = Tables(s, dir, "documents")
+          .select(col("source"),
+            (length(bin(greatest(col("n_chars"), lit(1L)))) - 1)
+              .cast(LongType).as("bk"))
+        val sc = b.groupBy(col("source"), col("bk"))
+          .agg(count(lit(1)).cast(LongType).as("c"))
+          .localCheckpoint() // feeds the corpus rollup AND the CDF join
+        val ac = sc.groupBy(col("bk"))
+          .agg(sum(col("c")).cast(LongType).as("ca"))
+        val nAll = ac.agg(sum(col("ca")).cast(LongType).as("n_all"))
+        val wAll = Window.orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cumAll = ac.withColumn("fa", sum(col("ca")).over(wAll))
+        val nSrc = sc.groupBy(col("source"))
+          .agg(sum(col("c")).cast(LongType).as("n_src"))
+        // evaluate at EVERY corpus bucket: left-join source counts and
+        // carry the source's running sum across missing buckets
+        val wSrc = Window.partitionBy(col("source")).orderBy(col("bk"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val grid = nSrc.crossJoin(broadcast(cumAll))
+          .join(sc, Seq("source", "bk"), "left")
+          .withColumn("fs", sum(coalesce(col("c"), lit(0L))).over(wSrc))
+        grid.crossJoin(broadcast(nAll))
+          .withColumn("gap", abs(col("fs") * col("n_all") - col("fa") * col("n_src")))
+          .groupBy(col("source"), col("n_src"))
+          .agg(max(col("gap")).as("max_gap"))
+          .crossJoin(broadcast(nAll))
+          .withColumn("ks_bp", expr("(max_gap * 10000) div (n_src * n_all)"))
+          .select(col("source"), col("n_src"), col("ks_bp"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH b AS (SELECT source,
+             |    CAST(length(bin(GREATEST(n_chars, 1))) - 1 AS BIGINT) AS bk
+             |  FROM documents),
+             |sc AS (SELECT source, bk, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM b GROUP BY 1, 2),
+             |ac AS (SELECT bk, CAST(SUM(c) AS BIGINT) AS ca FROM sc GROUP BY 1),
+             |na AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_all FROM ac),
+             |ca AS (SELECT bk, ca, SUM(ca) OVER (ORDER BY bk
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fa
+             |  FROM ac),
+             |ns AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n_src
+             |  FROM sc GROUP BY 1),
+             |grid AS (SELECT ns.source, ns.n_src, ca.bk, ca.fa,
+             |    SUM(COALESCE(sc.c, 0)) OVER (PARTITION BY ns.source
+             |      ORDER BY ca.bk
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fs
+             |  FROM ns CROSS JOIN ca
+             |  LEFT JOIN sc ON sc.source = ns.source AND sc.bk = ca.bk)
+             |SELECT g.source, g.n_src,
+             |  CAST((MAX(abs(g.fs * na.n_all - g.fa * g.n_src)) * 10000)
+             |    // (g.n_src * na.n_all) AS BIGINT) AS ks_bp
+             |FROM grid g, na
+             |GROUP BY g.source, g.n_src, na.n_all ORDER BY g.source""".stripMargin)),
 
     // Zipf-fit slope per source (Zipf 1949; Piantadosi 2014's review —
     // public): the log-log OLS of token frequency against rank, the

@@ -68,6 +68,9 @@ object PlanAudit {
                               // broadcast-crossed into the map-only
                               // classify pass — bounded by the label
                               // space, never corpus-sized
+    "q166_ks_drift",          // ≤30-row corpus log2-CDF + 1-row total
+                              // broadcast into the per-source grid —
+                              // bounded by the bucket domain
     "q161_polygon_join")      // 8-row polygon dim broadcast into the
                               // bbox-range prefilter (non-equi ⇒ BNL by
                               // construction; at many-polygon scale the
