@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.functions.TextFns
-import graft.operators.TopKPerGroup
+import graft.operators.{SimilaritySearch, TopKPerGroup}
 import graft.util.Tables
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -24,6 +24,17 @@ object RetrievalQueries {
   /** Fixed keyword query for the BM25 ranking demo (high-df corpus
     * terms — exercises the Lucene-style always-positive idf). */
   private val BmTerms = Seq("join", "hash", "vector")
+
+  /** DuckDB scaled-long dot product / squared norm between FLOAT
+    * lists — the VectorQueries determinism convention, repeated here
+    * for q167's vector ranking leg. */
+  private def dotSqlR(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), " +
+      s"s -> CAST(round(CAST(s[1] AS DOUBLE) * CAST(s[2] AS DOUBLE) * 1e10, 0) AS BIGINT))) AS BIGINT)"
+
+  private def normSqlR(a: String): String =
+    s"CAST(list_sum(list_transform($a, " +
+      s"x -> CAST(round(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) * 1e10, 0) AS BIGINT))) AS BIGINT)"
 
   val all: Seq[Q] = Seq(
 
@@ -529,6 +540,120 @@ object RetrievalQueries {
              |  (inter * 10000) // sa.sz AS cont_bp
              |FROM p JOIN sz sa ON d_a = sa.doc_id JOIN sz sb ON d_b = sb.doc_id
              |WHERE 5 * inter >= 4 * sa.sz
-             |ORDER BY d_a, d_b""".stripMargin))
+             |ORDER BY d_a, d_b""".stripMargin)),
+
+    // Hybrid retrieval via reciprocal-rank fusion (Cormack, Clarke &
+    // Büttcher 2009 — public): the modern RAG-serving shape — a
+    // lexical ranking and a vector ranking computed independently,
+    // fused by rank position alone (rrf = Σ 1/(60 + rank)), so
+    // incomparable score scales never mix. Queries are docs 0–9 (the
+    // q26 convention; embedding i is the embedding of document i in
+    // the shared testdata id space). Lexical score = Σ idf over
+    // shared DISTINCT tokens, with idf the q126 floor-log2 integer
+    // (rank-faithful, bit-reproducible); vector score = the q26 exact
+    // scaled-long cosine. RRF itself is exact: 10⁹ div (60 + rank)
+    // keeps every reciprocal an integer, so fusion, ties (broken by
+    // n_id), and the final top-10 are total orders.
+    // Shape at scale: the DISTINCT (doc, token) stream materializes
+    // once (the q113 inverted-index artifact; localCheckpoint here
+    // stands in for the persisted index) and is touched twice — once
+    // to df-count ONLY the query vocabulary (broadcast semi-join
+    // keeps aggregate state query-sized), once as the posting scan
+    // against the broadcast idf-weighted query terms, map-side
+    // combined to candidate cardinality. Both rankings end in the
+    // partial/final TopKPhysical (k-bounded state per partition), and
+    // the fusion join touches ≤ 2k rows per query. No full corpus
+    // ranking is ever materialized — the impact-ordered retrieval
+    // discipline of q126.
+    Q("q167_rrf_fusion",
+      (s, dir) => {
+        val docs = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val dt = docs.select(col("doc_id"),
+            explode(TextFns.tokens(col("text"))).as("tok"))
+          .distinct()
+          .localCheckpoint() // the inverted-index artifact: 2 corpus consumers
+        val nRow = docs.agg(count(lit(1)).cast(LongType).as("n"))
+        val qt = dt.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("q_id"), col("tok"))
+        val qVocab = qt.select(col("tok")).distinct()
+        val dfq = dt.join(broadcast(qVocab), "tok")
+          .groupBy(col("tok")).agg(count(lit(1)).cast(LongType).as("df"))
+        val qtw = dfq.join(broadcast(qt), "tok")
+          .crossJoin(broadcast(nRow))
+          .withColumn("r_idf", expr(
+            """CAST((2 * CAST(n AS DECIMAL(38,0)) + 2) * 1048576
+              |  div (2 * CAST(df AS DECIMAL(38,0)) + 1) AS BIGINT)"""
+              .stripMargin))
+          .withColumn("idf_fl2",
+            (length(bin(greatest(col("r_idf"), lit(1L)))) - 1)
+              .cast(LongType) - 20)
+          .select(col("q_id"), col("tok"), col("idf_fl2"))
+        val lex = dt.join(broadcast(qtw), "tok")
+          .filter(col("doc_id") =!= col("q_id"))
+          .groupBy(col("q_id"), col("doc_id"))
+          .agg(sum(col("idf_fl2")).cast(LongType).as("lex_s"))
+          .select(col("q_id"), col("doc_id").as("n_id"), col("lex_s"))
+        val lexTop = graft.plans.TopKPhysical.topK(lex, Seq("q_id"),
+          Seq(("lex_s", false), ("n_id", true)), k = 20, rankName = "lex_rnk")
+          .select(col("q_id"), col("n_id"), col("lex_rnk"))
+        val emb = Tables(s, dir, "embeddings")
+        val vecTop = SimilaritySearch.bruteForceTopK(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+          emb.select(col("vec_id").as("n_id"), col("embedding")),
+          "q_id", "q_vec", "n_id", "embedding", k = 20)
+          .select(col("q_id"), col("n_id"), col("rnk").as("vec_rnk"))
+        val fused = lexTop.join(vecTop, Seq("q_id", "n_id"), "full_outer")
+          .withColumn("rrf", expr(
+            """coalesce(CAST(1000000000 AS BIGINT) div CAST(60 + lex_rnk AS BIGINT), CAST(0 AS BIGINT))
+              | + coalesce(CAST(1000000000 AS BIGINT) div CAST(60 + vec_rnk AS BIGINT), CAST(0 AS BIGINT))"""
+              .stripMargin))
+        graft.plans.TopKPhysical.topK(fused, Seq("q_id"),
+          Seq(("rrf", false), ("n_id", true)), k = 10)
+          .select(col("q_id"), col("n_id"), col("lex_rnk"), col("vec_rnk"),
+            col("rrf"), col("rnk"))
+          .orderBy(col("q_id"), col("rnk"))
+      },
+      Some(s"""WITH dt AS (SELECT DISTINCT doc_id,
+             |    unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok
+             |  FROM documents),
+             |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+             |qt AS (SELECT doc_id AS q_id, tok FROM dt WHERE doc_id < 10),
+             |dfq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt
+             |  WHERE tok IN (SELECT tok FROM qt) GROUP BY tok),
+             |qtw AS (SELECT q_id, qt.tok,
+             |    CAST(length(bin(GREATEST(CAST((2 * CAST(n AS HUGEINT) + 2) * 1048576
+             |      // (2 * CAST(df AS HUGEINT) + 1) AS BIGINT), 1))) - 1 - 20 AS BIGINT) AS idf_fl2
+             |  FROM qt JOIN dfq ON qt.tok = dfq.tok, nn),
+             |lex AS (SELECT q_id, dt.doc_id AS n_id, CAST(SUM(idf_fl2) AS BIGINT) AS lex_s
+             |  FROM dt JOIN qtw ON dt.tok = qtw.tok AND dt.doc_id <> qtw.q_id
+             |  GROUP BY 1, 2),
+             |lex20 AS (SELECT q_id, n_id, lex_rnk FROM (
+             |  SELECT q_id, n_id,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY lex_s DESC, n_id) AS lex_rnk
+             |  FROM lex) t WHERE lex_rnk <= 20),
+             |q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+             |c AS (SELECT vec_id AS n_id, embedding AS cv FROM embeddings),
+             |dots AS (SELECT q_id, n_id,
+             |    ${dotSqlR("qv", "cv")} AS dot,
+             |    ${normSqlR("qv")} AS na,
+             |    ${normSqlR("cv")} AS nb
+             |  FROM q, c WHERE q_id <> n_id),
+             |cos AS (SELECT q_id, n_id,
+             |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |      ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS cosine
+             |  FROM dots),
+             |vec20 AS (SELECT q_id, n_id, vec_rnk FROM (
+             |  SELECT q_id, n_id,
+             |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id) AS vec_rnk
+             |  FROM cos) t WHERE vec_rnk <= 20),
+             |fused AS (SELECT q_id, n_id, lex_rnk, vec_rnk,
+             |    COALESCE(1000000000 // (60 + lex_rnk), 0)
+             |      + COALESCE(1000000000 // (60 + vec_rnk), 0) AS rrf
+             |  FROM lex20 FULL JOIN vec20 USING (q_id, n_id))
+             |SELECT q_id, n_id, lex_rnk, vec_rnk, rrf, rnk FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rnk
+             |  FROM fused) t
+             |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin))
   )
 }

@@ -71,6 +71,9 @@ object PlanAudit {
     "q166_ks_drift",          // ≤30-row corpus log2-CDF + 1-row total
                               // broadcast into the per-source grid —
                               // bounded by the bucket domain
+    "q167_rrf_fusion",        // inherits q26's |Q|=10 broadcast ×
+                              // corpus exact-cosine leg + a 1-row
+                              // corpus-stats broadcast on the idf path
     "q161_polygon_join")      // 8-row polygon dim broadcast into the
                               // bbox-range prefilter (non-equi ⇒ BNL by
                               // construction; at many-polygon scale the
