@@ -87,10 +87,13 @@ object StreamQueries {
     * too-high count makes per-batch store commits dominate when the
     * state is only thousands of slim rows (32 stores × commit files ×
     * batches for kilobytes of state). Partitions = staged bytes /
-    * 8 MB, clamped to [8, session setting] — small drains get cheap
-    * commits, a corpus-scale stream ramps back to the session's full
-    * parallelism (a 50× dedup drain with ~5M keys already lands near
-    * the cap under this divisor). Identical results either way (fresh
+    * 8 MB, clamped to [2, session setting] — small drains get cheap
+    * commits (the floor engages only under 16 MB staged, where state
+    * is KBs and per-partition commit cost dominates; floor 2 keeps
+    * the state genuinely partitioned), and a corpus-scale stream
+    * ramps back to the session's full parallelism (a 50× dedup drain
+    * with ~5M keys already lands near the cap under this divisor).
+    * Identical results either way (fresh
     * checkpoint per run, so the lifetime property can't leak); the
     * previous value is always restored.
     *
@@ -107,7 +110,7 @@ object StreamQueries {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(du).sum else f.length()
     val sessionN = s.conf.get("spark.sql.shuffle.partitions").toInt
     val staged = dirs.map(d => du(new java.io.File(d))).sum
-    val n = math.min(math.max(8L, staged / (8L << 20)), sessionN.toLong).toInt
+    val n = math.min(math.max(2L, staged / (8L << 20)), sessionN.toLong).toInt
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)

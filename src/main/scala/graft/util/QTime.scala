@@ -17,8 +17,14 @@ object QTime {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.names.foreach { t => try Tables(spark, dir, t).count() catch { case _: Throwable => } }
     names.foreach { n =>
-      val df0 = Registry.byName(n).run(spark, dir)
-      def force() = df0.select(df0.columns.map(c => count(col(c))).reduce(_ + _)).collect()
+      // rebuild the plan EVERY pass: a query fn's localCheckpoints are
+      // built at plan-construction time, so re-forcing one DataFrame
+      // would time only the post-checkpoint tail — Bench calls the fn
+      // fresh per sweep, and this must measure the same thing
+      def force() = {
+        val df = Registry.byName(n).run(spark, dir)
+        df.select(df.columns.map(c => count(col(c))).reduce(_ + _)).collect()
+      }
       force()
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
