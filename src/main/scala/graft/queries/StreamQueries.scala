@@ -245,6 +245,80 @@ object StreamQueries {
              |  AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 6 HOUR
              |ORDER BY l_id, r_id""".stripMargin)),
 
+    // Stream-stream LEFT OUTER interval join — the attribution shape
+    // q95's inner join can't express: every view emits, and views with
+    // NO purchase in their 6 h window surface with null right columns
+    // once the watermark passes the end of their interval (the only
+    // moment a streaming engine can PROVE no match is coming). Two
+    // production patterns make this exact under a REAL 60 s watermark
+    // (q95 needs the full-span horizon because its staging replays in
+    // arbitrary order):
+    //   1. TIME-ORDERED catch-up staging — each side is
+    //      repartitionByRange'd on ts into files replayed oldest-first
+    //      (ascending modTimes), so the watermark advances
+    //      monotonically and never drops a row as late — the
+    //      date-partitioned backlog replay every production catch-up
+    //      run does;
+    //   2. a HEARTBEAT row (far-future event time, sentinel user −1,
+    //      in a final file on BOTH sides) advances the watermark past
+    //      every open interval at end-of-drain, so the tail's
+    //      unmatched views flush — the source-heartbeat idiom for
+    //      event-time-complete drains. AvailableNow then runs the
+    //      no-data flush batch that emits the evicted state.
+    // Outer rows emit PROGRESSIVELY across the drain (mid-drain
+    // watermarks already expire early intervals), so the batch split
+    // genuinely exercises cross-batch outer-state eviction; the final
+    // set is split-invariant and equals the batch LEFT JOIN oracle.
+    Q("q168_stream_outer_join",
+      (s, dir) => {
+        def orderedDir(tpe: String): String = stagedDirs.computeIfAbsent(
+          s"ord_$tpe:$dir@${sourceFingerprint(dir)}", { _ =>
+            val out = newStagingDir(s"graft_stream_ord_$tpe")
+            EventQueries.events(s, dir)
+              .filter(col("event_type") === tpe)
+              .repartitionByRange(4, col("ts"))
+              .write.mode("overwrite").parquet(out)
+            val f0 = new java.io.File(out).listFiles()
+              .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+            // heartbeat: one far-future sentinel row in its own file
+            import s.implicits._
+            Seq((-1L, java.sql.Timestamp.valueOf("2035-01-01 00:00:00"),
+                -1L, tpe, 0.0d, ""))
+              .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+              .coalesce(1).write.mode("append").parquet(out)
+            // pin replay order: the file source processes oldest
+            // modTime first — range files ascending (part index =
+            // range order), heartbeat strictly last
+            val all = new java.io.File(out).listFiles()
+              .filter(_.getName.endsWith(".parquet"))
+            val base = System.currentTimeMillis() - 3600000L
+            all.filter(f => f0(f.getName)).sortBy(_.getName).zipWithIndex
+              .foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+            all.filterNot(f => f0(f.getName))
+              .foreach(_.setLastModified(base + 600000L))
+            out
+          })
+        def side(d: String) =
+          s.readStream.schema(EventStreams.eventSchema)
+            .option("maxFilesPerTrigger", "2").parquet(d)
+        val (viewDir, purchaseDir) = (orderedDir("view"), orderedDir("purchase"))
+        val joined = EventStreams.intervalJoin(side(viewDir), side(purchaseDir),
+          horizon = "6 hours", watermark = "60 seconds", joinType = "left_outer")
+        withStatePartitions(s, Seq(viewDir, purchaseDir)) {
+          EventStreams.runAvailableNow(s, joined, uniq("q168"), outputMode = "append")
+            .filter(col("user_id") =!= -1L) // drop the heartbeat sentinel
+            .orderBy(col("l_id"), col("r_id"))
+        }
+      },
+      Some("""WITH l AS (SELECT user_id, event_id AS l_id, CAST(ts AS TIMESTAMP) AS l_ts
+             |    FROM events WHERE event_type = 'view'),
+             |r AS (SELECT user_id AS r_user, event_id AS r_id, CAST(ts AS TIMESTAMP) AS r_ts
+             |    FROM events WHERE event_type = 'purchase')
+             |SELECT user_id, l_id, r_id, l_ts, r_ts
+             |FROM l LEFT JOIN r ON user_id = r_user
+             |  AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 6 HOUR
+             |ORDER BY l_id, r_id""".stripMargin)),
+
     // ST4/ST5 companion: EVENT-TIME SESSION WINDOWS under the drain —
     // native session_window state (merging sessions as micro-batches
     // arrive out of order) with a complete-mode snapshot, the

@@ -119,7 +119,8 @@ object EventStreams {
     * interval condition is the same expression). */
   def intervalJoin(left: DataFrame, right: DataFrame,
                    horizon: String = "30 minutes",
-                   watermark: String = "60 seconds"): DataFrame = {
+                   watermark: String = "60 seconds",
+                   joinType: String = "inner"): DataFrame = {
     val l0 = left.select(col("user_id"), col("event_id").as("l_id"),
       col("ts").as("l_ts"))
     val r0 = right.select(col("user_id").as("r_user"),
@@ -131,7 +132,8 @@ object EventStreams {
     l.join(r,
       col("user_id") === col("r_user") &&
         col("r_ts") >= col("l_ts") &&
-        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"))
+        col("r_ts") <= col("l_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select(col("user_id"), col("l_id"), col("r_id"),
         col("l_ts"), col("r_ts"))
   }

@@ -193,4 +193,50 @@ class StreamingSpec extends SparkSpec {
     assert(result.collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
       == expected.collect().toSeq.map(r => (r.getLong(0), r.getInt(1), r.getLong(2))))
   }
+
+  test("LEFT OUTER interval join flushes unmatched rows under a 1-file drain (q168 twin)") {
+    // q168's two preconditions, forced to their hardest setting: a
+    // one-file-per-trigger drain (5 files/side → 5 batches/side) over
+    // time-ordered staging with a far-future heartbeat on BOTH sides.
+    // The watermark must advance monotonically (no late drops), evict
+    // expired left state progressively, and the heartbeat's no-data
+    // flush batch must emit the tail's unmatched views — final set ==
+    // the batch LEFT JOIN, nulls included.
+    import spark.implicits._
+    val ev = EventQueries.events(spark, sf001).cache()
+    def stage(tpe: String): String = {
+      val dir = java.nio.file.Files.createTempDirectory(s"graft_ssoj_$tpe").toString
+      ev.filter(col("event_type") === tpe).repartitionByRange(4, col("ts"))
+        .write.mode("overwrite").parquet(dir)
+      val f0 = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+      Seq((-1L, java.sql.Timestamp.valueOf("2035-01-01 00:00:00"), -1L, tpe, 0.0d, ""))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(dir)
+      val all = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      val base = System.currentTimeMillis() - 3600000L
+      all.filter(f => f0(f.getName)).sortBy(_.getName).zipWithIndex
+        .foreach { case (f, i) => f.setLastModified(base + i * 2000L) }
+      all.filterNot(f => f0(f.getName)).foreach(_.setLastModified(base + 600000L))
+      dir
+    }
+    def src(d: String) = spark.readStream.schema(EventStreams.eventSchema)
+      .option("maxFilesPerTrigger", "1").parquet(d)
+    val joined = EventStreams.intervalJoin(src(stage("view")), src(stage("purchase")),
+      horizon = "6 hours", watermark = "60 seconds", joinType = "left_outer")
+    val result = EventStreams.runAvailableNow(spark, joined, "ssoj_test",
+        outputMode = "append")
+      .filter(col("user_id") =!= -1L)
+      .orderBy("l_id", "r_id")
+    val expected = EventStreams.intervalJoin(
+      ev.filter(col("event_type") === "view"),
+      ev.filter(col("event_type") === "purchase"),
+      horizon = "6 hours", joinType = "left_outer")
+      .orderBy("l_id", "r_id")
+    val rs = result.collect().toSeq
+    assert(rs.exists(_.isNullAt(2)),
+      "watermark-flushed unmatched views must surface with null r_id")
+    assert(rs == expected.collect().toSeq)
+  }
 }
