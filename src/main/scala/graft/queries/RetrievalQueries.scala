@@ -654,6 +654,75 @@ object RetrievalQueries {
              |SELECT q_id, n_id, lex_rnk, vec_rnk, rrf, rnk FROM (
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf DESC, n_id) AS rnk
              |  FROM fused) t
-             |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin))
+             |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin)),
+
+    // Positional proximity + phrase retrieval — the postings layer
+    // q113/q126/q167 don't reach: POSITIONS inside the document
+    // (Manning et al., IIR §2.4's positional index; every phrase/NEAR
+    // operator in a production search stack). For the two-term query
+    // ("hash", "join"): per doc, the term counts, the MINIMUM token
+    // distance between occurrences of the two terms, and the count of
+    // exact ordered-phrase hits ("hash join" — adjacent positions);
+    // docs where the terms land within 8 tokens qualify.
+    // Plan shape: the term predicate reaches the token stream BEFORE
+    // any shuffle (positional postings for the query terms only —
+    // per-doc work O(dl), carried rows O(tf)); then ONE doc-keyed
+    // window sort + the same-partitioning aggregate. The min span
+    // needs no pair join: the minimizing (t1, t2) pair can have no
+    // other query-term occurrence between its endpoints (it would
+    // form a closer pair), so it is ADJACENT in the merged
+    // position-sorted stream — a lag(1) sweep finds it exactly, and
+    // ordered-adjacent phrase hits (gap 1) are a filter on the same
+    // sweep. THE ORACLE IS THE BRUTE-FORCE DEFINITION (all-pairs min
+    // + explicit p+1 phrase join) — a different, skew-unsafe plan
+    // proving the same answer.
+    Q("q169_phrase_proximity",
+      (s, dir) => {
+        val (t1, t2) = ("hash", "join")
+        val pos = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            posexplode(TextFns.tokens(col("text"))).as(Seq("p", "term")))
+          .filter(col("term").isin(t1, t2))
+        val w = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        pos
+          .withColumn("pt", lag(col("term"), 1).over(w))
+          .withColumn("pp", lag(col("p"), 1).over(w))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("term") === t1, 1L).otherwise(0L))
+              .cast(LongType).as("n_a"),
+            sum(when(col("term") === t2, 1L).otherwise(0L))
+              .cast(LongType).as("n_b"),
+            min(when(col("pt").isNotNull && col("pt") =!= col("term"),
+              col("p") - col("pp"))).cast(LongType).as("min_span"),
+            sum(when(col("pt") === t1 && col("term") === t2 &&
+              col("p") - col("pp") === 1, 1L).otherwise(0L))
+              .cast(LongType).as("phrase_n"))
+          .filter(col("min_span") <= 8)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+             |  FROM documents),
+             |tp AS (SELECT doc_id, toks[i] AS term, i AS p
+             |  FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
+             |  WHERE toks[i] IN ('hash', 'join')),
+             |p1 AS (SELECT doc_id, p FROM tp WHERE term = 'hash'),
+             |p2 AS (SELECT doc_id, p FROM tp WHERE term = 'join'),
+             |sp AS (SELECT a.doc_id, CAST(MIN(abs(a.p - b.p)) AS BIGINT) AS min_span
+             |  FROM p1 a JOIN p2 b USING (doc_id) GROUP BY 1),
+             |ph AS (SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS phrase_n
+             |  FROM p1 a JOIN p2 b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+             |  GROUP BY 1),
+             |cn AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN term = 'hash' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             |    CAST(SUM(CASE WHEN term = 'join' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+             |  FROM tp GROUP BY 1)
+             |SELECT cn.doc_id, n_a, n_b, min_span,
+             |  COALESCE(phrase_n, CAST(0 AS BIGINT)) AS phrase_n
+             |FROM cn JOIN sp ON cn.doc_id = sp.doc_id
+             |  LEFT JOIN ph ON cn.doc_id = ph.doc_id
+             |WHERE min_span <= 8
+             |ORDER BY cn.doc_id""".stripMargin))
   )
 }
