@@ -196,6 +196,62 @@ object StreamQueries {
       },
       Some(hourlySql)),
 
+    // EXACTLY-ONCE foreachBatch sink via batch-id atomic publish — the
+    // replay-safety half of ST2 that q94's append sink doesn't prove.
+    // foreachBatch is AT-LEAST-ONCE: after a crash between the sink
+    // write and the checkpoint commit, the restarted drain REDELIVERS
+    // the same (batchId, data) — an append sink double-counts. The
+    // standard discipline (Spark's own foreachBatch docs point here):
+    // make the write idempotent on batchId. Each batch's partial
+    // aggregate lands in a staging dir and is PUBLISHED by an atomic
+    // rename to `b=<batchId>`; a redelivered batch sees the published
+    // dir and no-ops. The query PROVES the property by calling the
+    // writer twice for every batch (a forced redelivery, the failure
+    // injection a crash would produce) — the read-back combine still
+    // equals the batch-twin oracle, byte-identical partials included.
+    // At scale this is the same pattern against an object store with
+    // atomic rename/conditional put; the txn marker is the batch dir
+    // itself, so no external log is needed.
+    Q("q170_idempotent_sink",
+      (s, dir) => withStatePartitions(s, Seq(staged(s, dir))) {
+        val sink = graft.util.Scratch.tempDir("graft_q170_sink")
+        def writeBatch(batch: DataFrame, bid: Long): Unit = {
+          val target = new java.io.File(sink, s"b=$bid")
+          if (!target.exists()) { // idempotence gate: published = done
+            val tmp = new java.io.File(sink, s".stage_b$bid")
+            batch.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("value").cast(DecimalType(18, 2))).as("sum_dec"))
+              .select(col("w.start").as("hour_start"), col("event_type"),
+                col("n"), col("sum_dec"))
+              .write.mode("overwrite").parquet(tmp.toString)
+            // atomic publish: rename IS the transaction commit
+            require(tmp.renameTo(target), s"publish failed for batch $bid")
+          }
+        }
+        val q = source(s, dir).writeStream
+          .option("checkpointLocation", graft.util.Scratch.tempDir("graft_q170_ckpt"))
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            writeBatch(batch, bid)
+            writeBatch(batch, bid) // forced redelivery — must no-op
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        // read the sink root: `b=<batchId>` dirs ARE a partition
+        // column, so discovery lists exactly the published batches
+        // (in-flight `.stage_*` dirs are dot-hidden from listings) —
+        // and a glob here would trip FileStreamSink.hasMetadata's
+        // literal getFileStatus on the un-expanded pattern
+        s.read.parquet(sink)
+          .groupBy(col("hour_start"), col("event_type"))
+          .agg(sum(col("n")).as("n"),
+            sum(col("sum_dec")).cast(DoubleType).as("sum_value"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      Some(hourlySql)),
+
     // Stream-stream interval join under the drain (view → purchase
     // attribution within 6 h for the same user): both sides are REAL
     // file streams consumed in micro-batches, joined with the

@@ -584,6 +584,83 @@ object VectorQueries {
            |  FROM q, unnest(range(1, 65)) AS u(i), unnest(range(i, 65)) AS w(j))
            |SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
            |  CAST(SUM(CAST(prod AS DECIMAL(38,0))) AS BIGINT) AS s
-           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+           |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Dominant eigendirection of the Gram matrix by fixed-point POWER
+    // ITERATION (von Mises & Pollaczek-Geiringer 1929; the PCA
+    // direction behind whitening, covariance drift detection, and the
+    // OPQ rotation seed) — the iterative-linear-algebra member of the
+    // trainer family next to Lloyd's step (q89) and PageRank (q106).
+    // The corpus-scale work is EXACTLY q157's Gram reduction (map-side
+    // combined to ≤ d(d+1)/2 = 2,080 cells no matter the corpus
+    // size); the iteration then runs on that DIMENSION-BOUNDED
+    // artifact on the driver — the documented bounded-artifact
+    // convention (PageRank's 1-row node count, q101's tens-of-rows
+    // merge table): collecting 2,080 cells is O(d²), not O(corpus).
+    // Determinism: 4 iterations of w = G·v in exact BigInt, rescaled
+    // each round to ±2²⁰ fixed point by truncating division
+    // (v' = w·2²⁰ div max|w| — DuckDB's `//` and BigInt `/` both
+    // truncate toward zero, so the oracle's unrolled-CTE replay is
+    // bit-identical; no sqrt, no doubles, no sign ambiguity).
+    Q("q171_power_iteration",
+      (s, dir) => {
+        val d = 64
+        val cells = graft.operators.NgramLm.widen(Tables(s, dir, "embeddings"))
+          .select(expr(
+            "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+            .as("qv"))
+          .select(explode(expr(
+            "flatten(transform(sequence(1, size(qv)), i -> " +
+              "transform(sequence(i, size(qv)), j -> " +
+              "struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, " +
+              "qv[i-1] * qv[j-1] AS prod))))")).as("p"))
+          .select(col("p.i").as("i"), col("p.j").as("j"), col("p.prod").as("prod"))
+          .groupBy(col("i"), col("j"))
+          .agg(expr("CAST(sum(CAST(prod AS DECIMAL(38,0))) AS BIGINT)").as("s"))
+          .collect() // dimension-bounded artifact: ≤ 2,080 cells
+        val g = Array.ofDim[BigInt](d, d)
+        for (r <- cells) {
+          val (i, j) = (r.getLong(0).toInt - 1, r.getLong(1).toInt - 1)
+          g(i)(j) = BigInt(r.getLong(2)); g(j)(i) = g(i)(j)
+        }
+        val scale = BigInt(1048576)
+        var v = Array.fill(d)(scale)
+        for (_ <- 1 to 4) {
+          val w = Array.tabulate(d)(i =>
+            (0 until d).map(j => g(i)(j) * v(j)).sum)
+          val m = w.map(_.abs).max
+          v = w.map(x => x * scale / m) // BigInt /: truncates toward 0
+        }
+        import s.implicits._
+        v.zipWithIndex.toSeq
+          .map { case (x, i) => (i + 1L, x.toLong) }
+          .toDF("i", "v")
+          .orderBy(col("i"))
+      },
+      Some("""WITH q AS (SELECT vec_id,
+           |    list_transform(embedding,
+           |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+           |  FROM embeddings),
+           |pp AS (SELECT i, j, qv[i] * qv[j] AS prod
+           |  FROM q, unnest(range(1, 65)) AS u(i), unnest(range(i, 65)) AS w(j)),
+           |gup AS (SELECT i, j, CAST(SUM(CAST(prod AS DECIMAL(38,0))) AS BIGINT) AS s
+           |  FROM pp GROUP BY 1, 2),
+           |g AS (SELECT i, j, s FROM gup
+           |  UNION ALL SELECT j, i, s FROM gup WHERE i <> j),
+           |v0 AS (SELECT unnest(range(1, 65)) AS j, CAST(1048576 AS HUGEINT) AS v),
+           |w1 AS (SELECT g.i, SUM(CAST(s AS HUGEINT) * v) AS w FROM g JOIN v0 USING (j) GROUP BY 1),
+           |m1 AS (SELECT MAX(ABS(w)) AS m FROM w1),
+           |v1 AS (SELECT i AS j, (w * 1048576) // m AS v FROM w1, m1),
+           |w2 AS (SELECT g.i, SUM(CAST(s AS HUGEINT) * v) AS w FROM g JOIN v1 USING (j) GROUP BY 1),
+           |m2 AS (SELECT MAX(ABS(w)) AS m FROM w2),
+           |v2 AS (SELECT i AS j, (w * 1048576) // m AS v FROM w2, m2),
+           |w3 AS (SELECT g.i, SUM(CAST(s AS HUGEINT) * v) AS w FROM g JOIN v2 USING (j) GROUP BY 1),
+           |m3 AS (SELECT MAX(ABS(w)) AS m FROM w3),
+           |v3 AS (SELECT i AS j, (w * 1048576) // m AS v FROM w3, m3),
+           |w4 AS (SELECT g.i, SUM(CAST(s AS HUGEINT) * v) AS w FROM g JOIN v3 USING (j) GROUP BY 1),
+           |m4 AS (SELECT MAX(ABS(w)) AS m FROM w4),
+           |v4 AS (SELECT i AS j, (w * 1048576) // m AS v FROM w4, m4)
+           |SELECT CAST(j AS BIGINT) AS i, CAST(v AS BIGINT) AS v
+           |FROM v4 ORDER BY i""".stripMargin))
   )
 }
