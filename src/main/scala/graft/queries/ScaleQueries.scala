@@ -188,6 +188,74 @@ object ScaleQueries {
              |  FROM zb)
              |SELECT layout, n_files, files_touched, rows_scanned,
              |  rows_matched
-             |FROM st ORDER BY layout""".stripMargin))
+             |FROM st ORDER BY layout""".stripMargin)),
+
+    // Bucketed CO-LOCATED join — the layout lever for the recurring
+    // fact⋈fact join at 100 TB: both tables are written ONCE bucketed
+    // (and bucket-sorted) on the join key, and every subsequent join
+    // on that key reads matching buckets directly — NO exchange on
+    // either side, the single biggest shuffle in a daily pipeline
+    // amortized into the write. The query materializes lineitem and
+    // orders bucketed by orderkey into scratch catalog tables (cached
+    // per session+source like the staged stream dirs, so Bench's
+    // sweep-2 min times the shuffle-free join itself), joins with a
+    // MERGE hint (keeps the shape identical across SFs where the dim
+    // side would otherwise broadcast), and REQUIRES zero exchanges in
+    // the join subtree — the co-location property fails loudly, not
+    // silently. 8 buckets ~ local[32] toy scale; the 100-TB setting
+    // is O(thousands) of buckets sized to executor memory, same plan.
+    Q("q172_bucketed_join",
+      (s, dir) => {
+        val (lt, ot) = bucketedPair(s, dir)
+        val l = s.table(lt).select(col("l_orderkey"), col("l_extendedprice"))
+        val o = s.table(ot).select(col("o_orderkey"), col("o_orderpriority"))
+        val joined = l.hint("merge")
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+        // the property under test: bucketing makes the join exchange-free
+        val joinPlan = joined.queryExecution.executedPlan.toString
+        require(joinPlan.contains("SortMergeJoin"),
+          s"bucketed join must be sort-merge:\n$joinPlan")
+        require(!joinPlan.contains("Exchange"),
+          s"bucketed co-located join must not shuffle:\n$joinPlan")
+        joined.groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("revenue"))
+          .orderBy(col("o_orderpriority"))
+      },
+      Some("""SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
   )
+
+  // One bucketed write per (session, source dir): catalog entries are
+  // session-scoped, so the cache key is the session identity + dir.
+  // External tables (explicit scratch path) keep the warehouse dir out
+  // of the repo; Scratch removes the files at JVM exit.
+  private val bucketedTables =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedPair(s: org.apache.spark.sql.SparkSession,
+                           dir: String): (String, String) =
+    bucketedTables.computeIfAbsent(
+      s"${System.identityHashCode(s)}@$dir", { _ =>
+        val tag = (math.abs(dir.hashCode).toHexString +
+          Integer.toHexString(System.identityHashCode(s)))
+        val lt = s"graft_q172_lineitem_$tag"
+        val ot = s"graft_q172_orders_$tag"
+        Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+          .write.format("parquet")
+          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", graft.util.Scratch.tempDir("graft_q172_l"))
+          .mode("overwrite").saveAsTable(lt)
+        Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .write.format("parquet")
+          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", graft.util.Scratch.tempDir("graft_q172_o"))
+          .mode("overwrite").saveAsTable(ot)
+        (lt, ot)
+      })
 }

@@ -297,6 +297,141 @@ object SurfaceQueries {
       // the fixture generator emits alongside the .pbf (the generator is
       // an independent wire-level encoder, so this still cross-checks
       // the decoder, not itself)
-      Some(s"SELECT layer, id, lat, lon, tags_json FROM '${graft.util.RepoRoot.fixture("tiny_osm_expected.parquet")}' ORDER BY layer, id"))
+      Some(s"SELECT layer, id, lat, lon, tags_json FROM '${graft.util.RepoRoot.fixture("tiny_osm_expected.parquet")}' ORDER BY layer, id")),
+
+    // Schema-drift tolerant scan — the source reality of a 100-TB lake:
+    // years of ingest generations whose schemas EVOLVED (columns added
+    // later), and one logical table read across all of them. The query
+    // materializes two real parquet generations under one root
+    // (gen=1: pre-evolution, no `source` column; gen=2: evolved), then
+    // reads the root with mergeSchema=true — footer schemas are merged,
+    // pre-evolution rows surface the added column as NULL (never a
+    // default, never a crash), and the generation partition column
+    // comes back from the directory layout. The write is cached per
+    // (session, source) like the staged stream dirs. The oracle
+    // recomputes the expected merged result from the canonical table —
+    // the same independent-semantics pattern as q42's envelope.
+    // mergeSchema is a per-scan option (footer-sampling cost), which is
+    // exactly the 100-TB posture: pay it on the catalog-registration
+    // path once, not on every query.
+    Q("q173_schema_drift",
+      (s, dir) => {
+        val merged = s.read.option("mergeSchema", "true")
+          .parquet(driftRoot(s, dir))
+        require(merged.columns.contains("source"),
+          "evolved column must survive the schema merge")
+        require(merged.columns.contains("gen"),
+          "generation partition column must be discovered")
+        merged.groupBy(
+            coalesce(col("source"), lit("<pre_evolution>")).as("src"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("text"))).cast(LongType).as("chars"),
+            min(col("gen")).cast(LongType).as("first_gen"))
+          .orderBy(col("src"))
+      },
+      Some("""SELECT CASE WHEN doc_id % 2 = 1 THEN source
+             |    ELSE '<pre_evolution>' END AS src,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(length(text)) AS BIGINT) AS chars,
+             |  CAST(MIN(CASE WHEN doc_id % 2 = 1 THEN 2 ELSE 1 END)
+             |    AS BIGINT) AS first_gen
+             |FROM documents GROUP BY 1 ORDER BY src""".stripMargin)),
+
+    // Transaction-log snapshot read + time travel — the lakehouse ACID
+    // read path at 100 TB: a table is an ordered log of add/remove
+    // file actions, a snapshot is the replay of a version prefix, and
+    // `VERSION AS OF n` is the same replay stopped early. The layout
+    // builder (cached per session+source) publishes three commits:
+    // v0 = initial ingest (two files), v1 = append, v2 = a DELETE
+    // executed as copy-on-write (publish the rewritten file, retract
+    // the original — readers of v0/v1 are untouched; nothing is ever
+    // rewritten in place). The query aggregates each version's
+    // snapshot and REQUIREs the replay excluded the retracted file.
+    // The oracle recomputes every snapshot's membership from the
+    // canonical table. At scale the log is O(commits) driver-side
+    // metadata (checkpointable, per the published protocols) and the
+    // data tree is NEVER directory-listed — the log is the manifest.
+    Q("q174_time_travel",
+      (s, dir) => {
+        import graft.operators.TxnLog
+        val root = txnRoot(s, dir)
+        val (v, live) = TxnLog.liveFiles(root, None)
+        require(v == 2L && live.exists(_.endsWith("d3")) &&
+          !live.exists(_.endsWith("d1")),
+          s"snapshot replay wrong: v=$v live=$live")
+        val snaps = (0L to 2L).map { ver =>
+          TxnLog.snapshot(s, root, Some(ver))
+            .agg(count(lit(1)).as("n"),
+              sum(col("o_totalprice").cast(DecimalType(18, 2)))
+                .cast(DoubleType).as("revenue"))
+            .select(lit(ver).as("version"), col("n"), col("revenue"))
+        }
+        snaps.reduce(_ unionAll _).orderBy(col("version"))
+      },
+      Some("""WITH snap AS (
+             |  SELECT CAST(0 AS BIGINT) AS version, o_totalprice
+             |  FROM orders WHERE o_orderkey % 4 IN (0, 1)
+             |  UNION ALL
+             |  SELECT 1, o_totalprice
+             |  FROM orders WHERE o_orderkey % 4 IN (0, 1, 2)
+             |  UNION ALL
+             |  SELECT 2, o_totalprice
+             |  FROM orders WHERE o_orderkey % 4 IN (0, 2)
+             |     OR (o_orderkey % 4 = 1 AND o_orderstatus <> 'F')
+             |)
+             |SELECT version, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM snap GROUP BY version ORDER BY version""".stripMargin))
   )
+
+  // One two-generation drift layout per (session, source dir):
+  // gen=1 holds the even doc_ids with the PRE-evolution schema
+  // (doc_id, text), gen=2 the odd doc_ids with the evolved schema
+  // (doc_id, text, source).
+  private val driftRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def driftRoot(s: org.apache.spark.sql.SparkSession,
+                        dir: String): String =
+    driftRoots.computeIfAbsent(
+      s"${System.identityHashCode(s)}@$dir", { _ =>
+        val root = graft.util.Scratch.tempDir("graft_q173_drift")
+        val docs = graft.util.Tables(s, dir, "documents")
+        docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"))
+          .write.mode("overwrite").parquet(s"$root/gen=1")
+        docs.filter(col("doc_id") % 2 === 1)
+          .select(col("doc_id"), col("text"), col("source"))
+          .write.mode("overwrite").parquet(s"$root/gen=2")
+        root
+      })
+
+  // One three-commit transaction-log table per (session, source dir).
+  private val txnRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def txnRoot(s: org.apache.spark.sql.SparkSession,
+                      dir: String): String =
+    txnRoots.computeIfAbsent(
+      s"${System.identityHashCode(s)}@$dir", { _ =>
+        val root = graft.util.Scratch.tempDir("graft_q174_txn")
+        val orders = graft.util.Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+        def write(rel: String,
+                  df: org.apache.spark.sql.DataFrame): String = {
+          df.write.mode("overwrite").parquet(s"$root/$rel"); rel
+        }
+        import graft.operators.TxnLog
+        TxnLog.commit(root, 0, adds = Seq(
+          write("d0", orders.filter(col("o_orderkey") % 4 === 0)),
+          write("d1", orders.filter(col("o_orderkey") % 4 === 1))))
+        TxnLog.commit(root, 1, adds = Seq(
+          write("d2", orders.filter(col("o_orderkey") % 4 === 2))))
+        // the DELETE: rewrite d1 without its 'F' rows, retract d1
+        TxnLog.commit(root, 2,
+          adds = Seq(write("d3", orders.filter(
+            col("o_orderkey") % 4 === 1 && col("o_orderstatus") =!= "F"))),
+          removes = Seq("d1"))
+        root
+      })
 }

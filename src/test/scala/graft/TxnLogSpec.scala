@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.TxnLog
+import org.apache.spark.sql.functions._
+
+/** Transaction-log table format (q174's engine): commit atomicity,
+  * snapshot replay, time travel, optimistic concurrency, and the
+  * fail-loud corruption contracts. */
+class TxnLogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String = {
+    val root = java.nio.file.Files.createTempDirectory("graft_txn").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").write.parquet(s"$root/f0")
+    Seq((3L, "c")).toDF("k", "v").write.parquet(s"$root/f1")
+    Seq((2L, "b2")).toDF("k", "v").write.parquet(s"$root/f2")
+    root
+  }
+
+  test("snapshot replay: latest sees adds minus removes; time travel pins a prefix") {
+    val root = freshTable()
+    TxnLog.commit(root, 0, adds = Seq("f0"))
+    TxnLog.commit(root, 1, adds = Seq("f1"))
+    // copy-on-write update of k=2: publish f2, retract f0's successor
+    TxnLog.commit(root, 2, adds = Seq("f2"), removes = Seq("f0"))
+
+    val (vLatest, latest) = TxnLog.liveFiles(root, None)
+    assert(vLatest == 2L)
+    assert(latest.map(_.split('/').last).toSet == Set("f1", "f2"))
+
+    // each version is a stable, independent snapshot
+    assert(TxnLog.snapshot(spark, root, Some(0)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(TxnLog.snapshot(spark, root, Some(1)).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(TxnLog.snapshot(spark, root, None).as[(Long, String)]
+      .collect().toSet == Set((3L, "c"), (2L, "b2")))
+  }
+
+  test("commit is write-once: a version collision fails instead of overwriting") {
+    val root = freshTable()
+    TxnLog.commit(root, 0, adds = Seq("f0"))
+    val e = intercept[IllegalArgumentException] {
+      TxnLog.commit(root, 0, adds = Seq("f1"))
+    }
+    assert(e.getMessage.contains("already committed"))
+    // the loser's attempt must not have corrupted the winner
+    val (_, live) = TxnLog.liveFiles(root, None)
+    assert(live.map(_.split('/').last) == Seq("f0"))
+  }
+
+  test("corrupted logs fail loudly: version gap, remove-of-untracked, double add") {
+    val root = freshTable()
+    TxnLog.commit(root, 0, adds = Seq("f0"))
+    TxnLog.commit(root, 2, adds = Seq("f1")) // gap: no v1
+    assert(intercept[IllegalArgumentException] {
+      TxnLog.liveFiles(root, None)
+    }.getMessage.contains("non-contiguous"))
+
+    val root2 = freshTable()
+    TxnLog.commit(root2, 0, adds = Seq("f0"))
+    TxnLog.commit(root2, 1, removes = Seq("f9"), adds = Nil)
+    assert(intercept[IllegalArgumentException] {
+      TxnLog.liveFiles(root2, None)
+    }.getMessage.contains("untracked"))
+
+    val root3 = freshTable()
+    TxnLog.commit(root3, 0, adds = Seq("f0"))
+    TxnLog.commit(root3, 1, adds = Seq("f0"))
+    assert(intercept[IllegalArgumentException] {
+      TxnLog.liveFiles(root3, None)
+    }.getMessage.contains("double add"))
+  }
+
+  test("time travel to an unknown version fails instead of reading latest") {
+    val root = freshTable()
+    TxnLog.commit(root, 0, adds = Seq("f0"))
+    assert(intercept[IllegalArgumentException] {
+      TxnLog.liveFiles(root, Some(5))
+    }.getMessage.contains("not in txn log"))
+  }
+
+  test("snapshot scan reads exactly the live files (no directory listing of data)") {
+    val root = freshTable()
+    TxnLog.commit(root, 0, adds = Seq("f0", "f1"))
+    TxnLog.commit(root, 1, adds = Seq("f2"), removes = Seq("f0"))
+    // f0 still exists on disk (readers of v0 may be mid-scan) but the
+    // v1 snapshot must not see its rows
+    assert(java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "f0")))
+    val rows = TxnLog.snapshot(spark, root, None)
+      .as[(Long, String)].collect().toSet
+    assert(rows == Set((3L, "c"), (2L, "b2")))
+  }
+}
