@@ -43,18 +43,35 @@ object TxnLog {
   private def versionFile(root: String, v: Long): Path =
     logDir(root).resolve(f"$v%08d.json")
 
+  /** A published data file plus optional per-column [min,max] stats —
+    * the zone-map metadata that lets a snapshot read PRUNE files by
+    * predicate without opening them (the published data-skipping
+    * design: stats ride in the log, so skipping costs zero data I/O). */
+  final case class AddFile(file: String,
+                           stats: Map[String, (Long, Long)] = Map.empty)
+
   /** Atomically publish commit `version`: stage the action file, then
     * rename into the log. Fails loudly if the version already exists
     * (optimistic concurrency — the loser of a commit race must
     * re-replay and retry, not overwrite). */
   def commit(root: String, version: Long,
-             adds: Seq[String], removes: Seq[String] = Nil): Unit = {
+             adds: Seq[String], removes: Seq[String] = Nil): Unit =
+    commitFiles(root, version, adds.map(AddFile(_)), removes)
+
+  /** `commit` with per-file column stats carried in the add actions. */
+  def commitFiles(root: String, version: Long,
+                  adds: Seq[AddFile], removes: Seq[String] = Nil): Unit = {
     Files.createDirectories(logDir(root))
     val target = versionFile(root, version)
     require(!Files.exists(target),
       s"txn log version $version already committed at $target")
+    def statsJson(st: Map[String, (Long, Long)]): String =
+      if (st.isEmpty) ""
+      else st.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s""""$c":[$lo,$hi]"""
+      }.mkString(""","stats":{""", ",", "}")
     val body = (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++
-      adds.map(f => s"""{"op":"add","file":"$f"}"""))
+      adds.map(a => s"""{"op":"add","file":"${a.file}"${statsJson(a.stats)}}"""))
       .mkString("", "\n", "\n")
     val stage = logDir(root).resolve(f".stage_$version%08d")
     Files.write(stage, body.getBytes(StandardCharsets.UTF_8))
@@ -67,6 +84,12 @@ object TxnLog {
     * gap or a remove of an untracked file means a corrupted log, and
     * that must fail, not silently skip. */
   def liveFiles(root: String, asOf: Option[Long] = None): (Long, Seq[String]) = {
+    val (v, adds) = liveAdds(root, asOf)
+    (v, adds.map(a => Paths.get(root, a.file).toString))
+  }
+
+  /** `liveFiles` keeping each live file's logged column stats. */
+  def liveAdds(root: String, asOf: Option[Long] = None): (Long, Seq[AddFile]) = {
     val dir = logDir(root)
     require(Files.isDirectory(dir), s"no transaction log under $root")
     val committed: Seq[Long] = {
@@ -87,26 +110,34 @@ object TxnLog {
     require(committed.contains(readTo),
       s"version $readTo not in txn log (have 0..${committed.last})")
     // first-added order kept stable so snapshot row order is
-    // reproducible run to run (LinkedHashSet)
-    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    // reproducible run to run (LinkedHashMap)
+    val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
     (0L to readTo).foreach { v =>
       Files.readAllLines(versionFile(root, v)).forEach { line =>
         if (line.nonEmpty) {
-          // the log is engine-authored with the fixed two-field shape
-          // above; parse positionally and fail loudly on anything else
-          val m = """\{"op":"(add|remove)","file":"([^"]+)"\}""".r
+          // the log is engine-authored with the fixed shapes above;
+          // parse positionally and fail loudly on anything else
+          val m = """\{"op":"(add|remove)","file":"([^"]+)"(?:,"stats":\{([^}]*)\})?\}""".r
+          val stat = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
           line match {
-            case m("add", f) =>
-              require(live.add(f), s"double add of $f at version $v")
-            case m("remove", f) =>
-              require(live.remove(f), s"remove of untracked $f at version $v")
+            case m("add", f, st) =>
+              val stats = Option(st).map { body =>
+                stat.findAllMatchIn(body).map { g =>
+                  g.group(1) -> (g.group(2).toLong, g.group(3).toLong)
+                }.toMap
+              }.getOrElse(Map.empty[String, (Long, Long)])
+              require(live.put(f, AddFile(f, stats)).isEmpty,
+                s"double add of $f at version $v")
+            case m("remove", f, _) =>
+              require(live.remove(f).nonEmpty,
+                s"remove of untracked $f at version $v")
             case other =>
               sys.error(s"unparseable txn log line at version $v: $other")
           }
         }
       }
     }
-    (readTo, live.toSeq.map(f => Paths.get(root, f).toString))
+    (readTo, live.values.toSeq)
   }
 
   /** Snapshot read: replay to `asOf` (latest when None), scan exactly
@@ -118,5 +149,62 @@ object TxnLog {
     val (_, files) = liveFiles(root, asOf)
     require(files.nonEmpty, s"snapshot of $root has no live files")
     spark.read.parquet(files: _*)
+  }
+
+  /** Stats-pruned snapshot read for a `col BETWEEN lo AND hi`
+    * predicate: files whose logged [min,max] cannot intersect the
+    * range are skipped WITHOUT any data I/O — the log-carried
+    * zone-map that makes a selective query on a million-file table
+    * touch only its keyed slice. Returns (df over surviving files,
+    * files read, files total). Files with no logged stats for `col`
+    * are conservatively read (skipping must never drop a match). */
+  def prunedSnapshot(spark: SparkSession, root: String, colName: String,
+                     lo: Long, hi: Long,
+                     asOf: Option[Long] = None): (DataFrame, Long, Long) = {
+    val (_, adds) = liveAdds(root, asOf)
+    require(adds.nonEmpty, s"snapshot of $root has no live files")
+    val kept = adds.filter(a => a.stats.get(colName) match {
+      case Some((mn, mx)) => mx >= lo && mn <= hi
+      case None => true
+    })
+    require(kept.nonEmpty, s"predicate [$lo,$hi] on $colName prunes every file")
+    val df = spark.read
+      .parquet(kept.map(a => Paths.get(root, a.file).toString): _*)
+    (df, kept.size.toLong, adds.size.toLong)
+  }
+
+  /** Version-range change feed (CDC): the FILE-level diff between two
+    * snapshots, computed purely from log replay — (files contributing
+    * inserts, files contributing deletes). Work is bounded by CHURN
+    * (only files that entered or left the live set between the
+    * versions are returned for reading), never by table size; a file
+    * added and retracted inside the range cancels out. Row-level net
+    * changes are then an exceptAll between the two bounded sides —
+    * a copy-on-write rewrite's carried-over rows cancel there. */
+  def changes(root: String, fromV: Long,
+              toV: Long): (Seq[String], Seq[String]) = {
+    require(fromV <= toV, s"changes($fromV -> $toV) runs backwards")
+    val before = liveFiles(root, Some(fromV))._2.toSet
+    val after = liveFiles(root, Some(toV))._2.toSet
+    ((after -- before).toSeq.sorted, (before -- after).toSeq.sorted)
+  }
+
+  /** Files retracted on or before `retainVersion` and not live in ANY
+    * version > `retainVersion`'s replay — physically deletable once
+    * no reader can pin a version that needs them. Replay-only
+    * metadata work, O(commits). */
+  def vacuumable(root: String, retainVersion: Long): Seq[String] = {
+    val (latest, _) = liveAdds(root, None)
+    // a file is needed iff it is live at some version >= retainVersion
+    val needed = (retainVersion to latest)
+      .flatMap(v => liveFiles(root, Some(v))._2).toSet
+    val everAdded = (0L to latest).flatMap { v =>
+      Files.readAllLines(versionFile(root, v)).toArray.toSeq.collect {
+        case l: String if l.contains("\"op\":\"add\"") =>
+          """"file":"([^"]+)"""".r.findFirstMatchIn(l).get.group(1)
+      }
+    }.toSet
+    (everAdded.map(f => Paths.get(root, f).toString) -- needed)
+      .toSeq.sorted
   }
 }

@@ -227,8 +227,78 @@ object ScaleQueries {
              |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
              |    AS revenue
              |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // Log-carried zone-map file skipping — the selective-read story at
+    // 100 TB: each published file's [min,max] key stats ride IN the
+    // transaction log's add action, so a `key BETWEEN lo AND hi` read
+    // prunes non-intersecting files from metadata alone — zero data
+    // I/O for the skipped 6 of 8 files here, and on a million-file
+    // table the same replay touches only the keyed slice. The layout
+    // builder (cached per session+source) range-splits orders into 8
+    // key-interval files with real per-file stats; the predicate spans
+    // exactly intervals 2-3, so files_read = 2 is ORACLE-VERIFIED, not
+    // just asserted. Residual row-level filtering still applies inside
+    // surviving files (stats are file-granular). The interval step is
+    // derived from MAX(o_orderkey) by the same floor division in both
+    // engines, so the oracle recomputes the identical slice from the
+    // canonical table without knowing the layout.
+    Q("q175_file_skipping",
+      (s, dir) => {
+        import graft.operators.TxnLog
+        val (root, step) = statsRoot(s, dir)
+        val lo = 2 * step
+        val hi = 4 * step - 1
+        val (df, read, total) =
+          TxnLog.prunedSnapshot(s, root, "o_orderkey", lo, hi)
+        require(read == 2 && total == 8,
+          s"zone-map skipping off: read=$read of $total")
+        df.filter(col("o_orderkey").between(lo, hi))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("revenue"))
+          .select(lit(total).as("files_total"), lit(read).as("files_read"),
+            col("n"), col("revenue"))
+      },
+      Some("""WITH b AS (
+             |  SELECT (MAX(o_orderkey) + 8) // 8 AS step FROM orders)
+             |SELECT CAST(8 AS BIGINT) AS files_total,
+             |  CAST(2 AS BIGINT) AS files_read,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM orders, b
+             |WHERE o_orderkey >= 2 * step AND o_orderkey < 4 * step"""
+        .stripMargin))
   )
+
+  // One stats-carrying 8-file range layout per (session, source dir):
+  // file i holds o_orderkey ∈ [i·step, (i+1)·step) with its ACTUAL
+  // min/max logged in the add action. Returns (root, step).
+  private val statsRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private def statsRoot(s: org.apache.spark.sql.SparkSession,
+                        dir: String): (String, Long) =
+    statsRoots.computeIfAbsent(
+      s"${System.identityHashCode(s)}@$dir", { _ =>
+        val root = graft.util.Scratch.tempDir("graft_q175_stats")
+        val orders = Tables(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val m = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+        val step = (m + 8) / 8
+        val adds = (0 until 8).map { i =>
+          val part = orders.filter(
+            col("o_orderkey") >= i * step && col("o_orderkey") < (i + 1) * step)
+          part.write.mode("overwrite").parquet(s"$root/f$i")
+          val st = part.agg(min(col("o_orderkey")), max(col("o_orderkey")))
+            .head()
+          require(!st.isNullAt(0), s"range file f$i is empty — layout broken")
+          graft.operators.TxnLog.AddFile(
+            s"f$i", Map("o_orderkey" -> (st.getLong(0), st.getLong(1))))
+        }
+        graft.operators.TxnLog.commitFiles(root, 0, adds)
+        (root, step)
+      })
 
   // One bucketed write per (session, source dir): catalog entries are
   // session-scoped, so the cache key is the session identity + dir.

@@ -382,7 +382,49 @@ object SurfaceQueries {
              |SELECT version, CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |    AS revenue
-             |FROM snap GROUP BY version ORDER BY version""".stripMargin))
+             |FROM snap GROUP BY version ORDER BY version""".stripMargin)),
+
+    // Version-range change feed (CDC read) — what changed between two
+    // snapshots, computed from the SAME txn log q174 publishes, and
+    // bounded by CHURN, never table size: the log diff names only the
+    // files that entered or left the live set (here d2,d3 in / d1
+    // out), so a 100-TB table with a 10-GB daily delta reads 10 GB.
+    // Row-level NET changes fall out of exceptAll between the two
+    // bounded sides — the copy-on-write rewrite's carried-over rows
+    // (d3's non-'F' bucket-1 rows, also in retracted d1) cancel, so
+    // the feed reports exactly the appended bucket-2 rows as inserts
+    // and the dropped 'F' rows as deletes, which is what a downstream
+    // incremental consumer must see. The oracle recomputes both sides
+    // from the canonical table's membership rules.
+    Q("q176_change_feed",
+      (s, dir) => {
+        import graft.operators.TxnLog
+        val root = txnRoot(s, dir)
+        val (insFiles, delFiles) = TxnLog.changes(root, 0, 2)
+        require(insFiles.map(_.split('/').last).toSet == Set("d2", "d3") &&
+          delFiles.map(_.split('/').last).toSet == Set("d1"),
+          s"log diff wrong: +$insFiles -$delFiles")
+        val insSide = s.read.parquet(insFiles: _*)
+        val delSide = s.read.parquet(delFiles: _*)
+        insSide.exceptAll(delSide).withColumn("change", lit("insert"))
+          .unionByName(
+            delSide.exceptAll(insSide).withColumn("change", lit("delete")))
+          .groupBy(col("change"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("revenue"))
+          .orderBy(col("change"))
+      },
+      Some("""WITH ch AS (
+             |  SELECT 'delete' AS change, o_totalprice FROM orders
+             |  WHERE o_orderkey % 4 = 1 AND o_orderstatus = 'F'
+             |  UNION ALL
+             |  SELECT 'insert', o_totalprice FROM orders
+             |  WHERE o_orderkey % 4 = 2)
+             |SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             |    AS revenue
+             |FROM ch GROUP BY change ORDER BY change""".stripMargin))
   )
 
   // One two-generation drift layout per (session, source dir):

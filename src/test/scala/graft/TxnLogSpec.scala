@@ -80,6 +80,65 @@ class TxnLogSpec extends SparkSpec {
     }.getMessage.contains("not in txn log"))
   }
 
+  test("stats-pruned read skips non-intersecting files, keeps stat-less files") {
+    val root = java.nio.file.Files.createTempDirectory("graft_txn_st").toString
+    Seq((1L, "a"), (5L, "b")).toDF("k", "v").write.parquet(s"$root/lo")
+    Seq((10L, "c"), (20L, "d")).toDF("k", "v").write.parquet(s"$root/hi")
+    Seq((100L, "e")).toDF("k", "v").write.parquet(s"$root/nostat")
+    TxnLog.commitFiles(root, 0, adds = Seq(
+      TxnLog.AddFile("lo", Map("k" -> (1L, 5L))),
+      TxnLog.AddFile("hi", Map("k" -> (10L, 20L))),
+      TxnLog.AddFile("nostat"))) // no stats → must be read, never skipped
+    val (df, read, total) = TxnLog.prunedSnapshot(spark, root, "k", 8L, 30L)
+    assert(total == 3 && read == 2) // 'lo' skipped; 'nostat' kept
+    assert(df.filter(col("k").between(8, 30)).as[(Long, String)]
+      .collect().toSet == Set((10L, "c"), (20L, "d")))
+    // stats survive a round trip through the log verbatim
+    val (_, adds) = TxnLog.liveAdds(root, None)
+    assert(adds.find(_.file == "hi").get.stats == Map("k" -> (10L, 20L)))
+    // a range beyond every stat still keeps the stat-less file (it
+    // could hold anything) — skipping must never drop a possible match
+    val (_, readFar, _) = TxnLog.prunedSnapshot(spark, root, "k", 1000L, 2000L)
+    assert(readFar == 1)
+    // on a fully-stats'd table the same range fails loudly rather
+    // than scanning zero files
+    val root2 = java.nio.file.Files.createTempDirectory("graft_txn_st2").toString
+    Seq((1L, "a")).toDF("k", "v").write.parquet(s"$root2/only")
+    TxnLog.commitFiles(root2, 0,
+      adds = Seq(TxnLog.AddFile("only", Map("k" -> (1L, 1L)))))
+    assert(intercept[IllegalArgumentException] {
+      TxnLog.prunedSnapshot(spark, root2, "k", 1000L, 2000L)
+    }.getMessage.contains("prunes every file"))
+  }
+
+  test("change feed is the churn-bounded log diff; add+retract inside the range cancels") {
+    val root = freshTable()
+    TxnLog.commit(root, 0, adds = Seq("f0"))
+    TxnLog.commit(root, 1, adds = Seq("f1"))          // transient file
+    TxnLog.commit(root, 2, adds = Seq("f2"), removes = Seq("f1", "f0"))
+    val (ins, del) = TxnLog.changes(root, 0, 2)
+    assert(ins.map(_.split('/').last) == Seq("f2"))
+    assert(del.map(_.split('/').last) == Seq("f0"))   // f1 cancelled out
+    assert(intercept[IllegalArgumentException] {
+      TxnLog.changes(root, 2, 0)
+    }.getMessage.contains("backwards"))
+  }
+
+  test("vacuumable lists only files no retained version can still read") {
+    val root = freshTable()
+    TxnLog.commit(root, 0, adds = Seq("f0"))
+    TxnLog.commit(root, 1, adds = Seq("f1"), removes = Seq("f0"))
+    TxnLog.commit(root, 2, adds = Seq("f2"), removes = Seq("f1"))
+    // retaining v1+: f0 (dropped at v1, dead in v1 and v2) is deletable;
+    // f1 is still live AT v1, so a v1 reader needs it
+    assert(TxnLog.vacuumable(root, 1).map(_.split('/').last) == Seq("f0"))
+    // retaining v2 only: f0 and f1 both deletable
+    assert(TxnLog.vacuumable(root, 2).map(_.split('/').last).sorted ==
+      Seq("f0", "f1"))
+    // retaining everything: nothing deletable
+    assert(TxnLog.vacuumable(root, 0).isEmpty)
+  }
+
   test("snapshot scan reads exactly the live files (no directory listing of data)") {
     val root = freshTable()
     TxnLog.commit(root, 0, adds = Seq("f0", "f1"))
