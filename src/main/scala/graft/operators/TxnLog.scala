@@ -58,6 +58,12 @@ object TxnLog {
              adds: Seq[String], removes: Seq[String] = Nil): Unit =
     commitFiles(root, version, adds.map(AddFile(_)), removes)
 
+  /** Has `version` been published? The idempotence gate for writers
+    * that may be re-driven (a redelivered micro-batch, a re-run
+    * maintenance job): published = done, skip. */
+  def committed(root: String, version: Long): Boolean =
+    Files.exists(versionFile(root, version))
+
   /** `commit` with per-file column stats carried in the add actions. */
   def commitFiles(root: String, version: Long,
                   adds: Seq[AddFile], removes: Seq[String] = Nil): Unit = {

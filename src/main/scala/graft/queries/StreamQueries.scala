@@ -476,5 +476,123 @@ object StreamQueries {
              |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
              |    ORDER BY v_us DESC, event_id) AS rnk FROM v)
              |SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id, v_us
-             |FROM r WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)))
+             |FROM r WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)),
+
+    // Streaming ingest INTO the transaction log — the lakehouse
+    // streaming-sink contract that composes q170's exactly-once
+    // discipline with q174's versioned table: every micro-batch
+    // publishes its rows as a data file and commits it as log version
+    // = batchId, so (1) replay safety comes from the log's write-once
+    // gate (the forced double delivery below must no-op — a
+    // redelivered batch finds its version committed), (2) concurrent
+    // readers get snapshot isolation DURING ingest (any version prefix
+    // is a consistent table), and (3) the stream's whole history is
+    // time-travelable afterwards — REQUIREd here by replaying every
+    // version and checking strictly monotone growth. The oracle is the
+    // batch-twin hourly aggregate over the final snapshot: streaming
+    // ACID ingest must reproduce the batch result exactly.
+    Q("q177_streaming_txn_ingest",
+      (s, dir) => withStatePartitions(s, Seq(staged(s, dir))) {
+        import graft.operators.TxnLog
+        val (root, last) = txnIngested(s, dir)
+        require(last >= 1, s"expected a multi-batch ingest, got ${last + 1} versions")
+        val counts = (0L to last).map(v =>
+          TxnLog.snapshot(s, root, Some(v)).count())
+        require(counts.zip(counts.tail).forall { case (a, b) => a < b },
+          s"snapshot growth not monotone across versions: $counts")
+        TxnLog.snapshot(s, root, None)
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_value"))
+          .select(col("w.start").as("hour_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      Some(hourlySql)),
+
+    // OPTIMIZE + VACUUM through the same log — the maintenance loop
+    // streaming ingest makes necessary (one small file per micro-batch
+    // is the classic small-file problem; q84 plans the bin-packing,
+    // this COMMITS it): read the latest snapshot, rewrite it compacted,
+    // publish one commit that adds the compacted file and retracts
+    // every small one. The job is IDEMPOTENT via the committed-version
+    // gate (a re-run sees the optimize version published and no-ops —
+    // the same discipline as a redelivered batch). REQUIREd: the live
+    // file count collapses to 1; the PRE-optimize version is still
+    // readable with identical cardinality (time travel across
+    // OPTIMIZE — compaction must never rewrite history); and
+    // vacuumable() names exactly the retracted small files once
+    // retention passes the optimize commit. The oracle is the same
+    // batch-twin hourly aggregate: OPTIMIZE must not change a single
+    // value. At 100 TB the coalesce(1) here is q84's size-targeted
+    // bin-packing per partition; the commit protocol is identical.
+    Q("q178_optimize_vacuum",
+      (s, dir) => withStatePartitions(s, Seq(staged(s, dir))) {
+        import graft.operators.TxnLog
+        val (root, ingestLast) = txnIngested(s, dir)
+        val optV = ingestLast + 1
+        if (!TxnLog.committed(root, optV)) {
+          val (_, smalls) = TxnLog.liveAdds(root, Some(ingestLast))
+          TxnLog.snapshot(s, root, Some(ingestLast)).coalesce(1)
+            .write.mode("overwrite").parquet(s"$root/opt0")
+          TxnLog.commitFiles(root, optV,
+            adds = Seq(TxnLog.AddFile("opt0")),
+            removes = smalls.map(_.file))
+        }
+        val (_, liveNow) = TxnLog.liveAdds(root, Some(optV))
+        require(liveNow.map(_.file) == Seq("opt0"),
+          s"optimize must leave one live file, got $liveNow")
+        val preN = TxnLog.snapshot(s, root, Some(ingestLast)).count()
+        val postN = TxnLog.snapshot(s, root, Some(optV)).count()
+        require(preN == postN,
+          s"optimize changed cardinality: $preN -> $postN")
+        val vac = TxnLog.vacuumable(root, optV).map(_.split('/').last).toSet
+        require(vac == (0L to ingestLast).map(v => s"b$v").toSet,
+          s"vacuum list wrong: $vac")
+        TxnLog.snapshot(s, root, Some(optV))
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("sum_value"))
+          .select(col("w.start").as("hour_start"), col("event_type"),
+            col("n"), col("sum_value"))
+          .orderBy(col("hour_start"), col("event_type"))
+      },
+      Some(hourlySql)))
+
+  // One streaming txn-log ingest per (JVM, source): drains the staged
+  // events through foreachBatch, each micro-batch committing its rows
+  // as log version = batchId with a FORCED double delivery (the
+  // crash-redelivery injection) that the committed-version gate must
+  // absorb. Returns (table root, last ingest version). Later versions
+  // may be appended by q178's OPTIMIZE — immutable history makes that
+  // safe for every reader of versions ≤ last.
+  private val txnIngestRoots =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+  private def txnIngested(s: SparkSession, dir: String): (String, Long) =
+    txnIngestRoots.computeIfAbsent(
+      s"${System.identityHashCode(s)}@$dir@${sourceFingerprint(dir)}", { _ =>
+        import graft.operators.TxnLog
+        val root = graft.util.Scratch.tempDir("graft_q177_txn")
+        def publish(batch: DataFrame, bid: Long): Unit =
+          if (!TxnLog.committed(root, bid)) {
+            val rel = s"b$bid"
+            batch.select(col("ts"), col("event_type"), col("value"))
+              .write.mode("overwrite").parquet(s"$root/$rel")
+            TxnLog.commit(root, bid, adds = Seq(rel))
+          }
+        val q = source(s, dir).writeStream
+          .option("checkpointLocation", graft.util.Scratch.tempDir("graft_q177_ckpt"))
+          .foreachBatch { (batch: DataFrame, bid: Long) =>
+            publish(batch, bid)
+            publish(batch, bid) // forced redelivery — must no-op
+            ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val (last, _) = TxnLog.liveFiles(root, None)
+        (root, last)
+      })
 }
