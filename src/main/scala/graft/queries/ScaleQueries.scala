@@ -249,8 +249,11 @@ object ScaleQueries {
         val (root, step) = statsRoot(s, dir)
         val lo = 2 * step
         val hi = 4 * step - 1
+        // pinned to the ingest version: q179 appends a MERGE commit to
+        // the same table, and time travel makes both reads stable in
+        // either execution order
         val (df, read, total) =
-          TxnLog.prunedSnapshot(s, root, "o_orderkey", lo, hi)
+          TxnLog.prunedSnapshot(s, root, "o_orderkey", lo, hi, Some(0L))
         require(read == 2 && total == 8,
           s"zone-map skipping off: read=$read of $total")
         df.filter(col("o_orderkey").between(lo, hi))
@@ -269,7 +272,81 @@ object ScaleQueries {
              |    AS revenue
              |FROM orders, b
              |WHERE o_orderkey >= 2 * step AND o_orderkey < 4 * step"""
-        .stripMargin))
+        .stripMargin)),
+
+    // MERGE INTO through the transaction log — lakehouse DML as
+    // stats-pruned copy-on-write: an incoming update batch touches a
+    // narrow key range, so the log's zone-map stats name the ONE file
+    // of eight whose range intersects it; only that file is rewritten
+    // (broadcast-joined against the small batch) and one commit
+    // publishes the rewrite and retracts the original. The other seven
+    // files are never read, never written — on a million-file table
+    // the daily MERGE costs the affected slice, not the table. The
+    // commit is idempotent via the committed-version gate (re-runs
+    // no-op), readers of the pre-merge version are untouched (q175
+    // pins it), and `changes` REQUIREs exactly {+f2_v1, -f2}. The
+    // oracle recomputes the post-merge table from the canonical rows
+    // with the same update rule; the insert half of MERGE is an
+    // append commit, which q177 already proves.
+    Q("q179_txn_merge",
+      (s, dir) => {
+        import graft.operators.TxnLog
+        val (root, step) = statsRoot(s, dir)
+        val lo = 2 * step
+        val hi = 3 * step - 1
+        if (!TxnLog.committed(root, 1L)) {
+          val (_, adds) = TxnLog.liveAdds(root, Some(0L))
+          val affected = adds.filter(a => a.stats("o_orderkey") match {
+            case (mn, mx) => mx >= lo && mn <= hi
+          })
+          require(affected.map(_.file) == Seq("f2"),
+            s"stats pruning should isolate f2, got ${affected.map(_.file)}")
+          val updates = Tables(s, dir, "orders")
+            .filter(col("o_orderkey").between(lo, hi) &&
+              col("o_orderkey") % 10 === 3)
+            .select(col("o_orderkey").as("u_key"),
+              (col("o_totalprice").cast(DecimalType(18, 2)) + lit(1000))
+                .as("u_totalprice"))
+          val rewritten = s.read.parquet(s"$root/f2")
+            .join(broadcast(updates), col("o_orderkey") === col("u_key"),
+              "left")
+            .select(col("o_orderkey"),
+              coalesce(col("u_totalprice"),
+                col("o_totalprice").cast(DecimalType(18, 2)))
+                .cast(DoubleType).as("o_totalprice"))
+          rewritten.write.mode("overwrite").parquet(s"$root/f2_v1")
+          // keys are unchanged by an update, so the zone-map carries over
+          TxnLog.commitFiles(root, 1L,
+            adds = Seq(TxnLog.AddFile("f2_v1",
+              adds.find(_.file == "f2").get.stats)),
+            removes = Seq("f2"))
+        }
+        val (ins, del) = TxnLog.changes(root, 0L, 1L)
+        require(ins.map(_.split('/').last) == Seq("f2_v1") &&
+          del.map(_.split('/').last) == Seq("f2"),
+          s"merge must rewrite exactly f2: +$ins -$del")
+        TxnLog.snapshot(s, root, Some(1L))
+          // `div` = integer floor division, the exact twin of DuckDB //
+          .groupBy(expr(s"o_orderkey div $step").cast(LongType).as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DoubleType).as("revenue"))
+          .orderBy(col("bucket"))
+      },
+      Some("""WITH b AS (
+             |  SELECT (MAX(o_orderkey) + 8) // 8 AS step FROM orders),
+             |u AS (
+             |  SELECT o_orderkey // step AS bucket,
+             |    CASE WHEN o_orderkey >= 2 * step
+             |           AND o_orderkey < 3 * step
+             |           AND o_orderkey % 10 = 3
+             |         THEN CAST(o_totalprice AS DECIMAL(18,2)) + 1000
+             |         ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS tp
+             |  FROM orders, b)
+             |SELECT CAST(bucket AS BIGINT) AS bucket,
+             |  CAST(COUNT(*) AS BIGINT) AS n,
+             |  CAST(SUM(tp) AS DOUBLE) AS revenue
+             |FROM u GROUP BY bucket ORDER BY bucket""".stripMargin))
   )
 
   // One stats-carrying 8-file range layout per (session, source dir):
