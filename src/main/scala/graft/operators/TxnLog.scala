@@ -79,9 +79,25 @@ object TxnLog {
     val body = (removes.map(f => s"""{"op":"remove","file":"$f"}""") ++
       adds.map(a => s"""{"op":"add","file":"${a.file}"${statsJson(a.stats)}}"""))
       .mkString("", "\n", "\n")
-    val stage = logDir(root).resolve(f".stage_$version%08d")
+    // unique stage name per attempt: two racers must not share a stage
+    val stage = logDir(root).resolve(
+      f".stage_$version%08d_${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(stage, body.getBytes(StandardCharsets.UTF_8))
-    Files.move(stage, target, StandardCopyOption.ATOMIC_MOVE)
+    // Atomic O_EXCL publish: link() fails with EEXIST if the version
+    // exists, so of N concurrent committers EXACTLY ONE wins and every
+    // loser throws — a plain rename would silently REPLACE the
+    // winner's commit (POSIX rename semantics), making the exists
+    // check above a TOCTOU race. Readers only ever observe complete
+    // files: the link appears atomically with its content final.
+    try Files.createLink(target, stage)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(stage)
+        throw new IllegalArgumentException(
+          s"txn log version $version lost the commit race at $target — " +
+            "re-replay and retry")
+    }
+    Files.deleteIfExists(stage)
   }
 
   /** Replay the log up to and including `asOf` (or the latest version

@@ -49,6 +49,37 @@ class TxnLogSpec extends SparkSpec {
     assert(live.map(_.split('/').last) == Seq("f0"))
   }
 
+  test("N racing committers of one version: exactly one wins, content intact") {
+    val root = freshTable()
+    val n = 16
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val losses = new java.util.concurrent.atomic.AtomicInteger(0)
+    try {
+      val futures = (0 until n).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            gate.await()
+            try { TxnLog.commit(root, 0, adds = Seq(s"w$i")); wins.incrementAndGet() }
+            catch { case _: IllegalArgumentException => losses.incrementAndGet() }
+          }
+        })
+      }
+      gate.countDown() // release all racers at once
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    assert(wins.get() == 1 && losses.get() == n - 1,
+      s"wins=${wins.get()} losses=${losses.get()}")
+    // the winner's commit is whole and parseable, and names one file
+    val (_, live) = TxnLog.liveFiles(root, None)
+    assert(live.size == 1 && live.head.split('/').last.startsWith("w"))
+    // no stage litter left behind
+    val leftovers = new java.io.File(s"$root/_log").listFiles()
+      .map(_.getName).filter(_.startsWith(".stage"))
+    assert(leftovers.isEmpty, s"stage litter: ${leftovers.toSeq}")
+  }
+
   test("corrupted logs fail loudly: version gap, remove-of-untracked, double add") {
     val root = freshTable()
     TxnLog.commit(root, 0, adds = Seq("f0"))
