@@ -64,6 +64,74 @@ object TxnLog {
   def committed(root: String, version: Long): Boolean =
     Files.exists(versionFile(root, version))
 
+  private def checkpointFile(root: String, v: Long): Path =
+    logDir(root).resolve(f"$v%08d.ckpt")
+
+  /** Publish a checkpoint of the live set as of `version`: the
+    * replayed state materialized so later readers replay only the
+    * commits AFTER it — O(tail), not O(all commits), on a
+    * million-commit table. Idempotent (a checkpoint is derived data:
+    * any two writers produce the same content) and additive (the
+    * per-version files are retained, so time travel below the
+    * checkpoint is untouched). */
+  def checkpoint(root: String, version: Long): Unit = {
+    val target = checkpointFile(root, version)
+    if (Files.exists(target)) return
+    val (_, adds) = liveAdds(root, Some(version))
+    def statsJson(st: Map[String, (Long, Long)]): String =
+      if (st.isEmpty) ""
+      else st.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        s""""$c":[$lo,$hi]"""
+      }.mkString(""","stats":{""", ",", "}")
+    val body = adds
+      .map(a => s"""{"op":"add","file":"${a.file}"${statsJson(a.stats)}}""")
+      .mkString("", "\n", "\n")
+    val stage = logDir(root).resolve(
+      f".ckstage_$version%08d_${java.util.UUID.randomUUID().toString.take(8)}")
+    Files.write(stage, body.getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(target, stage)
+    catch { // a racer published the identical derived state — fine
+      case _: java.nio.file.FileAlreadyExistsException => ()
+    }
+    Files.deleteIfExists(stage)
+  }
+
+  private def latestCheckpointAtOrBelow(root: String,
+                                        v: Long): Option[Long] = {
+    val s = Files.list(logDir(root))
+    try {
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      s.forEach { p =>
+        val n = p.getFileName.toString
+        if (n.endsWith(".ckpt")) {
+          val cv = n.stripSuffix(".ckpt").toLong
+          if (cv <= v) vs += cv
+        }
+      }
+      vs.maxOption
+    } finally s.close()
+  }
+
+  private def checkpointAdds(root: String, v: Long): Seq[AddFile] = {
+    val m = """\{"op":"add","file":"([^"]+)"(?:,"stats":\{([^}]*)\})?\}""".r
+    val stat = """"([^"]+)":\[(-?\d+),(-?\d+)\]""".r
+    val out = scala.collection.mutable.ArrayBuffer.empty[AddFile]
+    Files.readAllLines(checkpointFile(root, v)).forEach { line =>
+      if (line.nonEmpty) line match {
+        case m(f, st) =>
+          val stats = Option(st).map { body =>
+            stat.findAllMatchIn(body).map { g =>
+              g.group(1) -> (g.group(2).toLong, g.group(3).toLong)
+            }.toMap
+          }.getOrElse(Map.empty[String, (Long, Long)])
+          out += AddFile(f, stats)
+        case other =>
+          sys.error(s"unparseable checkpoint line at version $v: $other")
+      }
+    }
+    out.toSeq
+  }
+
   /** `commit` with per-file column stats carried in the add actions. */
   def commitFiles(root: String, version: Long,
                   adds: Seq[AddFile], removes: Seq[String] = Nil): Unit = {
@@ -134,7 +202,19 @@ object TxnLog {
     // first-added order kept stable so snapshot row order is
     // reproducible run to run (LinkedHashMap)
     val live = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
-    (0L to readTo).foreach { v =>
+    // start from the newest checkpoint at or below the read version:
+    // the replay then costs O(tail commits), not O(all commits) — the
+    // published checkpointing design that keeps a million-commit
+    // table's metadata readable. Versions BELOW the checkpoint stay
+    // replayable from the retained per-version files (time travel is
+    // untouched; checkpoints add a shortcut, never drop history).
+    val ckptFrom = latestCheckpointAtOrBelow(root, readTo) match {
+      case Some(cv) =>
+        checkpointAdds(root, cv).foreach(a => live.put(a.file, a))
+        cv + 1
+      case None => 0L
+    }
+    (ckptFrom to readTo).foreach { v =>
       Files.readAllLines(versionFile(root, v)).forEach { line =>
         if (line.nonEmpty) {
           // the log is engine-authored with the fixed shapes above;

@@ -170,6 +170,29 @@ class TxnLogSpec extends SparkSpec {
     assert(TxnLog.vacuumable(root, 0).isEmpty)
   }
 
+  test("checkpoint is a pure replay shortcut: identical state at every version, history intact") {
+    val root = freshTable()
+    TxnLog.commit(root, 0, adds = Seq("f0"),
+      removes = Nil)
+    TxnLog.commitFiles(root, 1,
+      adds = Seq(TxnLog.AddFile("f1", Map("k" -> (3L, 3L)))))
+    TxnLog.commit(root, 2, adds = Seq("f2"), removes = Seq("f0"))
+    // record the ground truth BEFORE any checkpoint exists
+    val before = (0L to 2L).map(v => TxnLog.liveAdds(root, Some(v)))
+    TxnLog.checkpoint(root, 1)
+    TxnLog.checkpoint(root, 1) // idempotent
+    // every version replays identically (stats included): versions > 1
+    // go through the checkpoint + tail, versions ≤ 1 use it or the raw
+    // prefix — all must equal the pre-checkpoint ground truth
+    val after = (0L to 2L).map(v => TxnLog.liveAdds(root, Some(v)))
+    assert(after == before, s"checkpoint changed replay: $before -> $after")
+    assert(after(1)._2.find(_.file == "f1").get.stats == Map("k" -> (3L, 3L)))
+    // appended commits replay from the checkpoint without rereading v0
+    TxnLog.commit(root, 3, adds = Seq("f9999"), removes = Seq("f1"))
+    val (_, tail) = TxnLog.liveFiles(root, None)
+    assert(tail.map(_.split('/').last).toSet == Set("f2", "f9999"))
+  }
+
   test("snapshot scan reads exactly the live files (no directory listing of data)") {
     val root = freshTable()
     TxnLog.commit(root, 0, adds = Seq("f0", "f1"))
