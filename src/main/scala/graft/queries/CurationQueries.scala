@@ -607,6 +607,128 @@ object CurationQueries {
              |  CAST((1000000 * m.sy - f.slope_micro * m.sx) // m.n AS BIGINT)
              |    AS intercept_micro
              |FROM f JOIN m ON f.source = m.source
-             |ORDER BY f.source""".stripMargin))
+             |ORDER BY f.source""".stripMargin)),
+
+    // In-engine training of a linear text filter: 3 batch-perceptron
+    // rounds over hashed bag-of-words features, labels = q19's
+    // language axis (en vs rest) — the fastText-shaped keep/drop gate
+    // (Joulin et al. 2016) a curation pipeline trains ON the corpus
+    // it filters. All corpus-scale stages are the operator's
+    // (operators/Perceptron): one wordcount-shaped feature build,
+    // then per round one broadcast-weights margin aggregate and one
+    // co-partitioned misclassified join — weights stay a 65-row
+    // bounded artifact. Integer-exact end-to-end, so the DuckDB
+    // oracle replays the entire training run as an unrolled CTE
+    // (the q171 convention) and verifies every weight bit-for-bit.
+    Q("q180_perceptron",
+      (s, dir) => {
+        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+            col("text"))
+        val tf = d.select(col("doc_id"), col("y"),
+            explode(TextFns.tokens(col("text"))).as("tok"))
+          .groupBy(col("doc_id"), col("y"),
+            (Dedup.md5Int32(col("tok")) % 64).as("b"))
+          .agg(count(lit(1)).cast(LongType).as("x"))
+        // bias feature rides as bucket 64 with x = 1 on every doc (so
+        // zero-token documents still carry a trainable row)
+        val feats = tf.select(col("doc_id"), col("y"), col("b"), col("x"))
+          .unionAll(d.select(col("doc_id"), col("y"),
+            lit(64L).as("b"), lit(1L).as("x")))
+        graft.operators.Perceptron.train(feats, nBuckets = 64, iters = 3)
+          .orderBy(col("b"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |tf AS (SELECT doc_id, ANY_VALUE(y) AS y,
+             |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b,
+             |    CAST(COUNT(*) AS BIGINT) AS x
+             |  FROM d, unnest(toks) AS u(tok) GROUP BY doc_id, b),
+             |feats AS (SELECT doc_id, y, b, x FROM tf
+             |  UNION ALL SELECT doc_id, y, 64, 1 FROM d),
+             |w0r AS (SELECT unnest(range(0, 65)) AS b),
+             |w0 AS (SELECT CAST(b AS BIGINT) AS b, CAST(0 AS BIGINT) AS w
+             |  FROM w0r),
+             |m1 AS (SELECT f.doc_id, ANY_VALUE(f.y) AS y, SUM(w0.w * f.x) AS m
+             |  FROM feats f JOIN w0 USING (b) GROUP BY f.doc_id),
+             |u1 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS u
+             |  FROM feats f JOIN m1 ON f.doc_id = m1.doc_id
+             |  WHERE m1.y * m1.m <= 0 GROUP BY f.b),
+             |w1 AS (SELECT w0.b, w0.w + COALESCE(u1.u, 0) AS w
+             |  FROM w0 LEFT JOIN u1 USING (b)),
+             |m2 AS (SELECT f.doc_id, ANY_VALUE(f.y) AS y, SUM(w1.w * f.x) AS m
+             |  FROM feats f JOIN w1 USING (b) GROUP BY f.doc_id),
+             |u2 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS u
+             |  FROM feats f JOIN m2 ON f.doc_id = m2.doc_id
+             |  WHERE m2.y * m2.m <= 0 GROUP BY f.b),
+             |w2 AS (SELECT w1.b, w1.w + COALESCE(u2.u, 0) AS w
+             |  FROM w1 LEFT JOIN u2 USING (b)),
+             |m3 AS (SELECT f.doc_id, ANY_VALUE(f.y) AS y, SUM(w2.w * f.x) AS m
+             |  FROM feats f JOIN w2 USING (b) GROUP BY f.doc_id),
+             |u3 AS (SELECT f.b, CAST(SUM(f.y * f.x) AS BIGINT) AS u
+             |  FROM feats f JOIN m3 ON f.doc_id = m3.doc_id
+             |  WHERE m3.y * m3.m <= 0 GROUP BY f.b),
+             |w3 AS (SELECT w2.b, w2.w + COALESCE(u3.u, 0) AS w
+             |  FROM w2 LEFT JOIN u3 USING (b))
+             |SELECT b, CAST(w AS BIGINT) AS w FROM w3 ORDER BY b""".stripMargin)),
+
+    // Epoch-shuffled shard layout — the LAST step before the trainer
+    // reads anything: assign every document a per-epoch pseudo-random
+    // position (seeded md5 — a different but reproducible permutation
+    // each epoch) and a shard by hash mod N, then publish the
+    // per-shard manifest (doc/token balance + the head of each
+    // shard's read order). The WebDataset/Megatron data-order shape.
+    // Deliberately NO global row_number: a global sort is a
+    // single-partition bottleneck at 100 TB, while hash-mod sharding
+    // is embarrassingly parallel and provably balanced (audited here
+    // by the manifest itself); the only per-shard sort is the one the
+    // shard WRITER needs anyway (each (epoch, shard) partition sorts
+    // its own slice — Spark runs all 32 concurrently).
+    Q("q181_shard_layout",
+      (s, dir) => {
+        val base = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+          .select(col("doc_id"),
+            TextFns.tokenCount(col("text")).cast(LongType).as("n_tok"))
+        val eps = base
+          .select(col("doc_id"), col("n_tok"),
+            explode(array(lit(1L), lit(2L))).as("epoch"))
+          .withColumn("h", Dedup.md5Int32(concat(lit("ep"),
+            col("epoch").cast(StringType), lit(":"),
+            col("doc_id").cast(StringType))))
+          .withColumn("shard", col("h") % 16)
+        val w = Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("h"), col("doc_id"))
+        eps.withColumn("rn", row_number().over(w))
+          .groupBy(col("epoch"), col("shard"))
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum(col("n_tok")).cast(LongType).as("n_tokens"),
+            max(when(col("rn") === 1, col("doc_id"))).as("first_doc"),
+            max(when(col("rn") === 2, col("doc_id"))).as("second_doc"))
+          .orderBy(col("epoch"), col("shard"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |ep AS (SELECT unnest([1, 2]) AS epoch),
+             |e AS (SELECT doc_id, n_tok, CAST(epoch AS BIGINT) AS epoch
+             |  FROM d, ep),
+             |h AS (SELECT epoch, doc_id, n_tok,
+             |    ('0x' || substr(md5('ep' || CAST(epoch AS VARCHAR) || ':'
+             |      || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT AS h
+             |  FROM e),
+             |r AS (SELECT epoch, doc_id, n_tok, h, h % 16 AS shard,
+             |    ROW_NUMBER() OVER (PARTITION BY epoch, h % 16
+             |      ORDER BY h, doc_id) AS rn
+             |  FROM h)
+             |SELECT epoch, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS first_doc,
+             |  MAX(CASE WHEN rn = 2 THEN doc_id END) AS second_doc
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

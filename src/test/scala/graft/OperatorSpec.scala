@@ -281,4 +281,48 @@ class OperatorSpec extends SparkSpec {
       assert(math.abs(s.values.sum - 1000000000000L) < 1000L)
     }
   }
+
+  test("batch perceptron matches the in-memory reference, learns a separable set, partition-invariant") {
+    // two docs per class over 3 buckets (bucket 2 = bias); class +1
+    // leans on bucket 0, class −1 on bucket 1 — linearly separable
+    val feats = Seq(
+      (1L, 1L, 0L, 3L), (1L, 1L, 2L, 1L),
+      (2L, 1L, 0L, 2L), (2L, 1L, 1L, 1L), (2L, 1L, 2L, 1L),
+      (3L, -1L, 1L, 3L), (3L, -1L, 2L, 1L),
+      (4L, -1L, 1L, 2L), (4L, -1L, 0L, 1L), (4L, -1L, 2L, 1L)
+    ).toDF("doc_id", "y", "b", "x")
+    // in-memory replay of the exact batch update rule
+    def reference(iters: Int): Map[Long, Long] = {
+      val rows = Seq(
+        (1L, 1L, Map(0L -> 3L, 2L -> 1L)),
+        (2L, 1L, Map(0L -> 2L, 1L -> 1L, 2L -> 1L)),
+        (3L, -1L, Map(1L -> 3L, 2L -> 1L)),
+        (4L, -1L, Map(1L -> 2L, 0L -> 1L, 2L -> 1L)))
+      var w = Map(0L -> 0L, 1L -> 0L, 2L -> 0L)
+      for (_ <- 1 to iters) {
+        val miss = rows.filter { case (_, y, x) =>
+          y * x.map { case (b, v) => w(b) * v }.sum <= 0 }
+        val upd = miss.flatMap { case (_, y, x) => x.map { case (b, v) => b -> y * v } }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        w = w.map { case (b, v) => b -> (v + upd.getOrElse(b, 0L)) }
+      }
+      w
+    }
+    Seq(1, 3).foreach { iters =>
+      val got = graft.operators.Perceptron.train(feats, nBuckets = 2, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == reference(iters), s"iters=$iters")
+    }
+    // after training, the learned weights separate the toy set
+    val w3 = reference(3)
+    assert(w3(0L) > 0 && w3(1L) < 0)
+    // partition invariance: the update is a sum of longs, so weights
+    // cannot depend on how the feature table is split
+    Seq(1, 7).foreach { p =>
+      val got = graft.operators.Perceptron
+        .train(feats.repartition(p), nBuckets = 2, iters = 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == reference(3))
+    }
+  }
 }
