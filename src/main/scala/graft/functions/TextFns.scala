@@ -149,4 +149,26 @@ object TextFns {
       .otherwise(lit(8d) / mtl)
     round(lenScore * 0.4 + least(swScore, lit(1d)) * 0.3 + mtlScore * 0.3, 6)
   }
+
+  /** HTML → visible text (the extraction step between a WARC response
+    * payload and every documents-table operator — the jusText/
+    * trafilatura position in a web-text pipeline, reduced to its
+    * deterministic core): drop script/style subtrees, strip tags,
+    * decode the five XML entities + nbsp, collapse whitespace. Pure
+    * codegen `regexp_replace`/`replace` chain — no UDF, no parser
+    * state; patterns stay inside the regex subset Java and RE2
+    * execute identically ((?s) dotall, non-greedy, character
+    * classes), so a DuckDB oracle replays the extraction with the
+    * 'gs' flags and must agree byte-for-byte. Entity decode runs
+    * AFTER tag stripping (an entity can't reopen a tag), with &amp;
+    * last so double-encoded text decodes one level only. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
 }

@@ -299,6 +299,103 @@ object SurfaceQueries {
       // the decoder, not itself)
       Some(s"SELECT layer, id, lat, lon, tags_json FROM '${graft.util.RepoRoot.fixture("tiny_osm_expected.parquet")}' ORDER BY layer, id")),
 
+    // S1 sibling — native WARC scan (ISO 28500; the CommonCrawl
+    // container, i.e. THE first read of a 100-TB web-text pipeline),
+    // wire-level with no WARC library, exposed as DataSource V2
+    // format "warc" (sources/Warc.scala). The fixture corpus is
+    // hand-encoded by an INDEPENDENT Python wire encoder
+    // (scripts/make_warc_fixture.py) and covers an uncompressed
+    // multi-record file (per-record offset ranges distribute like row
+    // groups) plus a per-record-gzip-member file (the CommonCrawl
+    // layout; file = the unit of parallelism, exactly how production
+    // consumes it). Payloads compare by md5 so the oracle stays a
+    // plain SELECT over the generator's expected-rows parquet.
+    Q("q182_warc_scan",
+      (s, _) => {
+        s.read.format("warc")
+          .load(graft.util.RepoRoot.fixture("tiny_warc"))
+          .select(col("src_file"), col("record_index"), col("warc_type"),
+            col("record_id"), col("target_uri"), col("warc_date"),
+            col("content_type"), col("content_length"),
+            md5(col("payload")).as("payload_md5"))
+          .orderBy(col("src_file"), col("record_index"))
+      },
+      Some(s"SELECT src_file, record_index, warc_type, record_id, target_uri, warc_date, content_type, content_length, payload_md5 FROM '${graft.util.RepoRoot.fixture("tiny_warc_expected.parquet")}' ORDER BY src_file, record_index")),
+
+    // The step after q182's WARC read: HTML → visible text
+    // (TextFns.htmlToText — script/style subtree drop, tag strip,
+    // entity decode, whitespace collapse; the deterministic core of
+    // the jusText/trafilatura position). Each document is wrapped in
+    // a full page — title from its head tokens, its body
+    // ENTITY-ESCAPED the way a real page escapes text, a script
+    // containing a bare `<` (proving subtree drop precedes tag
+    // stripping), boilerplate nav with double-encoded entities — and
+    // extraction must ROUND-TRIP: recover title + body + nav text
+    // exactly (the `ok` column is oracle-verified per row). The
+    // oracle replays the same regex chain in DuckDB's RE2 ('gs'
+    // flags), so the patterns are pinned to the subset both engines
+    // execute identically. Pure codegen column chain — no UDF, no
+    // shuffle; scales as a map over the corpus.
+    Q("q183_html_extract",
+      (s, dir) => {
+        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val title = array_join(
+          slice(graft.functions.TextFns.tokens(col("text")), 1, 3), " ")
+        val escaped = replace(replace(replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val html = concat(
+          lit("<html><head><title>"), title,
+          lit("</title><script type=\"text/javascript\">var t = 1 < 2;" +
+            "</script><style>.nav { color: #fff; }</style></head><body><p>"),
+          escaped,
+          lit("</p><div class=\"nav\">Home &amp; About&nbsp;</div></body></html>"))
+        val expected = trim(regexp_replace(
+          concat(title, lit(" "),
+            array_join(graft.functions.TextFns.tokens(col("text")), " "),
+            lit(" Home & About")),
+          "\\s+", " "))
+        d.select(col("doc_id"), html.as("html"), expected.as("expected"))
+          .select(col("doc_id"),
+            length(col("html")).cast(LongType).as("n_chars_html"),
+            graft.functions.TextFns.htmlToText(col("html")).as("extracted"),
+            (graft.functions.TextFns.htmlToText(col("html")) === col("expected"))
+              .as("ok"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id, text,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS toks
+             |  FROM documents),
+             |h AS (SELECT doc_id,
+             |    '<html><head><title>'
+             |      || array_to_string(list_slice(toks, 1, 3), ' ')
+             |      || '</title><script type="text/javascript">var t = 1 < 2;'
+             |      || '</script><style>.nav { color: #fff; }</style></head><body><p>'
+             |      || replace(replace(replace(text, '&', '&amp;'),
+             |           '<', '&lt;'), '>', '&gt;')
+             |      || '</p><div class="nav">Home &amp; About&nbsp;</div></body></html>'
+             |      AS html,
+             |    trim(regexp_replace(
+             |      array_to_string(list_slice(toks, 1, 3), ' ') || ' '
+             |        || array_to_string(toks, ' ') || ' Home & About',
+             |      '\s+', ' ', 'g')) AS expected
+             |  FROM d),
+             |x AS (SELECT doc_id, html, expected,
+             |    trim(regexp_replace(
+             |      replace(replace(replace(replace(replace(replace(
+             |        regexp_replace(
+             |          regexp_replace(
+             |            regexp_replace(html, '<script[^>]*>.*?</script>', ' ', 'gs'),
+             |            '<style[^>]*>.*?</style>', ' ', 'gs'),
+             |          '<[^>]*>', ' ', 'g'),
+             |        '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+             |        '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+             |      '\s+', ' ', 'g')) AS extracted
+             |  FROM h)
+             |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_html,
+             |  extracted, extracted = expected AS ok
+             |FROM x ORDER BY doc_id""".stripMargin)),
+
     // Schema-drift tolerant scan — the source reality of a 100-TB lake:
     // years of ingest generations whose schemas EVOLVED (columns added
     // later), and one logical table read across all of them. The query

@@ -1,0 +1,251 @@
+package graft.sources
+
+import java.io.{EOFException, InputStream}
+import java.util.zip.GZIPInputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Native WARC reader (ISO 28500 / WARC 1.0-1.1 — the container
+  * format the public web corpora ship in; CommonCrawl's crawl data is
+  * exactly this, one gzip member per record). The FIRST stage of any
+  * 100-TB text pipeline is "read the WARCs" — this implements it with
+  * no external parser, wire-level against the published grammar:
+  *
+  *   version line `WARC/1.x` CRLF, header fields (`Name: value`,
+  *   names case-insensitive, leading-whitespace continuation lines),
+  *   CRLF blank line, `Content-Length` payload bytes, CRLF CRLF.
+  *
+  * Split model (the production WARC posture):
+  *  - UNCOMPRESSED `.warc`: a driver-side metadata pass walks record
+  *    headers (seek + header read + payload skip — never reads
+  *    payload bytes), yielding per-record (offset, length) ranges
+  *    that distribute like parquet row groups.
+  *  - `.warc.gz`: gzip streams are not seekable, so the unit of
+  *    parallelism is the FILE — exactly how CommonCrawl is consumed
+  *    in practice (tens of thousands of ~1 GB files; per-record gzip
+  *    members let a reader stream records without decompressing the
+  *    whole file into memory, and java's GZIPInputStream consumes
+  *    concatenated members natively).
+  *
+  * Malformed input fails loudly (truncated payload, missing
+  * Content-Length, bad version line) — a corrupt offset would
+  * otherwise silently mis-frame every subsequent record.
+  *
+  * Reference surface: the reference ingests remote documents and
+  * stages binary payloads (src/ETL_DOCS/processor.py); at corpus
+  * scale that ingest reads web-archive containers. Exposed as
+  * DataSource V2 format `"warc"` ([[WarcDataSource]]).
+  */
+object Warc {
+
+  /** One contiguous run of records in one file. `gzip` ranges always
+    * cover the whole file (offset 0, length = file size). */
+  final case class RecordRange(file: String, offset: Long, length: Long,
+                               firstIndex: Long, gzip: Boolean)
+
+  final case class WarcRecord(
+      srcFile: String, recordIndex: Long, warcType: String,
+      recordId: String, targetUri: Option[String], warcDate: Option[String],
+      contentType: Option[String], contentLength: Long, payload: Array[Byte])
+
+  private def isGz(name: String) = name.endsWith(".gz")
+
+  /** All .warc/.warc.gz files under `path` (a file or a directory),
+    * sorted by name so record indexes are stable. */
+  def listFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val st = fs.getFileStatus(p)
+    val files =
+      if (st.isDirectory)
+        fs.listStatus(p).toSeq.filter(_.isFile)
+          .filter(s => s.getPath.getName.contains(".warc"))
+      else Seq(st)
+    files.map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
+  }
+
+  /** Driver-side metadata pass: per-record ranges for raw files
+    * (header walk, payloads skipped by seek), whole-file ranges for
+    * gzip. O(records) header reads, zero payload I/O. */
+  def recordIndex(spark: SparkSession, path: String): Seq[RecordRange] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    listFiles(spark, path).flatMap { case (file, len) =>
+      if (isGz(file)) Seq(RecordRange(file, 0L, len, 0L, gzip = true))
+      else {
+        val p = new Path(file)
+        val in = p.getFileSystem(conf).open(p)
+        try {
+          val ranges = scala.collection.mutable.ArrayBuffer.empty[RecordRange]
+          var pos = 0L
+          var idx = 0L
+          while (pos < len) {
+            in.seek(pos)
+            val (headers, headerBytes) = readHeaderBlock(in, file, pos)
+            val cl = contentLength(headers, file, pos)
+            val recLen = headerBytes + cl + 4 // payload + CRLF CRLF
+            require(pos + recLen <= len,
+              s"$file@$pos: record (len $recLen) overruns file (len $len)")
+            ranges += RecordRange(file, pos, recLen, idx, gzip = false)
+            pos += recLen
+            idx += 1
+          }
+          ranges.toSeq
+        } finally in.close()
+      }
+    }
+  }
+
+  /** Executor-side decode of one range. */
+  def decodeRecords(conf: Configuration, range: RecordRange): Iterator[WarcRecord] = {
+    val p = new Path(range.file)
+    val raw = p.getFileSystem(conf).open(p)
+    val name = p.getName
+    if (range.gzip) {
+      // GZIPInputStream transparently consumes concatenated members
+      // (the CommonCrawl per-record layout) until physical EOF
+      val in = new GZIPInputStream(raw, 64 << 10)
+      recordsUntilEof(in, name, range.firstIndex, () => raw.close())
+    } else {
+      raw.seek(range.offset)
+      val in = new BoundedStream(raw, range.length)
+      recordsUntilEof(in, name, range.firstIndex, () => raw.close())
+    }
+  }
+
+  // ---- wire-level parsing ----
+
+  /** Reads one LF-terminated line (CR stripped); returns the decoded
+    * content plus the exact BYTES consumed (header offsets must stay
+    * byte-accurate even for non-ASCII header values). None at EOF
+    * before any byte. */
+  private def readLine(in: InputStream): Option[(String, Long)] = {
+    val buf = new java.io.ByteArrayOutputStream(128)
+    var n = 0L
+    var b = in.read()
+    if (b < 0) return None
+    while (b >= 0 && b != '\n') { buf.write(b); n += 1; b = in.read() }
+    if (b == '\n') n += 1
+    val bytes = buf.toByteArray
+    val content =
+      if (bytes.nonEmpty && bytes.last == '\r')
+        new String(bytes, 0, bytes.length - 1, "UTF-8")
+      else new String(bytes, "UTF-8")
+    Some((content, n))
+  }
+
+  /** Header block from the version line through the blank separator:
+    * returns (lowercased name → value, bytes consumed). Assumes the
+    * stream is positioned at a record start. */
+  private def readHeaderBlock(in: InputStream, file: String,
+                              at: Long): (Map[String, String], Long) = {
+    var consumed = 0L
+    def line(): Option[String] = {
+      val l = readLine(in)
+      l.foreach { case (_, n) => consumed += n }
+      l.map(_._1)
+    }
+    val version = line().getOrElse(
+      throw new EOFException(s"$file@$at: EOF at record start"))
+    require(version.startsWith("WARC/"),
+      s"$file@$at: expected WARC/<version> line, got '${version.take(40)}'")
+    val hs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var l = line().getOrElse(
+      throw new EOFException(s"$file@$at: EOF inside header block"))
+    while (l.nonEmpty) {
+      if (l.head == ' ' || l.head == '\t') {
+        // RFC-style folded continuation of the previous field
+        require(hs.nonEmpty, s"$file@$at: continuation line before any header")
+        val (k, v) = hs.last
+        hs(hs.length - 1) = (k, v + " " + l.trim)
+      } else {
+        val i = l.indexOf(':')
+        require(i > 0, s"$file@$at: malformed header line '${l.take(40)}'")
+        hs += ((l.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT),
+          l.substring(i + 1).trim))
+      }
+      l = line().getOrElse(
+        throw new EOFException(s"$file@$at: EOF inside header block"))
+    }
+    (hs.toMap, consumed)
+  }
+
+  private def contentLength(h: Map[String, String], file: String, at: Long): Long = {
+    val cl = h.getOrElse("content-length",
+      throw new IllegalArgumentException(s"$file@$at: record missing Content-Length"))
+    val n = cl.toLong
+    require(n >= 0, s"$file@$at: negative Content-Length $n")
+    n
+  }
+
+  private def readFully(in: InputStream, n: Int, what: => String): Array[Byte] = {
+    val buf = new Array[Byte](n)
+    var off = 0
+    while (off < n) {
+      val r = in.read(buf, off, n - off)
+      if (r < 0) throw new EOFException(s"$what: truncated after $off of $n bytes")
+      off += r
+    }
+    buf
+  }
+
+  private def expectCrlfCrlf(in: InputStream, what: => String): Unit = {
+    val t = readFully(in, 4, what + " (record trailer)")
+    require(t.sameElements(Array[Byte]('\r', '\n', '\r', '\n')),
+      s"$what: record trailer is not CRLF CRLF")
+  }
+
+  private def recordsUntilEof(in0: InputStream, srcFile: String,
+                              firstIndex: Long,
+                              onClose: () => Unit): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private val in = new java.io.PushbackInputStream(in0, 1)
+      private var idx = firstIndex
+      private var nextRec: WarcRecord = _
+      private var done = false
+      private def advance(): Unit = {
+        if (done) return
+        // peek one byte to distinguish clean EOF from a record start
+        val b = in.read()
+        if (b < 0) { done = true; in.close(); onClose(); return }
+        in.unread(b)
+        val (h, _) = readHeaderBlock(in, srcFile, idx)
+        val cl = contentLength(h, srcFile, idx)
+        require(cl <= (1L << 30), s"$srcFile: payload $cl exceeds 1 GiB guard")
+        val payload = readFully(in, cl.toInt, s"$srcFile record $idx payload")
+        expectCrlfCrlf(in, s"$srcFile record $idx")
+        nextRec = WarcRecord(
+          srcFile = srcFile, recordIndex = idx,
+          warcType = h.getOrElse("warc-type", "unknown"),
+          recordId = h.getOrElse("warc-record-id", ""),
+          targetUri = h.get("warc-target-uri"),
+          warcDate = h.get("warc-date"),
+          contentType = h.get("content-type"),
+          contentLength = cl, payload = payload)
+        idx += 1
+      }
+      advance()
+      override def hasNext: Boolean = !done
+      override def next(): WarcRecord = {
+        val r = nextRec; advance(); r
+      }
+    }
+
+  /** Reads at most `limit` bytes from `under` (raw per-record ranges:
+    * the range END is the only EOF signal a trailing record has). */
+  private final class BoundedStream(under: InputStream, limit: Long)
+      extends InputStream {
+    private var remaining = limit
+    override def read(): Int =
+      if (remaining <= 0) -1
+      else { val b = under.read(); if (b >= 0) remaining -= 1; b }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      if (remaining <= 0) return -1
+      val r = under.read(b, off, math.min(len.toLong, remaining).toInt)
+      if (r > 0) remaining -= r
+      r
+    }
+    override def close(): Unit = under.close()
+  }
+}

@@ -47,7 +47,11 @@ object DuckToSpark {
           j += 1
         }
         require(end > 0, s"unbalanced parens after $fn in oracle SQL")
-        out.append(rewrite(sql.substring(at + fn.length + 1, end)))
+        // recurse into the args first: `fn(... fn(...) ...)` must
+        // rewrite the INNER call too (the outer-call scan resumes
+        // after `end`, so nested occurrences would otherwise survive)
+        out.append(rewrite(
+          rewriteCall(sql.substring(at + fn.length + 1, end), fn, rewrite)))
         i = end + 1
       }
     }
@@ -342,6 +346,9 @@ object DuckToSpark {
       val parts = splitArgs(a)
       if (parts.size == 4 && parts(3) == "'g'")
         s"regexp_replace(${parts(0)}, ${parts(1)}, ${parts(2)})"
+      else if (parts.size == 4 && parts(3) == "'gs'")
+        // global is Spark's default; dotall becomes an inline flag
+        s"regexp_replace(${parts(0)}, concat('(?s)', ${parts(1)}), ${parts(2)})"
       else s"regexp_replace($a)"
     })
     s = rewriteCall(s, "regexp_extract_all", { a =>
