@@ -729,6 +729,60 @@ object CurationQueries {
              |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
              |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS first_doc,
              |  MAX(CASE WHEN rn = 2 THEN doc_id END) AS second_doc
-             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // END-TO-END curation pipeline composition — the proof that the
+    // engine's curation stages CHAIN as one declarative plan the way
+    // a user runs them: length-band quality filter → exact dedup
+    // (keep-first by full-text hash) → q71's md5 train/val/test
+    // split → q181's seeded shard assignment → per-(split, shard)
+    // manifest. One corpus scan feeds everything; the dedup groupBy
+    // is the only corpus-scale shuffle (the manifest aggregate runs
+    // on the surviving keys). Catalyst fuses the filter into the
+    // scan and pipelines split/shard as map stages — composing the
+    // stages costs ONE plan, not four jobs with materialized
+    // intermediates. The oracle replays the identical chain in SQL.
+    Q("q184_curation_e2e",
+      (s, dir) => {
+        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+          .select(col("doc_id"), col("text"),
+            TextFns.tokenCount(col("text")).cast(LongType).as("n_tok"))
+          .filter(col("n_tok") >= 5 && col("n_tok") <= 5000)
+        val kept = d
+          .withColumn("tkey", Dedup.md5Long(col("text")))
+          .groupBy(col("tkey"))
+          .agg(min(struct(col("doc_id"), col("n_tok"))).as("m"))
+          .select(col("m.doc_id").as("doc_id"), col("m.n_tok").as("n_tok"))
+        kept
+          .withColumn("split", splitCol)
+          .withColumn("shard", Dedup.md5Int32(concat(lit("ep1:"),
+            col("doc_id").cast(StringType))) % 8)
+          .groupBy(col("split"), col("shard"))
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum(col("n_tok")).cast(LongType).as("n_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .orderBy(col("split"), col("shard"))
+      },
+      Some(s"""WITH d AS (SELECT doc_id, text,
+             |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+             |      x -> x <> '')) AS BIGINT) AS n_tok
+             |  FROM documents),
+             |f AS (SELECT * FROM d WHERE n_tok BETWEEN 5 AND 5000),
+             |k AS (SELECT
+             |    CAST(MIN({'doc_id': doc_id, 'n_tok': n_tok}).doc_id AS BIGINT)
+             |      AS doc_id,
+             |    CAST(MIN({'doc_id': doc_id, 'n_tok': n_tok}).n_tok AS BIGINT)
+             |      AS n_tok
+             |  FROM f
+             |  GROUP BY ('0x' || substr(md5(text), 1, 15))::BIGINT),
+             |a AS (SELECT doc_id, n_tok,
+             |    $splitSql AS split,
+             |    ('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+             |      % 8 AS shard
+             |  FROM k)
+             |SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+             |  MIN(doc_id) AS first_doc
+             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }
