@@ -559,7 +559,42 @@ object StreamQueries {
             col("n"), col("sum_value"))
           .orderBy(col("hour_start"), col("event_type"))
       },
-      Some(hourlySql)))
+      Some(hourlySql)),
+
+    // STREAMING read from the native WARC source — crawl containers
+    // keep landing in a directory and the engine ingests them as
+    // micro-batches from the SAME wire-level decoder the batch scan
+    // uses (sources/WarcMicroBatchStream: offsets are positions in
+    // the name-sorted file list — the file-source exactly-once
+    // contract rebuilt on a custom DataSource V2 source, with
+    // maxFilesPerTrigger admission control and an AvailableNow
+    // listing snapshot so the drain terminates under live arrivals).
+    // The REQUIRE pins that the drain really ran file-granularity
+    // micro-batches (≥ 2 batches for the 2-file corpus); the oracle
+    // is the fixture generator's independent expected-rows parquet —
+    // streaming ingest must reproduce the batch read exactly.
+    Q("q185_warc_stream",
+      (s, _) => {
+        val src = graft.util.RepoRoot.fixture("tiny_warc")
+        val name = uniq("q185")
+        val stream = s.readStream.format("warc")
+          .option("maxFilesPerTrigger", "1")
+          .load(src)
+          .select(col("src_file"), col("record_index"), col("warc_type"),
+            col("content_length"), md5(col("payload")).as("payload_md5"))
+        val q = stream.writeStream
+          .format("memory").queryName(name).outputMode("append")
+          .option("checkpointLocation", graft.util.Scratch.tempDir("q185_ckpt"))
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+        require(dataBatches >= 2,
+          s"expected file-granularity micro-batches (>= 2), got $dataBatches")
+        s.table(name)
+          .orderBy(col("src_file"), col("record_index"))
+      },
+      Some(s"SELECT src_file, record_index, warc_type, content_length, payload_md5 FROM '${graft.util.RepoRoot.fixture("tiny_warc_expected.parquet")}' ORDER BY src_file, record_index")))
 
   // One streaming txn-log ingest per (JVM, source): drains the staged
   // events through foreachBatch, each micro-batch committing its rows

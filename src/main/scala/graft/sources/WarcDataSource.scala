@@ -7,6 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -44,17 +46,25 @@ class WarcTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"warc:$path"
   override def schema(): StructType = WarcTable.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder { override def build(): Scan = new WarcScan(path) }
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val maxFiles = Option(options.get("maxFilesPerTrigger")).map(_.toInt)
+    new ScanBuilder {
+      override def build(): Scan = new WarcScan(path, maxFiles)
+    }
+  }
 }
 
 final case class WarcInputPartition(ranges: Seq[Warc.RecordRange])
     extends InputPartition
 
-class WarcScan(path: String) extends Scan with Batch {
+class WarcScan(path: String, maxFilesPerTrigger: Option[Int] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = WarcTable.schema
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): streaming.MicroBatchStream =
+    new WarcMicroBatchStream(path, maxFilesPerTrigger)
   override def description(): String = s"WarcScan($path)"
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -95,6 +105,84 @@ class WarcReaderFactory(confEntries: Array[(String, String)])
       override def close(): Unit = ()
     }
   }
+}
+
+/** Micro-batch streaming read of a WARC landing directory — the
+  * "crawl results keep arriving" ingest shape, from the SAME native
+  * source the batch scan uses (one decoder, two read modes). The
+  * offset is a position in the NAME-SORTED file list (crawlers name
+  * files monotonically — CommonCrawl segments do exactly this), so a
+  * restarted query resumes from the checkpointed offset and replays
+  * nothing: file-granularity exactly-once, the file-source contract
+  * rebuilt on a custom source. Admission control honours
+  * `maxFilesPerTrigger` (ReadMaxFiles), and Trigger.AvailableNow
+  * snapshots the listing once so a drain terminates even while new
+  * files land. */
+class WarcMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
+    extends streaming.MicroBatchStream
+    with streaming.SupportsAdmissionControl
+    with streaming.SupportsTriggerAvailableNow {
+
+  private def spark = SparkSession.active
+  private def listing: Seq[String] =
+    Warc.listFiles(spark, path).map(_._1) // sorted by name
+
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(listing.size.toLong)
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): streaming.Offset = WarcOffset(0L)
+
+  override def latestOffset(): streaming.Offset =
+    WarcOffset(availableNowCap.getOrElse(listing.size.toLong))
+
+  override def latestOffset(start: streaming.Offset,
+                            limit: ReadLimit): streaming.Offset = {
+    val avail = availableNowCap.getOrElse(listing.size.toLong)
+    val from = start.asInstanceOf[WarcOffset].n
+    limit match {
+      case m: ReadMaxFiles => WarcOffset(math.min(avail, from + m.maxFiles()))
+      case _ => WarcOffset(avail)
+    }
+  }
+
+  override def reportLatestOffset(): streaming.Offset =
+    WarcOffset(availableNowCap.getOrElse(listing.size.toLong))
+
+  override def planInputPartitions(start: streaming.Offset,
+                                   end: streaming.Offset): Array[InputPartition] = {
+    val (a, b) = (start.asInstanceOf[WarcOffset].n.toInt,
+      end.asInstanceOf[WarcOffset].n.toInt)
+    val files = listing.slice(a, b)
+    // one partition per file: record ranges within a batch's files
+    // still decode in parallel across the batch
+    files.map(f =>
+      WarcInputPartition(Warc.recordIndex(spark, f)): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val confEntries = {
+      import scala.jdk.CollectionConverters._
+      spark.sparkContext.hadoopConfiguration.iterator().asScala
+        .map(e => e.getKey -> e.getValue).toArray
+    }
+    new WarcReaderFactory(confEntries)
+  }
+
+  override def deserializeOffset(json: String): streaming.Offset =
+    WarcOffset(json.trim.toLong)
+  override def commit(end: streaming.Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Position in the name-sorted file list. */
+final case class WarcOffset(n: Long) extends streaming.Offset {
+  override def json(): String = n.toString
 }
 
 object WarcReaderFactory {

@@ -30,6 +30,10 @@ object BenchSome {
     // small-byte shuffles
     sys.env.get("GRAFT_AQE_MINPART").foreach(v =>
       spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", v))
+    // A/B hook: AQE per-stage replanning overhead vs its partition
+    // coalescing at toy scale
+    sys.env.get("GRAFT_AQE").foreach(v =>
+      spark.conf.set("spark.sql.adaptive.enabled", v))
     Tables.names.foreach { t =>
       try Tables(spark, dir, t).count() catch { case _: Throwable => }
     }

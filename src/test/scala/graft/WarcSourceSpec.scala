@@ -51,6 +51,38 @@ class WarcSourceSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("streaming read resumes from the checkpointed file offset without replay") {
+    val land = Files.createTempDirectory("warc_land")
+    val ckpt = Files.createTempDirectory("warc_ckpt").toString
+    val sink = Files.createTempDirectory("warc_sink").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("warc")
+        .option("maxFilesPerTrigger", "1")
+        .load(land.toString)
+        .select(col("src_file"), col("record_index"))
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    // first arrival: a.warc only
+    Files.copy(Paths.get(s"$dir/a.warc"), land.resolve("a.warc"))
+    drain()
+    assert(spark.read.parquet(sink).count() == 4)
+    // second arrival lands AFTER the first drain; the restarted query
+    // must pick up exactly the new file — a re-read of a.warc would
+    // surface as duplicate (src_file, record_index) rows
+    Files.copy(Paths.get(s"$dir/b.warc.gz"), land.resolve("b.warc.gz"))
+    drain()
+    val rows = spark.read.parquet(sink)
+      .groupBy(col("src_file"), col("record_index")).count()
+      .collect()
+    assert(rows.length == 7, s"expected 7 distinct records, got ${rows.length}")
+    assert(rows.forall(_.getLong(2) == 1L), "resume replayed already-read files")
+  }
+
   test("truncated records and bad framing fail loudly, not silently") {
     val tmp = Files.createTempDirectory("warc_trunc")
     val src = Files.readAllBytes(Paths.get(s"$dir/a.warc"))
