@@ -368,7 +368,7 @@ object SurfaceQueries {
              |  FROM documents),
              |h AS (SELECT doc_id,
              |    '<html><head><title>'
-             |      || array_to_string(list_slice(toks, 1, 3), ' ')
+             |      || COALESCE(array_to_string(list_slice(toks, 1, 3), ' '), '')
              |      || '</title><script type="text/javascript">var t = 1 < 2;'
              |      || '</script><style>.nav { color: #fff; }</style></head><body><p>'
              |      || replace(replace(replace(text, '&', '&amp;'),
@@ -376,8 +376,10 @@ object SurfaceQueries {
              |      || '</p><div class="nav">Home &amp; About&nbsp;</div></body></html>'
              |      AS html,
              |    trim(regexp_replace(
-             |      array_to_string(list_slice(toks, 1, 3), ' ') || ' '
-             |        || array_to_string(toks, ' ') || ' Home & About',
+             |      COALESCE(array_to_string(list_slice(toks, 1, 3), ' '), '')
+             |        || ' '
+             |        || COALESCE(array_to_string(toks, ' '), '')
+             |        || ' Home & About',
              |      '\s+', ' ', 'g')) AS expected
              |  FROM d),
              |x AS (SELECT doc_id, html, expected,
