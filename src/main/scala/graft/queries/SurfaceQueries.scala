@@ -322,6 +322,72 @@ object SurfaceQueries {
       },
       Some(s"SELECT src_file, record_index, warc_type, record_id, target_uri, warc_date, content_type, content_length, payload_md5 FROM '${graft.util.RepoRoot.fixture("tiny_warc_expected.parquet")}' ORDER BY src_file, record_index")),
 
+    // Between q182's WARC payload and q183's HTML extraction sits the
+    // HTTP envelope: a response record's payload is status line +
+    // headers + CRLF CRLF + body, and every WARC consumer splits it
+    // before touching the body. Pure column ops (instr on the first
+    // CRLF CRLF, regexp_extract for status/header fields, substring
+    // for the body) — no UDF, map-shaped, oracle replays the same
+    // split byte-for-byte. Each document is wrapped in a
+    // deterministic envelope (status varies by key, a request-id
+    // header, the q183 page as body) and the parse must recover
+    // status code, content-type, body length, and the page title.
+    Q("q186_http_parse",
+      (s, dir) => {
+        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val crlf = "\r\n"
+        val status = when(col("doc_id") % 7 === 0, lit("404 Not Found"))
+          .otherwise(lit("200 OK"))
+        val page = concat(lit("<html><head><title>t"),
+          col("doc_id").cast(StringType),
+          lit("</title></head><body>"),
+          substring(col("text"), 1, 40), lit("</body></html>"))
+        val env = concat(lit("HTTP/1.1 "), status, lit(crlf),
+          lit("Content-Type: text/html; charset=utf-8" + crlf),
+          lit("X-Request-Id: r"), col("doc_id").cast(StringType),
+          lit(crlf + crlf), page)
+        d.select(col("doc_id"), env.as("env"))
+          .withColumn("pos", instr(col("env"), crlf + crlf))
+          .select(col("doc_id"),
+            regexp_extract(col("env"), "^HTTP/1\\.[01] (\\d{3})", 1)
+              .cast(LongType).as("status_code"),
+            regexp_extract(substring(col("env"), lit(1), col("pos") - 1),
+              "Content-Type: ([^\\r\\n]+)", 1).as("content_type"),
+            regexp_extract(col("env"), "X-Request-Id: ([^\\r\\n]+)", 1)
+              .as("request_id"),
+            length(expr("substring(env, pos + 4)")).cast(LongType)
+              .as("body_len"),
+            regexp_extract(expr("substring(env, pos + 4)"),
+              "<title>([^<]*)</title>", 1).as("title"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH d AS (SELECT doc_id,
+             |    'HTTP/1.1 '
+             |      || CASE WHEN doc_id % 7 = 0 THEN '404 Not Found'
+             |              ELSE '200 OK' END
+             |      || chr(13) || chr(10)
+             |      || 'Content-Type: text/html; charset=utf-8'
+             |      || chr(13) || chr(10)
+             |      || 'X-Request-Id: r' || CAST(doc_id AS VARCHAR)
+             |      || chr(13) || chr(10) || chr(13) || chr(10)
+             |      || '<html><head><title>t' || CAST(doc_id AS VARCHAR)
+             |      || '</title></head><body>' || substr(text, 1, 40)
+             |      || '</body></html>' AS env
+             |  FROM documents),
+             |p AS (SELECT doc_id, env,
+             |    instr(env, chr(13) || chr(10) || chr(13) || chr(10)) AS pos
+             |  FROM d)
+             |SELECT doc_id,
+             |  CAST(regexp_extract(env, '^HTTP/1\.[01] (\d{3})', 1) AS BIGINT)
+             |    AS status_code,
+             |  regexp_extract(substr(env, 1, pos - 1),
+             |    'Content-Type: ([^\r\n]+)', 1) AS content_type,
+             |  regexp_extract(env, 'X-Request-Id: ([^\r\n]+)', 1) AS request_id,
+             |  CAST(length(substr(env, pos + 4)) AS BIGINT) AS body_len,
+             |  regexp_extract(substr(env, pos + 4),
+             |    '<title>([^<]*)</title>', 1) AS title
+             |FROM p ORDER BY doc_id""".stripMargin)),
+
     // The step after q182's WARC read: HTML → visible text
     // (TextFns.htmlToText — script/style subtree drop, tag strip,
     // entity decode, whitespace collapse; the deterministic core of
