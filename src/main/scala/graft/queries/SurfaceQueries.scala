@@ -388,6 +388,83 @@ object SurfaceQueries {
              |    '<title>([^<]*)</title>', 1) AS title
              |FROM p ORDER BY doc_id""".stripMargin)),
 
+    // URL canonicalization + frontier dedup — the crawl-side twin of
+    // the content dedup family: a crawler must recognize
+    // `HTTPS://Example.COM:443/p/1/?b=2&a=1#x` and
+    // `https://example.com/p/1?a=1&b=2` as ONE frontier entry or it
+    // fetches (and stores) every page many times. Steps (RFC 3986
+    // §6 normalization): drop fragment, lowercase scheme+host, strip
+    // the scheme's default port, strip trailing path slashes, sort
+    // query parameters. All pure column regex/string ops — map-shaped,
+    // the dedup groupBy on the canonical string is the only shuffle;
+    // the oracle replays the identical normalization and the variants
+    // MUST collapse 3→1 per document (n_variants is oracle-verified).
+    // Extends F17's sanitize/extension ops to the full URL surface.
+    Q("q187_url_canonicalize",
+      (s, dir) => {
+        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val id = col("doc_id").cast(StringType)
+        val variants = d.select(col("doc_id"), explode(array(
+          concat(lit("https://Example.COM:443/p/"), id, lit("/?b=2&a=1")),
+          concat(lit("https://example.com/p/"), id, lit("?a=1&b=2#frag")),
+          concat(lit("HTTPS://example.com:443/p/"), id, lit("/?b=2&a=1#x"))))
+          .as("url"))
+        val shPat = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+        variants
+          .withColumn("nf", regexp_replace(col("url"), "#.*$", ""))
+          .withColumn("sh", lower(regexp_extract(col("nf"), shPat, 1)))
+          .withColumn("rest", expr(
+            s"substr(nf, length(regexp_extract(nf, '$shPat', 1)) + 1)"))
+          .withColumn("sh2",
+            when(col("sh").startsWith("https://") && col("sh").endsWith(":443"),
+              expr("substr(sh, 1, length(sh) - 4)"))
+              .when(col("sh").startsWith("http://") && col("sh").endsWith(":80"),
+                expr("substr(sh, 1, length(sh) - 3)"))
+              .otherwise(col("sh")))
+          .withColumn("path", regexp_replace(
+            regexp_extract(col("rest"), "^([^?]*)", 1), "/+$", ""))
+          .withColumn("q", regexp_extract(col("rest"), "\\?(.*)$", 1))
+          .withColumn("canonical", concat(col("sh2"), col("path"),
+            when(col("q") === "", lit("")).otherwise(concat(lit("?"),
+              array_join(array_sort(split(col("q"), "&")), "&")))))
+          .groupBy(col("canonical"))
+          .agg(count(lit(1)).cast(LongType).as("n_variants"),
+            countDistinct(col("doc_id")).cast(LongType).as("n_docs"))
+          .orderBy(col("canonical"))
+      },
+      Some("""WITH v AS (
+             |  SELECT doc_id, 'https://Example.COM:443/p/'
+             |    || CAST(doc_id AS VARCHAR) || '/?b=2&a=1' AS url FROM documents
+             |  UNION ALL SELECT doc_id, 'https://example.com/p/'
+             |    || CAST(doc_id AS VARCHAR) || '?a=1&b=2#frag' FROM documents
+             |  UNION ALL SELECT doc_id, 'HTTPS://example.com:443/p/'
+             |    || CAST(doc_id AS VARCHAR) || '/?b=2&a=1#x' FROM documents),
+             |n1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM v),
+             |n2 AS (SELECT doc_id, nf,
+             |    lower(regexp_extract(nf,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) AS sh,
+             |    substr(nf, length(regexp_extract(nf,
+             |      '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1)) + 1) AS rest
+             |  FROM n1),
+             |n3 AS (SELECT doc_id,
+             |    CASE WHEN sh LIKE 'https://%' AND sh LIKE '%:443'
+             |           THEN substr(sh, 1, length(sh) - 4)
+             |         WHEN sh LIKE 'http://%' AND sh LIKE '%:80'
+             |           THEN substr(sh, 1, length(sh) - 3)
+             |         ELSE sh END AS sh2,
+             |    regexp_replace(regexp_extract(rest, '^([^?]*)', 1),
+             |      '/+$', '') AS path,
+             |    regexp_extract(rest, '\?(.*)$', 1) AS q
+             |  FROM n2),
+             |c AS (SELECT doc_id, sh2 || path ||
+             |    CASE WHEN q = '' THEN ''
+             |         ELSE '?' || COALESCE(array_to_string(
+             |           list_sort(string_split(q, '&')), '&'), '') END AS canonical
+             |  FROM n3)
+             |SELECT canonical, CAST(COUNT(*) AS BIGINT) AS n_variants,
+             |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+             |FROM c GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // The step after q182's WARC read: HTML → visible text
     // (TextFns.htmlToText — script/style subtree drop, tag strip,
     // entity decode, whitespace collapse; the deterministic core of

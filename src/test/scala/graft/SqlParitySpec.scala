@@ -364,7 +364,18 @@ object DuckToSpark {
     // type + operator spellings
     s = s.replaceAll("\\bVARCHAR\\b", "STRING")
     s = s.replaceAll("\\bHUGEINT\\b", "DECIMAL(38,0)") // 128-bit int ≈ decimal-38
-    s = s.replaceAll("//", "DIV")
+    // `//` → DIV, but never inside a string literal (URLs contain //)
+    s = {
+      val sb = new StringBuilder; var inStr = false; var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (c == '\'') { inStr = !inStr; sb.append(c); i += 1 }
+        else if (!inStr && c == '/' && i + 1 < s.length && s.charAt(i + 1) == '/') {
+          sb.append("DIV"); i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
     // scalar/date functions
     s = s.replaceAll("\\bepoch_ns\\(([A-Za-z_.]+)\\)", "(unix_micros($1) * 1000)")
     s = s.replaceAll("\\bepoch_us\\(", "unix_micros(")
