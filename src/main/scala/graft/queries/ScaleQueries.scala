@@ -45,6 +45,77 @@ object ScaleQueries {
              |SELECT id_a, id_b, cosine FROM cos
              |WHERE cosine >= 0.3 ORDER BY id_a, id_b""".stripMargin)),
 
+    // SEMANTIC train/eval decontamination — the embedding-space twin
+    // of q81's n-gram contamination check (catches the paraphrase
+    // leakage token overlap misses; the NeMo-Curator/Dolma pipelines
+    // run exactly this before publishing a split). ORIENTED LSH: the
+    // q47 sign-buckets are computed once, then the join is
+    // eval-side × train-side only — candidate work scales with the
+    // eval set's bucket occupancy, never train² (a daily eval refresh
+    // against a 100-TB train corpus touches the train side through
+    // the bucket equi-join alone). Exact cosine verifies candidates;
+    // the report is each contaminated eval vector's best train match
+    // (max cosine, min train id tie-break). Bucket join kept exact
+    // (no star-cap) so the oracle replays it verbatim; a hot-bucket
+    // corpus would add the q47 cap on the TRAIN side only.
+    Q("q188_semantic_decontam",
+      (s, dir) => {
+        import graft.functions.VectorFns
+        val emb = graft.operators.NgramLm.widen(Tables(s, dir, "embeddings"))
+        val planeVecs: Seq[Seq[Float]] = emb.orderBy(col("vec_id")).limit(4)
+          .select(col("embedding")).collect().toSeq
+          .map(_.getSeq[Float](0))
+        val bucket = concat(planeVecs.map { p =>
+          when(VectorFns.dotScaled(col("embedding"), typedLit(p)) >= 0,
+            lit("1")).otherwise(lit("0"))
+        }: _*)
+        val share = graft.operators.Dedup
+          .md5Int32(col("vec_id").cast(StringType)) % 100
+        val signs = emb.select(col("vec_id"), col("embedding"),
+            VectorFns.normSqScaled(col("embedding")).as("_n"),
+            bucket.as("bucket"), share.as("share"))
+          .localCheckpoint() // one projection pass feeds both sides
+        val train = signs.filter(col("share") < 90)
+          .select(col("bucket"), col("vec_id").as("train_id"),
+            col("embedding").as("tv"), col("_n").as("tn"))
+        val ev = signs.filter(col("share") >= 95)
+          .select(col("bucket"), col("vec_id").as("eval_id"),
+            col("embedding").as("ev"), col("_n").as("en"))
+        ev.join(train, "bucket")
+          .withColumn("cosine",
+            when(col("tn") === 0 || col("en") === 0, lit(null).cast("double"))
+              .otherwise(VectorFns.dotScaled(col("ev"), col("tv")).cast("double") /
+                sqrt(col("en").cast("double") * col("tn").cast("double"))))
+          .filter(col("cosine") >= 0.3)
+          .groupBy(col("eval_id"))
+          .agg(min(struct((-col("cosine")).as("nc"),
+            col("train_id").as("ti"))).as("m"))
+          .select(col("eval_id"), col("m.ti").as("train_id"),
+            (-col("m.nc")).as("cosine"))
+          .orderBy(col("eval_id"))
+      },
+      Some(s"""WITH planes AS (SELECT vec_id AS plane_id, embedding AS pv
+             |    FROM embeddings ORDER BY vec_id LIMIT 4),
+             |signs AS (SELECT e.vec_id, e.embedding,
+             |    ('0x' || substr(md5(CAST(e.vec_id AS VARCHAR)), 1, 8))::BIGINT
+             |      % 100 AS share,
+             |    string_agg(CASE WHEN ${dotSql("e.embedding", "p.pv")} >= 0
+             |      THEN '1' ELSE '0' END, '' ORDER BY p.plane_id) AS bucket
+             |  FROM embeddings e, planes p GROUP BY e.vec_id, e.embedding),
+             |p AS (SELECT ev.vec_id AS eval_id, tr.vec_id AS train_id,
+             |    CASE WHEN ${normSql("ev.embedding")} = 0
+             |           OR ${normSql("tr.embedding")} = 0 THEN NULL
+             |      ELSE CAST(${dotSql("ev.embedding", "tr.embedding")} AS DOUBLE) /
+             |        sqrt(CAST(${normSql("ev.embedding")} AS DOUBLE) *
+             |          CAST(${normSql("tr.embedding")} AS DOUBLE)) END AS cosine
+             |  FROM signs ev JOIN signs tr ON ev.bucket = tr.bucket
+             |  WHERE ev.share >= 95 AND tr.share < 90),
+             |c AS (SELECT eval_id, train_id, cosine FROM p WHERE cosine >= 0.3)
+             |SELECT eval_id,
+             |  CAST(MIN({'nc': -cosine, 'ti': train_id}).ti AS BIGINT) AS train_id,
+             |  -MIN({'nc': -cosine, 'ti': train_id}).nc AS cosine
+             |FROM c GROUP BY eval_id ORDER BY eval_id""".stripMargin)),
+
     Q("q48_salted_agg",
       (s, dir) => SaltedAgg.sumByKey(
         EventQueries.events(s, dir),
