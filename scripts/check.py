@@ -63,6 +63,22 @@ for name in names:
         du_rows = du_rel.fetchall()
     except Exception as e:
         print(f"SQLFAIL  {name}: {str(e)[:300]}"); fails += 1; continue
+    # Type guard: fetchall() compares Python values (int == int at any
+    # width), but the driver hashes FORMATTED values — an oracle column
+    # DuckDB widens to HUGEINT (arrow decimal128, e.g. an uncast
+    # SUM(BIGINT)) or to float formats differently than Spark's int64
+    # even when every value is equal. Catch the class locally.
+    try:
+        du_sch = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
+        widened = [(f.name, str(f.type)) for f in du_sch
+                   if "decimal" in str(f.type)]
+        if widened:
+            print(f"TYPEWIDE {name}: oracle returns {widened} — cast to "
+                  f"BIGINT (DuckDB HUGEINT hashes differently than int64)")
+            fails += 1
+            continue
+    except Exception:
+        pass
     sc, sr = canon(sp_rows, sp_cols)
     dc, dr = canon(du_rows, du_cols)
     if sc != dc:

@@ -485,7 +485,11 @@ object ExtraQueries {
     // splits ties arbitrarily. The oracle uses exactly that
     // single-window formulation (the obvious SQL), proving the
     // distributed plan against it; DuckDB's window is fine at test
-    // scale — Spark's would not be at 100 TB.
+    // scale — Spark's would not be at 100 TB. The oracle CASTs the
+    // decile to BIGINT because DuckDB widens SUM(BIGINT) (incl. the
+    // window sum feeding ce) to HUGEINT, which arrow-based compares
+    // read as decimal128 and format differently than Spark's int64
+    // — values equal, hashes not (scripts/check.py pins the types).
     Q("q122_decile_bins",
       (s, dir) => {
         val v = Tables(s, dir, "lineitem")
@@ -511,7 +515,7 @@ object ExtraQueries {
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c AS ce
              |  FROM g),
              |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
-             |SELECT (ce * 10) // n.n AS decile,
+             |SELECT CAST((ce * 10) // n.n AS BIGINT) AS decile,
              |  CAST(SUM(c) AS BIGINT) AS n_rows,
              |  MIN(p) AS min_cents, MAX(p) AS max_cents
              |FROM cum, n GROUP BY decile ORDER BY decile""".stripMargin)),
