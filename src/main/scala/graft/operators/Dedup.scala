@@ -88,7 +88,6 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
                         maxBucket: Int = 1000): DataFrame = {
-    val numHashes = bands * rowsPerBand
     // Shape notes (bench-driven):
     //  - repartition BEFORE the md5 projection: input file layout must
     //    not bound CPU parallelism of a compute-heavy column;
@@ -116,6 +115,31 @@ object Dedup {
       .repartition(par, col(idCol))
       .select(col(idCol).as("id"),
         explode(graft.functions.ShingleHashes(col(textCol), n)).as("hv"))
+    candidatesFromHashStream(exploded, bands, rowsPerBand, maxBucket)
+  }
+
+  /** MinHash-LSH candidates from a PRE-SHINGLED corpus: `shingled` is
+    * (id, _sh: array<string> of distinct n-gram shingles), typically a
+    * localCheckpoint shared with an exact-Jaccard verify leg (see
+    * [[lshVerified]]). Identical output to [[minhashCandidates]] —
+    * min over the hash multiset equals min over the distinct set. The
+    * md5 runs as a flat post-explode projection (codegen), same as the
+    * text path. */
+  def minhashCandidatesFromShingles(shingled: DataFrame,
+                                    bands: Int = 4, rowsPerBand: Int = 4,
+                                    maxBucket: Int = 1000): DataFrame = {
+    val exploded = shingled
+      .select(col("id"), explode(col("_sh")).as("_s"))
+      .select(col("id"), md5Int32(col("_s")).as("hv"))
+    candidatesFromHashStream(exploded, bands, rowsPerBand, maxBucket)
+  }
+
+  /** Shared LSH tail: hashed shingle stream → 16 min-aggregates →
+    * banded bucket join → star-capped pairs with estimated Jaccard. */
+  private def candidatesFromHashStream(exploded: DataFrame, bands: Int,
+                                       rowsPerBand: Int,
+                                       maxBucket: Int): DataFrame = {
+    val numHashes = bands * rowsPerBand
     val sigCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min((col("hv") * a + b) % HashPrime).as(s"_s$i")
     }
@@ -164,6 +188,43 @@ object Dedup {
     p
       .join(sh.withColumnRenamed("_jid", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("_jid", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        when(col("uni") === 0, 0d).otherwise(col("inter").cast("double") / col("uni")))
+      .drop("sh_a", "sh_b")
+  }
+
+  /** LSH candidates + exact-Jaccard verification sharing ONE shingle
+    * scan: the corpus is shingled once (distinct n-grams per doc,
+    * repartitioned first so file layout doesn't bound the CPU-heavy
+    * projection), localCheckpointed, and BOTH the minhash leg and the
+    * verify join read the materialized arrays — the two-leg shape
+    * ([[minhashCandidates]] then [[jaccardVerify]]) runs the
+    * corpus-sized shingle projection twice. Output identical to that
+    * composition. Scale trade, stated plainly: this materializes a
+    * corpus-sized shingle set on executors; when the candidate set is
+    * orders of magnitude smaller than the corpus (sparse-dup corpora),
+    * [[jaccardVerify]]'s recompute-for-candidates-only gating avoids
+    * that materialization — pick by expected candidate density. */
+  def lshVerified(docs: DataFrame, idCol: String, textCol: String,
+                  n: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+                  maxBucket: Int = 1000): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val shingled = docs
+      .select(col(idCol), col(textCol))
+      .repartition(par, col(idCol))
+      .select(col(idCol).as("id"),
+        array_distinct(TextFns.shingles(col(textCol), n)).as("_sh"))
+      .localCheckpoint()
+    val cand = minhashCandidatesFromShingles(shingled, bands, rowsPerBand,
+      maxBucket)
+    // pairs feed ONE linear plan (two joins against the checkpointed
+    // arrays), so no pairs-side checkpoint is needed here — unlike
+    // jaccardVerify, whose id-extraction leg reads pairs a second time
+    cand
+      .join(shingled.select(col("id").as("id_a"), col("_sh").as("sh_a")), "id_a")
+      .join(shingled.select(col("id").as("id_b"), col("_sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",

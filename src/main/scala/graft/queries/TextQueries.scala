@@ -213,13 +213,14 @@ object TextQueries {
              |JOIN sig sb ON sb.doc_id = doc_b
              |ORDER BY doc_a, doc_b""".stripMargin)),
 
-    // Exact n-gram Jaccard verification of the LSH candidates.
+    // Exact n-gram Jaccard verification of the LSH candidates, via
+    // the shared-shingle-scan composition (one corpus-sized shingle
+    // projection feeds both the minhash and verify legs).
     Q("q23_jaccard_verify",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
-        val cand = Dedup.minhashCandidates(docs, "doc_id", "text",
+        Dedup.lshVerified(docs, "doc_id", "text",
           n = ShingleN, bands = Bands, rowsPerBand = RowsPerBand)
-        Dedup.jaccardVerify(cand, docs, "doc_id", "text", ShingleN)
           .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
             round(col("jaccard"), 6).as("jaccard"))
           .orderBy(col("doc_a"), col("doc_b"))
@@ -683,6 +684,10 @@ object TextQueries {
     // group key; ≤ k rows per partition cross the wire). Add-one
     // smoothing over the CLOSED bucket space gives both models a
     // probability for every bucket — no unseen-gram asymmetry.
+    // The oracle CASTs SUM(dlw) to BIGINT: DuckDB widens SUM(BIGINT)
+    // to HUGEINT, which arrow-based compares read as decimal128 and
+    // format differently than Spark's int64 — values equal, hashes
+    // not (scripts/check.py pins the types).
     Q("q99_dsir_select",
       (s, dir) => {
         val d = Tables(s, dir, "documents")
@@ -715,7 +720,7 @@ object TextQueries {
              |      AS BIGINT) AS dlw
              |  FROM m CROSS JOIN tot),
              |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-             |    SUM(dlw) AS dsir_logw
+             |    CAST(SUM(dlw) AS BIGINT) AS dsir_logw
              |  FROM bk JOIN w USING (b) GROUP BY doc_id),
              |sel AS (SELECT doc_id, n_bigrams, dsir_logw FROM agg
              |  ORDER BY dsir_logw DESC, doc_id LIMIT 100)
