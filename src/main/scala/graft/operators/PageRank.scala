@@ -82,12 +82,18 @@ object PageRank {
       // costs an eager collect + broadcast barrier per iteration,
       // ~2× wall-clock here; on a cluster whose node table outgrows
       // memory the shuffle join is also the only correct choice.)
+      // group on EXACTLY (dt, dk) — not (dt, dk, dst_outdeg) — so the
+      // aggregate's output HashPartitioning satisfies the NEXT
+      // iteration's join clustering on (nt, nk): the state side then
+      // enters the join exchange-free and each iteration costs ONE
+      // exchange (the contribution sum), not two. dst_outdeg is
+      // functionally dependent on the key; max() carries it through.
       state = state.hint("shuffle_hash")
         .join(eAug, col("nt") === col("st") && col("nk") === col("sk"))
         .selectExpr("dt", "dk", "dst_outdeg", "score DIV outdeg AS c")
-        .groupBy(col("dt"), col("dk"), col("dst_outdeg"))
-        .agg(sum(col("c")).as("inc"))
-        .selectExpr("dt AS nt", "dk AS nk", "dst_outdeg AS outdeg",
+        .groupBy(col("dt"), col("dk"))
+        .agg(sum(col("c")).as("inc"), max(col("dst_outdeg")).as("_deg"))
+        .selectExpr("dt AS nt", "dk AS nk", "_deg AS outdeg",
           s"CAST($base AS BIGINT) + (85 * inc) DIV 100 AS score")
     }
     state.select(col("nt").as("node_type"), col("nk").as("node_key"), col("score"))
