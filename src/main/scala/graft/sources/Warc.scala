@@ -52,8 +52,13 @@ object Warc {
 
   private def isGz(name: String) = name.endsWith(".gz")
 
-  /** All .warc/.warc.gz files under `path` (a file or a directory),
-    * sorted by name so record indexes are stable. */
+  /** All *.warc / *.warc.gz files DIRECTLY under `path` (a file or a
+    * directory — deliberately non-recursive: a landing directory is
+    * flat, and recursing would admit files the streaming offset
+    * contract never saw), sorted by name so record indexes are
+    * stable. The suffix match is exact — in-progress uploads
+    * (x.warc.tmp) and checksum siblings (x.warc.crc) are excluded so
+    * a transient temp file can never perturb the listing. */
   def listFiles(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -61,19 +66,39 @@ object Warc {
     val files =
       if (st.isDirectory)
         fs.listStatus(p).toSeq.filter(_.isFile)
-          .filter(s => s.getPath.getName.contains(".warc"))
+          .filter { s =>
+            val n = s.getPath.getName
+            n.endsWith(".warc") || n.endsWith(".warc.gz")
+          }
       else Seq(st)
     files.map(s => (s.getPath.toString, s.getLen)).sortBy(_._1)
   }
 
   /** Driver-side metadata pass: per-record ranges for raw files
     * (header walk, payloads skipped by seek), whole-file ranges for
-    * gzip. O(records) header reads, zero payload I/O. */
+    * gzip. O(records) header reads, zero payload I/O.
+    *
+    * SCALE CAVEAT, stated loudly: for UNCOMPRESSED `.warc` this walk
+    * is O(total records) sequential seeks ON THE DRIVER — a multi-TB
+    * uncompressed corpus would serialize planning here. The
+    * production posture (CommonCrawl and every large public crawl)
+    * is per-record-gzip `.warc.gz`, where the file is the unit of
+    * parallelism and planning is O(files) with zero record walks.
+    * Feed large corpora as .warc.gz; a warning is logged per
+    * uncompressed file above 1 GiB. (If an uncompressed-at-scale
+    * posture ever matters, the fix is byte-range tiling with
+    * executor-side resync on the `WARC/1.` magic — not implemented,
+    * because no real corpus ships that way.) */
   def recordIndex(spark: SparkSession, path: String): Seq[RecordRange] = {
     val conf = spark.sparkContext.hadoopConfiguration
     listFiles(spark, path).flatMap { case (file, len) =>
       if (isGz(file)) Seq(RecordRange(file, 0L, len, 0L, gzip = true))
       else {
+        if (len > (1L << 30))
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"uncompressed WARC $file is ${len >> 20} MiB: planning walks " +
+              "every record header on the driver — prefer .warc.gz " +
+              "(per-record gzip members) for large corpora")
         val p = new Path(file)
         val in = p.getFileSystem(conf).open(p)
         try {
@@ -82,8 +107,8 @@ object Warc {
           var idx = 0L
           while (pos < len) {
             in.seek(pos)
-            val (headers, headerBytes) = readHeaderBlock(in, file, pos)
-            val cl = contentLength(headers, file, pos)
+            val (headers, headerBytes) = readHeaderBlock(in, file, s"offset $pos")
+            val cl = contentLength(headers, file, s"offset $pos")
             val recLen = headerBytes + cl + 4 // payload + CRLF CRLF
             require(pos + recLen <= len,
               s"$file@$pos: record (len $recLen) overruns file (len $len)")
@@ -97,21 +122,40 @@ object Warc {
     }
   }
 
+  /** An open executor-side decode of one range: `records` plus an
+    * idempotent `close` that releases the underlying file handle. The
+    * iterator closes itself on clean EOF, but ONLY the caller's
+    * close() covers the other exits — a malformed record mid-stream,
+    * task cancellation, or a LIMIT that stops consuming — so readers
+    * must hold the OpenRange and close it in their own close()/finally
+    * path (see WarcReaderFactory). */
+  final class OpenRange private[Warc] (closer: () => Unit) {
+    @volatile private var closed = false
+    private var recs: Iterator[WarcRecord] = Iterator.empty
+    private[Warc] def setRecords(it: Iterator[WarcRecord]): Unit = recs = it
+    def records: Iterator[WarcRecord] = recs
+    def close(): Unit = if (!closed) { closed = true; closer() }
+  }
+
   /** Executor-side decode of one range. */
-  def decodeRecords(conf: Configuration, range: RecordRange): Iterator[WarcRecord] = {
+  def openRange(conf: Configuration, range: RecordRange): OpenRange = {
     val p = new Path(range.file)
     val raw = p.getFileSystem(conf).open(p)
     val name = p.getName
-    if (range.gzip) {
-      // GZIPInputStream transparently consumes concatenated members
-      // (the CommonCrawl per-record layout) until physical EOF
-      val in = new GZIPInputStream(raw, 64 << 10)
-      recordsUntilEof(in, name, range.firstIndex, () => raw.close())
-    } else {
-      raw.seek(range.offset)
-      val in = new BoundedStream(raw, range.length)
-      recordsUntilEof(in, name, range.firstIndex, () => raw.close())
-    }
+    try {
+      val or = new OpenRange(() => raw.close())
+      val in =
+        if (range.gzip)
+          // GZIPInputStream transparently consumes concatenated members
+          // (the CommonCrawl per-record layout) until physical EOF
+          new GZIPInputStream(raw, 64 << 10)
+        else {
+          raw.seek(range.offset)
+          new BoundedStream(raw, range.length)
+        }
+      or.setRecords(recordsUntilEof(in, name, range.firstIndex, or.close _))
+      or
+    } catch { case e: Throwable => raw.close(); throw e }
   }
 
   // ---- wire-level parsing ----
@@ -139,7 +183,7 @@ object Warc {
     * returns (lowercased name → value, bytes consumed). Assumes the
     * stream is positioned at a record start. */
   private def readHeaderBlock(in: InputStream, file: String,
-                              at: Long): (Map[String, String], Long) = {
+                              where: String): (Map[String, String], Long) = {
     var consumed = 0L
     def line(): Option[String] = {
       val l = readLine(in)
@@ -147,35 +191,35 @@ object Warc {
       l.map(_._1)
     }
     val version = line().getOrElse(
-      throw new EOFException(s"$file@$at: EOF at record start"))
+      throw new EOFException(s"$file $where: EOF at record start"))
     require(version.startsWith("WARC/"),
-      s"$file@$at: expected WARC/<version> line, got '${version.take(40)}'")
+      s"$file $where: expected WARC/<version> line, got '${version.take(40)}'")
     val hs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var l = line().getOrElse(
-      throw new EOFException(s"$file@$at: EOF inside header block"))
+      throw new EOFException(s"$file $where: EOF inside header block"))
     while (l.nonEmpty) {
       if (l.head == ' ' || l.head == '\t') {
         // RFC-style folded continuation of the previous field
-        require(hs.nonEmpty, s"$file@$at: continuation line before any header")
+        require(hs.nonEmpty, s"$file $where: continuation line before any header")
         val (k, v) = hs.last
         hs(hs.length - 1) = (k, v + " " + l.trim)
       } else {
         val i = l.indexOf(':')
-        require(i > 0, s"$file@$at: malformed header line '${l.take(40)}'")
+        require(i > 0, s"$file $where: malformed header line '${l.take(40)}'")
         hs += ((l.substring(0, i).trim.toLowerCase(java.util.Locale.ROOT),
           l.substring(i + 1).trim))
       }
       l = line().getOrElse(
-        throw new EOFException(s"$file@$at: EOF inside header block"))
+        throw new EOFException(s"$file $where: EOF inside header block"))
     }
     (hs.toMap, consumed)
   }
 
-  private def contentLength(h: Map[String, String], file: String, at: Long): Long = {
+  private def contentLength(h: Map[String, String], file: String, where: String): Long = {
     val cl = h.getOrElse("content-length",
-      throw new IllegalArgumentException(s"$file@$at: record missing Content-Length"))
+      throw new IllegalArgumentException(s"$file $where: record missing Content-Length"))
     val n = cl.toLong
-    require(n >= 0, s"$file@$at: negative Content-Length $n")
+    require(n >= 0, s"$file $where: negative Content-Length $n")
     n
   }
 
@@ -210,8 +254,8 @@ object Warc {
         val b = in.read()
         if (b < 0) { done = true; in.close(); onClose(); return }
         in.unread(b)
-        val (h, _) = readHeaderBlock(in, srcFile, idx)
-        val cl = contentLength(h, srcFile, idx)
+        val (h, _) = readHeaderBlock(in, srcFile, s"record $idx")
+        val cl = contentLength(h, srcFile, s"record $idx")
         require(cl <= (1L << 30), s"$srcFile: payload $cl exceeds 1 GiB guard")
         val payload = readFully(in, cl.toInt, s"$srcFile record $idx payload")
         expectCrlfCrlf(in, s"$srcFile record $idx")

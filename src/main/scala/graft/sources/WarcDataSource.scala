@@ -96,13 +96,23 @@ class WarcReaderFactory(confEntries: Array[(String, String)])
     confEntries.foreach { case (k, v) => conf.set(k, v) }
     val ranges = partition.asInstanceOf[WarcInputPartition].ranges
     new PartitionReader[InternalRow] {
-      private val it = ranges.iterator.flatMap(r => Warc.decodeRecords(conf, r))
+      // ranges open one at a time; the CURRENT one is held so close()
+      // releases its file handle on error / task kill / early LIMIT
+      // stop — the iterator only closes itself on clean EOF
+      private val rangeIt = ranges.iterator
+      private var open: Warc.OpenRange = _
       private var current: InternalRow = _
-      override def next(): Boolean =
-        if (it.hasNext) { current = WarcReaderFactory.toRow(it.next()); true }
-        else false
+      override def next(): Boolean = {
+        while (open == null || !open.records.hasNext) {
+          if (open != null) open.close()
+          if (!rangeIt.hasNext) { open = null; return false }
+          open = Warc.openRange(conf, rangeIt.next())
+        }
+        current = WarcReaderFactory.toRow(open.records.next())
+        true
+      }
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      override def close(): Unit = if (open != null) open.close()
     }
   }
 }
@@ -110,55 +120,61 @@ class WarcReaderFactory(confEntries: Array[(String, String)])
 /** Micro-batch streaming read of a WARC landing directory — the
   * "crawl results keep arriving" ingest shape, from the SAME native
   * source the batch scan uses (one decoder, two read modes). The
-  * offset is a position in the NAME-SORTED file list (crawlers name
-  * files monotonically — CommonCrawl segments do exactly this), so a
-  * restarted query resumes from the checkpointed offset and replays
-  * nothing: file-granularity exactly-once, the file-source contract
-  * rebuilt on a custom source. Admission control honours
-  * `maxFilesPerTrigger` (ReadMaxFiles), and Trigger.AvailableNow
-  * snapshots the listing once so a drain terminates even while new
-  * files land. */
+  * offset is the NAME of the last fully-processed file: each batch
+  * admits files strictly greater by name, so a restarted query
+  * resumes from the checkpointed offset and replays nothing —
+  * file-granularity exactly-once, the file-source contract rebuilt
+  * on a custom source. Name-keyed (not positional) offsets make the
+  * contract robust to listing churn: a late-arriving file that sorts
+  * BEFORE the committed name can never shift other files' identity
+  * or cause replays — it is simply never admitted (crawlers name
+  * files monotonically — CommonCrawl segments do exactly this — so
+  * that case is a misconfigured producer, and the skip is the benign
+  * failure mode). Admission control honours `maxFilesPerTrigger`
+  * (ReadMaxFiles), and Trigger.AvailableNow snapshots the listing
+  * once so a drain terminates even while new files land. */
 class WarcMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
     extends streaming.MicroBatchStream
     with streaming.SupportsAdmissionControl
     with streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
-  private def listing: Seq[String] =
-    Warc.listFiles(spark, path).map(_._1) // sorted by name
-
-  @volatile private var availableNowCap: Option[Long] = None
+  @volatile private var availableNowSnapshot: Option[Seq[String]] = None
+  private def names: Seq[String] = availableNowSnapshot.getOrElse(
+    Warc.listFiles(spark, path).map(_._1)) // sorted by name
 
   override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(listing.size.toLong)
+    availableNowSnapshot = Some(Warc.listFiles(spark, path).map(_._1))
 
   override def getDefaultReadLimit: ReadLimit =
     maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n))
       .getOrElse(ReadLimit.allAvailable())
 
-  override def initialOffset(): streaming.Offset = WarcOffset(0L)
+  /** "" sorts strictly before every file name. */
+  override def initialOffset(): streaming.Offset = WarcOffset("")
 
   override def latestOffset(): streaming.Offset =
-    WarcOffset(availableNowCap.getOrElse(listing.size.toLong))
+    WarcOffset(names.lastOption.getOrElse(""))
 
   override def latestOffset(start: streaming.Offset,
                             limit: ReadLimit): streaming.Offset = {
-    val avail = availableNowCap.getOrElse(listing.size.toLong)
-    val from = start.asInstanceOf[WarcOffset].n
-    limit match {
-      case m: ReadMaxFiles => WarcOffset(math.min(avail, from + m.maxFiles()))
-      case _ => WarcOffset(avail)
+    val from = start.asInstanceOf[WarcOffset].last
+    val pending = names.filter(_ > from)
+    val admitted = limit match {
+      case m: ReadMaxFiles => pending.take(m.maxFiles())
+      case _ => pending
     }
+    WarcOffset(admitted.lastOption.getOrElse(from))
   }
 
   override def reportLatestOffset(): streaming.Offset =
-    WarcOffset(availableNowCap.getOrElse(listing.size.toLong))
+    WarcOffset(names.lastOption.getOrElse(""))
 
   override def planInputPartitions(start: streaming.Offset,
                                    end: streaming.Offset): Array[InputPartition] = {
-    val (a, b) = (start.asInstanceOf[WarcOffset].n.toInt,
-      end.asInstanceOf[WarcOffset].n.toInt)
-    val files = listing.slice(a, b)
+    val from = start.asInstanceOf[WarcOffset].last
+    val to = end.asInstanceOf[WarcOffset].last
+    val files = names.filter(n => n > from && n <= to)
     // one partition per file: record ranges within a batch's files
     // still decode in parallel across the batch
     files.map(f =>
@@ -175,14 +191,44 @@ class WarcMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
   }
 
   override def deserializeOffset(json: String): streaming.Offset =
-    WarcOffset(json.trim.toLong)
+    WarcOffset.fromJson(json)
   override def commit(end: streaming.Offset): Unit = ()
   override def stop(): Unit = ()
 }
 
-/** Position in the name-sorted file list. */
-final case class WarcOffset(n: Long) extends streaming.Offset {
-  override def json(): String = n.toString
+/** Name of the last fully-processed file ("" before any). */
+final case class WarcOffset(last: String) extends streaming.Offset {
+  override def json(): String =
+    "{\"last\":\"" + last.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\"}"
+}
+
+object WarcOffset {
+  def fromJson(json: String): WarcOffset = {
+    val t = json.trim
+    require(t.startsWith("{\"last\":\"") && t.endsWith("\"}"),
+      s"malformed warc offset: $t")
+    val body = t.substring(9, t.length - 2)
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      body.charAt(i) match {
+        case '\\' =>
+          body.charAt(i + 1) match {
+            case 'u' =>
+              sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar)
+              i += 6
+            case c => sb.append(c); i += 2
+          }
+        case c => sb.append(c); i += 1
+      }
+    }
+    WarcOffset(sb.toString)
+  }
 }
 
 object WarcReaderFactory {
