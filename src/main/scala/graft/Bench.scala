@@ -88,8 +88,13 @@ object Bench {
     // lands on DIFFERENT queries in each sweep, so the min recovers the
     // machine-quiet timing; sweep 1 also warms the table cache, so
     // sweep 2 measures steady state.
+    // dev loop: trailing args restrict the sweep to named queries
+    // (the driver passes none and times the full registry)
+    val only = args.toSet
     def sweep(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .map { case (name, fn) =>
         val t0 = System.nanoTime()
         try { force(fn(spark, sfDir)) } catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}") }
@@ -100,6 +105,13 @@ object Bench {
     val (s1, s2) = (sweep(), sweep())
     val results = s1.zip(s2).map { case ((name, a), (_, b)) => name -> math.min(a, b) }
     val total = results.map(_._2).sum
+    // machine-readable batch/streaming split: the streaming pipelines
+    // do categorically different work than their batch-SQL oracles
+    // (state stores + micro-batch scheduling), so comparator ratios
+    // must be computable both ways without a hand-maintained list
+    val streamingSet = SparkEntry.streamingQueries
+    val streamingNames = results.map(_._1).filter(streamingSet).sorted
+    val streamingTotal = results.filter(r => streamingSet(r._1)).map(_._2).sum
     def qsJson(qs: Seq[(String, Double)]): String =
       qs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     // full per-query detail goes to a file: at 92 queries the map is
@@ -110,12 +122,16 @@ object Bench {
     val detailPath = "bench_detail.json"
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
+        s""""batch_total":${fmt(total - streamingTotal)},""" +
+        s""""streaming_total":${fmt(streamingTotal)},""" +
+        s""""streaming":${streamingNames.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
         s""""queries":${qsJson(results)},"sf":"$sfDir"}"""
     val pw = new java.io.PrintWriter(detailPath)
     try pw.println(detail) finally pw.close()
     val slowest = results.sortBy(-_._2).take(5)
     val summary =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n":${results.size},""" +
+        s""""batch_total":${fmt(total - streamingTotal)},""" +
         s""""queries":${qsJson(slowest)},"detail":"$detailPath","sf":"$sfDir"}"""
     assert(summary.getBytes("UTF-8").length < 1500,
       s"bench summary line must stay under the driver's tail window: $summary")

@@ -24,4 +24,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Registry.all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Queries whose fn executes a real micro-batch streaming pipeline
+    * (the oracle is an equivalent BATCH query — different work, same
+    * answer). Bench publishes the split so batch-only comparator
+    * ratios are computed, not narrated. */
+  def streamingQueries: Set[String] =
+    Registry.all.filter(_.streaming).map(_.name).toSet
 }

@@ -20,7 +20,13 @@ final case class Q(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    headline: Boolean = false)
+    headline: Boolean = false,
+    // true = the query fn executes a real micro-batch streaming
+    // pipeline (state stores, per-batch scheduling) whose DuckDB
+    // oracle is an equivalent BATCH query — different work, same
+    // answer. Bench publishes this per query so the batch-only vs
+    // streaming split of the comparator is computed, not narrated.
+    streaming: Boolean = false)
 
 object Registry {
   lazy val all: Seq[Q] =

@@ -139,7 +139,8 @@ object StreamQueries {
         EventStreams.runAvailableNow(s, agg, uniq("q92"))
           .orderBy(col("hour_start"), col("event_type"))
       },
-      Some(hourlySql)),
+      Some(hourlySql),
+      streaming = true),
 
     // ST3: stateful content-hash dedupe inside the stream (the
     // loader's hash-gated skip, loader_v2.py:204) — dropDuplicates
@@ -164,7 +165,8 @@ object StreamQueries {
           .orderBy(col("h"), col("ts"))
       },
       Some("""SELECT DISTINCT md5(event_type || props) AS h, CAST(ts AS TIMESTAMP) AS ts
-             |FROM events ORDER BY h, ts""".stripMargin)),
+             |FROM events ORDER BY h, ts""".stripMargin),
+      streaming = true),
 
     // ST2: the async queue/worker sink — each micro-batch drain writes
     // a PARTIAL hourly aggregate to the parquet sink (append), and the
@@ -194,7 +196,8 @@ object StreamQueries {
             sum(col("sum_dec")).cast(DoubleType).as("sum_value"))
           .orderBy(col("hour_start"), col("event_type"))
       },
-      Some(hourlySql)),
+      Some(hourlySql),
+      streaming = true),
 
     // EXACTLY-ONCE foreachBatch sink via batch-id atomic publish — the
     // replay-safety half of ST2 that q94's append sink doesn't prove.
@@ -250,7 +253,8 @@ object StreamQueries {
             sum(col("sum_dec")).cast(DoubleType).as("sum_value"))
           .orderBy(col("hour_start"), col("event_type"))
       },
-      Some(hourlySql)),
+      Some(hourlySql),
+      streaming = true),
 
     // Stream-stream interval join under the drain (view → purchase
     // attribution within 6 h for the same user): both sides are REAL
@@ -299,7 +303,8 @@ object StreamQueries {
              |SELECT user_id, l_id, r_id, l_ts, r_ts
              |FROM l JOIN r ON user_id = r_user
              |  AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 6 HOUR
-             |ORDER BY l_id, r_id""".stripMargin)),
+             |ORDER BY l_id, r_id""".stripMargin),
+      streaming = true),
 
     // Stream-stream LEFT OUTER interval join — the attribution shape
     // q95's inner join can't express: every view emits, and views with
@@ -373,7 +378,8 @@ object StreamQueries {
              |SELECT user_id, l_id, r_id, l_ts, r_ts
              |FROM l LEFT JOIN r ON user_id = r_user
              |  AND r_ts >= l_ts AND r_ts <= l_ts + INTERVAL 6 HOUR
-             |ORDER BY l_id, r_id""".stripMargin)),
+             |ORDER BY l_id, r_id""".stripMargin),
+      streaming = true),
 
     // ST4/ST5 companion: EVENT-TIME SESSION WINDOWS under the drain —
     // native session_window state (merging sessions as micro-batches
@@ -408,7 +414,8 @@ object StreamQueries {
              |  MAX(t) + INTERVAL 30 MINUTE AS session_end,
              |  COUNT(*) AS n_events
              |FROM sess GROUP BY user_id, sseq
-             |ORDER BY user_id, session_start""".stripMargin)),
+             |ORDER BY user_id, session_start""".stripMargin),
+      streaming = true),
 
     // Stream-static enrichment join — the production shape the family
     // still lacked: a micro-batch event stream BROADCAST-joined to a
@@ -445,7 +452,8 @@ object StreamQueries {
              |    AS sum_value_us
              |FROM events e JOIN customer c ON e.user_id = c.c_custkey
              |JOIN nation n ON c.c_nationkey = n_nationkey
-             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      streaming = true),
 
     // Streaming per-user top-3 by value — custom BOUNDED-BUFFER state
     // (EventStreams.streamingTopK): mapGroupsWithState holds at most
@@ -476,7 +484,8 @@ object StreamQueries {
              |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
              |    ORDER BY v_us DESC, event_id) AS rnk FROM v)
              |SELECT user_id, CAST(rnk AS BIGINT) AS rnk, event_id, v_us
-             |FROM r WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin)),
+             |FROM r WHERE rnk <= 3 ORDER BY user_id, rnk""".stripMargin),
+      streaming = true),
 
     // Streaming ingest INTO the transaction log — the lakehouse
     // streaming-sink contract that composes q170's exactly-once
@@ -509,7 +518,8 @@ object StreamQueries {
             col("n"), col("sum_value"))
           .orderBy(col("hour_start"), col("event_type"))
       },
-      Some(hourlySql)),
+      Some(hourlySql),
+      streaming = true),
 
     // OPTIMIZE + VACUUM through the same log — the maintenance loop
     // streaming ingest makes necessary (one small file per micro-batch
@@ -559,14 +569,16 @@ object StreamQueries {
             col("n"), col("sum_value"))
           .orderBy(col("hour_start"), col("event_type"))
       },
-      Some(hourlySql)),
+      Some(hourlySql),
+      streaming = true),
 
     // STREAMING read from the native WARC source — crawl containers
     // keep landing in a directory and the engine ingests them as
     // micro-batches from the SAME wire-level decoder the batch scan
-    // uses (sources/WarcMicroBatchStream: offsets are positions in
-    // the name-sorted file list — the file-source exactly-once
-    // contract rebuilt on a custom DataSource V2 source, with
+    // uses (sources/WarcMicroBatchStream: the offset is the NAME of
+    // the last processed file, each batch admitting strictly-greater
+    // names — the file-source exactly-once contract rebuilt on a
+    // custom DataSource V2 source, with
     // maxFilesPerTrigger admission control and an AvailableNow
     // listing snapshot so the drain terminates under live arrivals).
     // The REQUIRE pins that the drain really ran file-granularity
@@ -594,7 +606,8 @@ object StreamQueries {
         s.table(name)
           .orderBy(col("src_file"), col("record_index"))
       },
-      Some(s"SELECT src_file, record_index, warc_type, content_length, payload_md5 FROM '${graft.util.RepoRoot.fixture("tiny_warc_expected.parquet")}' ORDER BY src_file, record_index")))
+      Some(s"SELECT src_file, record_index, warc_type, content_length, payload_md5 FROM '${graft.util.RepoRoot.fixture("tiny_warc_expected.parquet")}' ORDER BY src_file, record_index"),
+      streaming = true))
 
   // One streaming txn-log ingest per (JVM, source): drains the staged
   // events through foreachBatch, each micro-batch committing its rows
