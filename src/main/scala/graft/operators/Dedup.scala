@@ -325,8 +325,9 @@ object Dedup {
   /** Band-pigeonhole Hamming join on a fingerprint frame
     * (`id`, `simhash`): every pair within `maxHamming` agrees exactly
     * on one of the `maxHamming + 1` bands. */
-  private def hammingPairs(sims0: DataFrame, bits: Int, maxHamming: Int,
-                           maxBucket: Int): DataFrame = {
+  private[operators] def hammingPairs(sims0: DataFrame, bits: Int,
+                                      maxHamming: Int,
+                                      maxBucket: Int): DataFrame = {
     // materialize the fingerprints once: the banded frame feeds the
     // bucket-size aggregate, BOTH sides of the candidate self-join,
     // and the star fallback — without this the md5 fingerprint scan

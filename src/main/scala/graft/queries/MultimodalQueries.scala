@@ -95,6 +95,46 @@ object MultimodalQueries {
              |  FROM a)
              |SELECT asset_id, CAST(frame_no AS INT) AS frame_no,
              |  CAST(greatest(0, least((frame_no + 1) * chunk, len) - frame_no * chunk) AS INT) AS frame_len
-             |FROM fr ORDER BY asset_id, frame_no""".stripMargin))
+             |FROM fr ORDER BY asset_id, frame_no""".stripMargin)),
+
+    // Perceptual image hash (64-bit dHash) over REAL PNG payloads —
+    // javax.imageio decode, integer luma-gradient grid (operator doc
+    // has the exact pipeline). The oracle is the fixture generator's
+    // independent pure-Python computation from the SOURCE pixel
+    // arrays (scripts/make_image_fixture.py): PNG is lossless, so
+    // decode-then-hash must reproduce those values bit-for-bit.
+    // Asset 12 is deliberately undecodable -> NULL.
+    Q("q189_image_dhash",
+      (s, dir) => graft.operators.ImageDedup.withDhash(
+          s.read.parquet(graft.util.RepoRoot.fixture("image_assets.parquet")),
+          "asset_id", "content")
+        .orderBy(col("asset_id")),
+      Some(s"""SELECT asset_id, dhash
+             |FROM '${graft.util.RepoRoot.fixture("image_dhash_expected.parquet")}'
+             |ORDER BY asset_id""".stripMargin)),
+
+    // Image near-dup pairs: dHash + band-pigeonhole Hamming join
+    // (Dedup.hammingPairs — 7 bands over 64 bits at maxHamming 6, so
+    // every pair within the threshold shares an exact band; recall is
+    // exact below the hot-bucket star cap). Catches what q21's
+    // sha-256 exact dedup cannot: re-encodes (asset 3: same pixels,
+    // different zlib level), global brightness shifts (asset 4), and
+    // resizes (asset 6) all pair with the base image at hamming 0;
+    // the locally-perturbed asset 5 pairs at hamming 2; the five
+    // noise images pair with nothing. Oracle: brute-force all-pairs
+    // xor/bit_count over the fixture's expected hashes.
+    Q("q190_image_neardup",
+      (s, dir) => graft.operators.ImageDedup.nearDupPairs(
+          s.read.parquet(graft.util.RepoRoot.fixture("image_assets.parquet")),
+          "asset_id", "content", maxHamming = 6)
+        .orderBy(col("id_a"), col("id_b")),
+      Some(s"""WITH e AS (SELECT asset_id, dhash
+             |  FROM '${graft.util.RepoRoot.fixture("image_dhash_expected.parquet")}'
+             |  WHERE dhash IS NOT NULL)
+             |SELECT a.asset_id AS id_a, b.asset_id AS id_b,
+             |  bit_count(xor(a.dhash, b.dhash)) AS hamming
+             |FROM e a JOIN e b ON a.asset_id < b.asset_id
+             |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }
