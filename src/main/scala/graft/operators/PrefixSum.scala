@@ -36,9 +36,19 @@ object PrefixSum {
       .withColumn("_pid", spark_partition_id())
     val wLocal = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // materialized once: feeds both the totals frame and the final join
+    // ONE materialized RDD feeds both the totals branch and the final
+    // join. This is load-bearing for correctness, not just cost:
+    // spark_partition_id() is only consistent across consumers when
+    // they read the SAME RDD — two separate reads of the range
+    // exchange can be coalesced differently by AQE, silently
+    // renumbering partitions in one branch and corrupting the offsets
+    // (observed on q146/q150). LAZY checkpoint (eager = false) keeps
+    // that single-RDD guarantee without the per-call job barrier the
+    // eager form paid — queries composing several prefix sums (q155's
+    // three bucket pipelines) materialize them inside one job instead
+    // of serializing driver-side.
     val local = parted.withColumn("_local", sum(col(valueCol)).over(wLocal))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val totals = local.groupBy(col("_pid"))
       .agg(sum(col(valueCol)).as("_ptot"))
     // exclusive prefix over numParts rows — the single-task window is

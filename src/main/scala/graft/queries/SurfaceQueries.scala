@@ -648,12 +648,27 @@ object SurfaceQueries {
           s"log diff wrong: +$insFiles -$delFiles")
         val insSide = s.read.parquet(insFiles: _*)
         val delSide = s.read.parquet(delFiles: _*)
-        insSide.exceptAll(delSide).withColumn("change", lit("insert"))
-          .unionByName(
-            delSide.exceptAll(insSide).withColumn("change", lit("delete")))
+        // Multiset netting in ONE aggregate instead of two exceptAll
+        // shuffles: tag ±1, group by the full row, keep the net count
+        // — carried-over rows (in both sides) cancel exactly as they
+        // do under exceptAll-both-ways, and since the feed's output is
+        // aggregates (not rows), the surviving multiplicities fold
+        // straight into the final sums. Each bounded side is scanned
+        // once (the exceptAll form scanned each twice) and the one
+        // wide shuffle is on the churn-sized union.
+        val tagged = insSide.withColumn("_w", lit(1L))
+          .unionByName(delSide.withColumn("_w", lit(-1L)))
+        val net = tagged
+          .groupBy(insSide.columns.map(col).toIndexedSeq: _*)
+          .agg(sum(col("_w")).as("_net"))
+          .filter(col("_net") =!= 0L)
+        net.select(
+            when(col("_net") > 0, "insert").otherwise("delete").as("change"),
+            abs(col("_net")).as("_m"),
+            col("o_totalprice"))
           .groupBy(col("change"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+          .agg(sum(col("_m")).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)) * col("_m"))
               .cast(DoubleType).as("revenue"))
           .orderBy(col("change"))
       },
