@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftbridge.ColumnBridge
-import org.apache.spark.sql.types.{DataType, DoubleType, StringType}
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** JVM-side text normalization used by [[NormalizeTextExpr]] and tests. */
@@ -149,6 +149,29 @@ object TextFns {
       .otherwise(lit(8d) / mtl)
     round(lenScore * 0.4 + least(swScore, lit(1d)) * 0.3 + mtlScore * 0.3, 6)
   }
+
+  /** PII patterns (email / IPv4 / NANP-suffix phone), kept inside the
+    * regex subset Java and RE2 execute identically (character classes,
+    * bounded repetition, \b ASCII word boundaries — no lookaround), so
+    * a DuckDB oracle replays detection and redaction byte-for-byte.
+    * This is the C4/Dolma-style scrub stage: counts for the audit
+    * artifact, regexp_replace chain for the redacted corpus. Order
+    * matters and is fixed: emails first (their local parts contain
+    * digits that must never half-match the looser patterns), then
+    * IPv4, then phone. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val PhoneRe = "\\b555-\\d{4}\\b"
+
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast(LongType)
+
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 
   /** HTML → visible text (the extraction step between a WARC response
     * payload and every documents-table operator — the jusText/

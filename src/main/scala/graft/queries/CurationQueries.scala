@@ -783,6 +783,131 @@ object CurationQueries {
              |SELECT split, shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
              |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
              |  MIN(doc_id) AS first_doc
-             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // PII scrub (the C4/Dolma pre-release stage): detect emails /
+    // IPv4 / phone patterns, report per-doc counts, and emit the
+    // redacted corpus (verified by md5 — the redacted TEXT is the
+    // artifact; the hash keeps the compared output slim). The corpus
+    // is synthetic word-salad with no PII, so the PII is woven in
+    // deterministically from doc_id ON BOTH SIDES — the detection/
+    // redaction regexes are the operator under test, not the data.
+    // Pure codegen regexp chain (TextFns.redactPii), one map pass —
+    // at 100 TB this runs inside the scan projection with nothing
+    // shuffled but the audit counts.
+    Q("q191_pii_scrub",
+      (s, dir) => {
+        val raw = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast(StringType),
+          lit("@example.com"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit(" node 10."),
+              pmod(col("doc_id"), lit(200)).cast(StringType), lit("."),
+              pmod(col("doc_id"), lit(250)).cast(StringType), lit(".7")))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(lit(" call 555-"),
+              lpad(pmod(col("doc_id"), lit(10000)).cast(StringType), 4, "0")))
+            .otherwise(lit("")))
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), raw.as("raw"))
+          .select(col("doc_id"),
+            TextFns.piiCount(col("raw"), TextFns.EmailRe).as("n_emails"),
+            TextFns.piiCount(col("raw"), TextFns.Ipv4Re).as("n_ips"),
+            TextFns.piiCount(col("raw"), TextFns.PhoneRe).as("n_phones"),
+            md5(TextFns.redactPii(col("raw"))).as("redacted_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH raw AS (SELECT doc_id,
+             |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+             |      || '@example.com'
+             |      || CASE WHEN doc_id % 3 = 0 THEN ' node 10.'
+             |           || CAST(doc_id % 200 AS VARCHAR) || '.'
+             |           || CAST(doc_id % 250 AS VARCHAR) || '.7'
+             |         ELSE '' END
+             |      || CASE WHEN doc_id % 5 = 0 THEN ' call 555-'
+             |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |         ELSE '' END AS raw
+             |  FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(raw, '${TextFns.EmailRe}')) AS BIGINT)
+             |    AS n_emails,
+             |  CAST(len(regexp_extract_all(raw, '${TextFns.Ipv4Re}')) AS BIGINT)
+             |    AS n_ips,
+             |  CAST(len(regexp_extract_all(raw, '${TextFns.PhoneRe}')) AS BIGINT)
+             |    AS n_phones,
+             |  md5(regexp_replace(regexp_replace(regexp_replace(raw,
+             |    '${TextFns.EmailRe}', '<EMAIL>', 'g'),
+             |    '${TextFns.Ipv4Re}', '<IP>', 'g'),
+             |    '${TextFns.PhoneRe}', '<PHONE>', 'g')) AS redacted_md5
+             |FROM raw ORDER BY doc_id""".stripMargin)),
+
+    // Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+    // the standard rule-based pre-filter a pipeline runs BEFORE the
+    // statistical quality models q25/q98): word-count bounds, mean
+    // word length band, symbol-to-word ratio, bullet/ellipsis line
+    // ratios, minimum distinct-stopword evidence. All integer-exact
+    // (mean length in thousandths via the no-whitespace character
+    // total — identical to Σ|token| under whitespace tokenization;
+    // ratios per-1000), one map pass + nothing shuffled but the
+    // per-doc verdict row.
+    Q("q192_gopher_rules",
+      (s, dir) => {
+        val sw = TextFns.langStopwords.head._2
+        val toks = TextFns.tokens(col("text"))
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"), col("text"), toks.as("t"))
+          .withColumn("n_words", size(col("t")).cast(LongType))
+          .withColumn("sum_len",
+            length(regexp_replace(col("text"), "\\s", "")).cast(LongType))
+          .withColumn("mwl_milli",
+            expr("(sum_len * 1000) div greatest(n_words, 1L)"))
+          .withColumn("n_sym", TextFns.piiCount(col("text"), "#|\\.\\.\\."))
+          .withColumn("sym_per_1000",
+            expr("(n_sym * 1000) div greatest(n_words, 1L)"))
+          .withColumn("bullet_lines",
+            TextFns.piiCount(col("text"), "(?m)^[-*•]"))
+          .withColumn("ellipsis_lines",
+            TextFns.piiCount(col("text"), "(?m)\\.\\.\\.$"))
+          .withColumn("stop_hits",
+            size(filter(array_distinct(col("t")),
+              t => t.isin(sw: _*))).cast(LongType))
+        d.select(col("doc_id"), col("n_words"), col("mwl_milli"),
+            col("sym_per_1000"), col("bullet_lines"), col("ellipsis_lines"),
+            col("stop_hits"),
+            (col("n_words") >= 50 && col("n_words") <= 100000 &&
+              col("mwl_milli") >= 3000 && col("mwl_milli") <= 10000 &&
+              col("sym_per_1000") < 100 &&
+              col("stop_hits") >= 2).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some({
+        val sw = TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH d AS (SELECT doc_id, text,
+           |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+           |  FROM documents),
+           |m AS (SELECT doc_id,
+           |    CAST(len(t) AS BIGINT) AS n_words,
+           |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT)
+           |      AS sum_len,
+           |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
+           |      AS n_sym,
+           |    CAST(len(regexp_extract_all(text, '(?m)^[-*•]')) AS BIGINT)
+           |      AS bullet_lines,
+           |    CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS BIGINT)
+           |      AS ellipsis_lines,
+           |    CAST(len(list_filter(list_distinct(t), x -> x IN ($sw)))
+           |      AS BIGINT) AS stop_hits
+           |  FROM d)
+           |SELECT doc_id, n_words,
+           |  (sum_len * 1000) // greatest(n_words, 1) AS mwl_milli,
+           |  (n_sym * 1000) // greatest(n_words, 1) AS sym_per_1000,
+           |  bullet_lines, ellipsis_lines, stop_hits,
+           |  n_words >= 50 AND n_words <= 100000
+           |    AND (sum_len * 1000) // greatest(n_words, 1) BETWEEN 3000 AND 10000
+           |    AND (n_sym * 1000) // greatest(n_words, 1) < 100
+           |    AND stop_hits >= 2 AS keep
+           |FROM m ORDER BY doc_id""".stripMargin
+      }))
   )
 }
