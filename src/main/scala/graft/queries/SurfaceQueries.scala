@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.TextFns
 import graft.streaming.StatusMachine
 import graft.streaming.StatusMachine.StatusEvent
 import graft.util.Tables
@@ -540,6 +541,113 @@ object SurfaceQueries {
              |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_chars_html,
              |  extracted, extracted = expected AS ok
              |FROM x ORDER BY doc_id""".stripMargin)),
+
+    // The WET pipeline (what CommonCrawl's WARC→WET conversion plus a
+    // first-pass quality gate does), composed as ONE Catalyst plan:
+    // HTTP envelope split (q186) → status/content gate → HTML→text
+    // extraction (q183) → PII scrub (q191) → tokenize → stopword
+    // evidence → keep verdict. Everything between the scan and the
+    // final ORDER BY is one map-shaped projection chain with no
+    // data-dependent shuffle — the plan's only exchanges are widen's
+    // local-parallelism repartition (a bench-environment fix for the
+    // single-file synthetic input; real file splits provide scan
+    // parallelism) and the output sort. At 100 TB this whole stage
+    // runs inside the scan tasks, and only the per-doc verdict row
+    // crosses the wire. The ingestion-side complement of q184's
+    // curation-side composition; oracle replays every stage in SQL.
+    Q("q193_wet_extract",
+      (s, dir) => {
+        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val crlf = "\r\n"
+        val status = when(col("doc_id") % 7 === 0, lit("404 Not Found"))
+          .otherwise(lit("200 OK"))
+        val title = array_join(
+          slice(TextFns.tokens(col("text")), 1, 3), " ")
+        val escaped = replace(replace(replace(col("text"),
+          lit("&"), lit("&amp;")), lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+        val page = concat(
+          lit("<html><head><title>"), title,
+          lit("</title><script type=\"text/javascript\">var x = 1 < 2;" +
+            "</script><style>.m { color: #000; }</style></head><body><p>"),
+          escaped, lit("</p></body></html>"))
+        val env = concat(lit("HTTP/1.1 "), status, lit(crlf),
+          lit("Content-Type: text/html; charset=utf-8" + crlf),
+          lit(crlf), page)
+        val sw = TextFns.langStopwords.head._2
+        d.select(col("doc_id"), env.as("env"))
+          .withColumn("pos", instr(col("env"), crlf + crlf))
+          .withColumn("status_code",
+            regexp_extract(col("env"), "^HTTP/1\\.[01] (\\d{3})", 1)
+              .cast(LongType))
+          .filter(col("status_code") === 200L)
+          .withColumn("txt",
+            TextFns.redactPii(TextFns.htmlToText(expr("substring(env, pos + 4)"))))
+          .withColumn("t", TextFns.tokens(col("txt")))
+          .withColumn("n_tok", size(col("t")).cast(LongType))
+          .withColumn("stop_hits",
+            size(filter(array_distinct(col("t")),
+              t => t.isin(sw: _*))).cast(LongType))
+          .select(col("doc_id"), col("n_tok"), col("stop_hits"),
+            (col("n_tok") >= 3L && col("stop_hits") >= 1L).as("keep"),
+            md5(col("txt")).as("text_md5"))
+          .orderBy(col("doc_id"))
+      },
+      Some({
+        val sw = TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH d AS (SELECT doc_id, text,
+           |    list_filter(string_split_regex(trim(text), '\\s+'),
+           |      x -> x <> '') AS toks
+           |  FROM documents),
+           |h AS (SELECT doc_id,
+           |    'HTTP/1.1 '
+           |      || CASE WHEN doc_id % 7 = 0 THEN '404 Not Found'
+           |              ELSE '200 OK' END
+           |      || chr(13) || chr(10)
+           |      || 'Content-Type: text/html; charset=utf-8'
+           |      || chr(13) || chr(10) || chr(13) || chr(10)
+           |      || '<html><head><title>'
+           |      || COALESCE(array_to_string(list_slice(toks, 1, 3), ' '), '')
+           |      || '</title><script type="text/javascript">var x = 1 < 2;'
+           |      || '</script><style>.m { color: #000; }</style></head><body><p>'
+           |      || replace(replace(replace(text, '&', '&amp;'),
+           |           '<', '&lt;'), '>', '&gt;')
+           |      || '</p></body></html>' AS env
+           |  FROM d),
+           |p AS (SELECT doc_id, env,
+           |    CAST(regexp_extract(env, '^HTTP/1\\.[01] (\\d{3})', 1) AS BIGINT)
+           |      AS status_code,
+           |    instr(env, chr(13) || chr(10) || chr(13) || chr(10)) AS pos
+           |  FROM h),
+           |b AS (SELECT doc_id, substr(env, pos + 4) AS body
+           |  FROM p WHERE status_code = 200),
+           |x AS (SELECT doc_id,
+           |    regexp_replace(regexp_replace(regexp_replace(
+           |      trim(regexp_replace(
+           |        replace(replace(replace(replace(replace(replace(
+           |          regexp_replace(
+           |            regexp_replace(
+           |              regexp_replace(body, '<script[^>]*>.*?</script>', ' ', 'gs'),
+           |              '<style[^>]*>.*?</style>', ' ', 'gs'),
+           |            '<[^>]*>', ' ', 'g'),
+           |          '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           |          '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+           |        '\\s+', ' ', 'g')),
+           |      '${TextFns.EmailRe}', '<EMAIL>', 'g'),
+           |      '${TextFns.Ipv4Re}', '<IP>', 'g'),
+           |      '${TextFns.PhoneRe}', '<PHONE>', 'g') AS txt
+           |  FROM b),
+           |t AS (SELECT doc_id, txt,
+           |    list_filter(string_split_regex(trim(txt), '\\s+'),
+           |      x -> x <> '') AS t
+           |  FROM x)
+           |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tok,
+           |  CAST(len(list_filter(list_distinct(t), x -> x IN ($sw)))
+           |    AS BIGINT) AS stop_hits,
+           |  len(t) >= 3 AND
+           |    len(list_filter(list_distinct(t), x -> x IN ($sw))) >= 1 AS keep,
+           |  md5(txt) AS text_md5
+           |FROM t ORDER BY doc_id""".stripMargin
+      })),
 
     // Schema-drift tolerant scan — the source reality of a 100-TB lake:
     // years of ingest generations whose schemas EVOLVED (columns added
