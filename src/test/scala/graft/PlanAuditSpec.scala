@@ -15,4 +15,31 @@ class PlanAuditSpec extends SparkSpec {
     assert(flagged.isEmpty,
       flagged.map(a => s"${a.name}: ${a.flag}").mkString("\n"))
   }
+
+  private def exchanges(name: String): Seq[String] = {
+    val df = SparkEntry.queries(name)(spark, sf001)
+    df.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("Exchange "))
+      .map(_.dropWhile(c => !c.isLetter)).toSeq
+  }
+
+  test("q193's WET chain stays map-shaped: no data-dependent shuffle") {
+    // exactly the widen repartition (round-robin) and the output
+    // sort's range partitioning — a refactor that sneaks a join or
+    // aggregate exchange into the extraction chain fails here
+    val ex = exchanges("q193_wet_extract")
+    assert(ex.size == 2, ex.mkString("\n"))
+    assert(ex.count(_.toLowerCase.contains("rangepartitioning")) == 1,
+      ex.mkString("\n"))
+    assert(ex.count(_.toLowerCase.contains("roundrobin")) == 1,
+      ex.mkString("\n"))
+  }
+
+  test("q176's change feed nets in ONE wide shuffle") {
+    // one hash exchange for the full-row netting aggregate, one for
+    // the 2-row verdict aggregate, one range sort — the exceptAll
+    // form this replaced planned two wide shuffles over both sides
+    val ex = exchanges("q176_change_feed")
+    assert(ex.count(_.contains("hashpartitioning")) <= 2, ex.mkString("\n"))
+  }
 }
