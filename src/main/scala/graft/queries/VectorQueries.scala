@@ -661,6 +661,65 @@ object VectorQueries {
            |m4 AS (SELECT MAX(ABS(w)) AS m FROM w4),
            |v4 AS (SELECT i AS j, (w * 1048576) // m AS v FROM w4, m4)
            |SELECT CAST(j AS BIGINT) AS i, CAST(v AS BIGINT) AS v
-           |FROM v4 ORDER BY i""".stripMargin))
+           |FROM v4 ORDER BY i""".stripMargin)),
+
+    // Hard-negative mining for contrastive/retrieval training (the
+    // pair-mining stage of every embedding-training pipeline; cf.
+    // Robinson et al. 2021 "Contrastive Learning with Hard Negative
+    // Samples", arXiv:2010.04592): per anchor, the top-3 most-similar
+    // vectors with a DIFFERENT label — near-misses across the class
+    // boundary, the pairs that actually move a contrastive loss.
+    // Exact brute force with the label-mismatch predicate applied
+    // BEFORE the bounded-buffer top-k, so only (ids, cosine) rows
+    // ever reach the per-task k-row buffers — no vector payload
+    // crosses the wire, no global window sort. At corpus scale the
+    // anchor side is the (small, broadcast) training batch; a full
+    // corpus×corpus mine swaps the crossJoin for the IVF cell probe
+    // (SimilaritySearch.assignCells, q27's machinery) with the same
+    // label filter. Scaled-long dot products, q26's determinism.
+    Q("q194_hard_negatives",
+      (s, dir) => {
+        import graft.functions.VectorFns
+        val emb = Tables(s, dir, "embeddings")
+        val anchors = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+            col("label").as("a_lbl"))
+          .withColumn("_an", VectorFns.normSqScaled(col("a_vec")))
+        val corpus = emb
+          .select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+            col("label").as("n_lbl"))
+          .withColumn("_nn", VectorFns.normSqScaled(col("n_vec")))
+        val pairs = broadcast(anchors).crossJoin(corpus)
+          .filter(col("a_lbl") =!= col("n_lbl"))
+          .withColumn("cosine",
+            when(col("_an") === 0 || col("_nn") === 0,
+              lit(null).cast("double"))
+              .otherwise(VectorFns.dotScaled(col("a_vec"), col("n_vec"))
+                .cast("double") /
+                sqrt(col("_an").cast("double") * col("_nn").cast("double"))))
+          .select(col("a_id"), col("n_id"), col("cosine"))
+        graft.plans.TopKPhysical.topK(pairs, Seq("a_id"),
+            Seq(("cosine", false), ("n_id", true)), 3)
+          .select(col("a_id"), col("n_id"), col("cosine"), col("rnk"))
+          .orderBy(col("a_id"), col("rnk"))
+      },
+      Some(s"""WITH a AS (SELECT vec_id AS a_id, embedding AS av, label AS a_lbl
+             |  FROM embeddings WHERE vec_id < 20),
+             |c AS (SELECT vec_id AS n_id, embedding AS nv, label AS n_lbl
+             |  FROM embeddings),
+             |dots AS (SELECT a_id, n_id,
+             |    ${dotSql("av", "nv")} AS dot,
+             |    ${normSql("av")} AS na,
+             |    ${normSql("nv")} AS nb
+             |  FROM a, c WHERE a_lbl <> n_lbl),
+             |cos AS (SELECT a_id, n_id,
+             |    CASE WHEN na = 0 OR nb = 0 THEN NULL
+             |      ELSE CAST(dot AS DOUBLE) / sqrt(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)) END AS cosine
+             |  FROM dots)
+             |SELECT a_id, n_id, cosine, rnk FROM (
+             |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
+             |    ORDER BY cosine DESC, n_id) AS rnk
+             |  FROM cos) t
+             |WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin))
   )
 }
