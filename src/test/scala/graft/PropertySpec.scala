@@ -90,4 +90,63 @@ class PropertySpec extends SparkSpec {
       assert(r.getDouble(2) == 0.0)
     }
   }
+
+  test("PrefixSum matches the sequential scan on arbitrary signed input") {
+    // the operator whose offsets silently corrupt if its two branches
+    // ever read diverging partitionings (see PrefixSum scaladoc) —
+    // pin it against plain scanLeft on random keys/values, negatives
+    // and duplicates of VALUE included (keys must be unique: the
+    // operator's documented total-order contract)
+    val pairs = Gen.listOfN(500,
+      Gen.zip(Gen.choose(Long.MinValue / 4, Long.MaxValue / 4),
+        Gen.choose(-1000L, 1000L))).sample.get
+      .groupBy(_._1).map { case (k, vs) => (k, vs.head._2) }.toSeq
+    val expected = pairs.sortBy(_._1)
+      .scanLeft(0L) { case (acc, (_, v)) => acc + v }.tail
+    val got = graft.operators.PrefixSum(
+        pairs.toDF("k", "v"), "k", "v", "cum", numParts = 7)
+      .orderBy(col("k")).select(col("cum")).collect().map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("redactPii is idempotent and leaves no detectable PII behind") {
+    val pii = Gen.oneOf(
+      Gen.const("x9@a-b.io"),
+      Gen.const("10.20.30.40"),
+      Gen.const("555-1234"),
+      Gen.alphaNumStr)
+    val docs = Gen.listOfN(200,
+      Gen.listOfN(5, Gen.oneOf(pii, Gen.asciiPrintableStr))
+        .map(_.mkString(" "))).sample.get
+    val rows = docs.toDF("t")
+      .select(graft.functions.TextFns.redactPii(col("t")).as("r"))
+      .select(col("r"),
+        graft.functions.TextFns.redactPii(col("r")).as("rr"),
+        graft.functions.TextFns.piiCount(col("r"),
+          graft.functions.TextFns.EmailRe).as("e"),
+        graft.functions.TextFns.piiCount(col("r"),
+          graft.functions.TextFns.Ipv4Re).as("i"),
+        graft.functions.TextFns.piiCount(col("r"),
+          graft.functions.TextFns.PhoneRe).as("p"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "redaction must be idempotent")
+      assert(r.getLong(2) == 0 && r.getLong(3) == 0 && r.getLong(4) == 0,
+        s"residual PII after redaction: ${r.getString(0)}")
+    }
+  }
+
+  test("no-whitespace length equals the sum of token lengths (q192 shortcut)") {
+    val texts = Gen.listOfN(200, Gen.listOfN(8, Gen.oneOf(
+      Gen.alphaNumStr, Gen.const(""), Gen.const("  "),
+      Gen.const("\t"), Gen.const("a.b,c")))
+      .map(_.mkString(" "))).sample.get
+    val rows = texts.toDF("t")
+      .select(
+        length(regexp_replace(col("t"), "\\s", "")).as("nl"),
+        aggregate(graft.functions.TextFns.tokens(col("t")),
+          lit(0), (acc, x) => acc + length(x)).as("sl"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
 }
