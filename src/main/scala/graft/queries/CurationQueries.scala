@@ -908,6 +908,76 @@ object CurationQueries {
            |    AND (n_sym * 1000) // greatest(n_words, 1) < 100
            |    AND stop_hits >= 2 AS keep
            |FROM m ORDER BY doc_id""".stripMargin
+      })),
+
+    // Exact precision/recall curve of a curation filter — the eval
+    // harness every threshold-based filter needs BEFORE it gates a
+    // corpus: sweep every achievable threshold of a score (here the
+    // English-stopword density in basis points, q19's signal) against
+    // a label (lang = 'en') and report TP/predicted-positive/
+    // precision/recall at each operating point, all exact integers.
+    // Scale shape: ONE corpus pass (map-side-combined per-score
+    // cells); the cumulative sums run as a window over the CELL
+    // table, whose size is bounded by the score DOMAIN (≤ 10,001
+    // basis-point values — a bounded artifact, the PrefixSum-numParts
+    // convention), never by the corpus. Docs with no tokens are
+    // unscorable and excluded on both sides.
+    Q("q195_pr_curve",
+      (s, dir) => {
+        val sw = TextFns.langStopwords.head._2
+        val toks = TextFns.tokens(col("text"))
+        val d = Tables(s, dir, "documents")
+          .select(col("lang"), toks.as("t"))
+          .withColumn("n_tok", size(col("t")).cast(LongType))
+          .filter(col("n_tok") >= 1L)
+          .withColumn("hits",
+            size(filter(col("t"), t => t.isin(sw: _*))).cast(LongType))
+          .select(expr("(hits * 10000) div n_tok").as("s"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y"))
+        val cells = d.groupBy(col("s"))
+          .agg(count(lit(1)).cast(LongType).as("n"),
+            sum(col("y")).cast(LongType).as("np"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("s").desc)
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val tot = cells.agg(sum(col("np")).cast(LongType).as("pos"))
+        cells
+          .withColumn("pp", sum(col("n")).over(w))
+          .withColumn("tp", sum(col("np")).over(w))
+          .crossJoin(broadcast(tot))
+          .select(col("s").as("threshold_bp"),
+            col("pp"), col("tp"),
+            expr("(tp * 10000) div pp").as("precision_bp"),
+            expr("(tp * 10000) div pos").as("recall_bp"))
+          .orderBy(col("threshold_bp"))
+      },
+      Some({
+        val sw = TextFns.langStopwords.head._2.map("'" + _ + "'").mkString(",")
+        s"""WITH d AS (SELECT lang,
+           |    list_filter(string_split_regex(trim(text), '\\s+'),
+           |      x -> x <> '') AS t
+           |  FROM documents),
+           |sc AS (SELECT
+           |    (CAST(len(list_filter(t, x -> x IN ($sw))) AS BIGINT) * 10000)
+           |      // CAST(len(t) AS BIGINT) AS s,
+           |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+           |  FROM d WHERE len(t) >= 1),
+           |cells AS (SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+           |    CAST(SUM(y) AS BIGINT) AS np
+           |  FROM sc GROUP BY s),
+           |tot AS (SELECT CAST(SUM(np) AS BIGINT) AS pos FROM cells),
+           |cum AS (SELECT s,
+           |    CAST(SUM(n) OVER (ORDER BY s DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS pp,
+           |    CAST(SUM(np) OVER (ORDER BY s DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           |      AS tp
+           |  FROM cells)
+           |SELECT s AS threshold_bp, pp, tp,
+           |  (tp * 10000) // pp AS precision_bp,
+           |  (tp * 10000) // pos AS recall_bp
+           |FROM cum, tot ORDER BY threshold_bp""".stripMargin
       }))
   )
 }
