@@ -68,6 +68,10 @@ object PlanAudit {
                               // broadcast-crossed into the map-only
                               // classify pass — bounded by the label
                               // space, never corpus-sized
+    "q194_hard_negatives",  // |anchors|=20 broadcast × corpus — q26's
+                            // exact-baseline shape with a label filter
+    "q195_pr_curve",        // 1-row positive-total scalar broadcast
+                            // into the domain-bounded cell table
     "q166_ks_drift",          // ≤30-row corpus log2-CDF + 1-row total
                               // broadcast into the per-source grid —
                               // bounded by the bucket domain
