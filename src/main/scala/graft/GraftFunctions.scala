@@ -62,6 +62,19 @@ object GraftFunctions {
       if (na == 0L || nb == 0L) null.asInstanceOf[java.lang.Double]
       else java.lang.Double.valueOf(dot.toDouble / math.sqrt(na.toDouble * nb.toDouble))
     })
+    // perceptual image hash (ImageDedup.dhash — the q189/q190 kernel):
+    // an image codec can't be a codegen expression, so the SQL face is
+    // a UDF over the same function the DataFrame path runs
+    spark.udf.register("image_dhash",
+      (b: Array[Byte]) => graft.operators.ImageDedup.dhash(b)
+        .map(java.lang.Long.valueOf).orNull)
+    // PII scrub (TextFns.redactPii composition) for SQL text; the
+    // DataFrame path stays the codegen'd regexp_replace chain
+    spark.udf.register("redact_pii", (s: String) =>
+      if (s == null) null
+      else s.replaceAll(TextFns.EmailRe, "<EMAIL>")
+        .replaceAll(TextFns.Ipv4Re, "<IP>")
+        .replaceAll(TextFns.PhoneRe, "<PHONE>"))
   }
 
   /** Register the driver test tables as temp views for SQL access

@@ -22,6 +22,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(r.getSeq[Long](5).length == 2) // "a b c", "b c d"
   }
 
+  test("image_dhash and redact_pii are callable from SQL text") {
+    GraftFunctions.registerAll(spark)
+    spark.read
+      .parquet(graft.util.RepoRoot.fixture("image_assets.parquet"))
+      .createOrReplaceTempView("image_assets")
+    val r = spark.sql(
+      """SELECT image_dhash(content) AS dh,
+        |  redact_pii('mail a@b.co from 1.2.3.4') AS red
+        |FROM image_assets WHERE asset_id = 1""".stripMargin).head()
+    val expected = spark.read
+      .parquet(graft.util.RepoRoot.fixture("image_dhash_expected.parquet"))
+      .where("asset_id = 1").head().getLong(1)
+    assert(r.getLong(0) == expected)
+    assert(r.getString(1) == "mail <EMAIL> from <IP>")
+    // undecodable payload -> NULL through the SQL face too
+    assert(spark.sql(
+      "SELECT image_dhash(content) FROM image_assets WHERE asset_id = 12")
+      .head().isNullAt(0))
+  }
+
   test("a full SQL query over registered views matches the DataFrame API") {
     GraftFunctions.registerAll(spark)
     GraftFunctions.registerViews(spark, sf001)
