@@ -41,7 +41,15 @@ import org.apache.spark.sql.types.LongType
 object ImageDedup {
 
   /** 64-bit dHash of one image payload; None when the bytes don't
-    * decode (or the image is smaller than the 9×8 grid). */
+    * decode (or the image is smaller than the 9×8 grid).
+    *
+    * Pixel contract: the hash is defined over `getRGB`'s sRGB view of
+    * the decoded image — for truecolor sources that is the raw pixel
+    * data (what the fixture pins bit-for-bit); for grayscale/ICC
+    * sources the JDK applies its color-space conversion first, which
+    * is deterministic for a given payload across JVMs but is NOT the
+    * identity mapping an independent reimplementation might assume —
+    * pin any new fixture image type against this implementation. */
   def dhash(content: Array[Byte]): Option[Long] = {
     val img =
       try Option(javax.imageio.ImageIO.read(
