@@ -720,6 +720,77 @@ object VectorQueries {
              |  SELECT *, ROW_NUMBER() OVER (PARTITION BY a_id
              |    ORDER BY cosine DESC, n_id) AS rnk
              |  FROM cos) t
-             |WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin))
+             |WHERE rnk <= 3 ORDER BY a_id, rnk""".stripMargin)),
+
+    // Similarity-ordered context packing (in-context pretraining —
+    // Shi et al. 2023, arXiv:2310.10638: packing RELATED documents
+    // into one context window beats random order): q88's token-budget
+    // packing, but the packing unit is the document's IVF cell
+    // (SimilaritySearch.assignCells over q27's deterministic seed
+    // centroids) instead of a doc_id shard — documents sharing a
+    // window are embedding-neighbors. Within-cell window sums are
+    // bounded by cell size (~corpus/√N cells by IVF design; q88's
+    // shard split composes on top if a cell outgrows a task). The
+    // oracle replays assignment (exact scaled-long L2 argmin) and
+    // packing in SQL; fill_ratio divides by a power of two, so the
+    // double is exact.
+    Q("q196_context_packing",
+      (s, dir) => {
+        import graft.functions.TextFns
+        import org.apache.spark.sql.types.{DoubleType, LongType}
+        val emb = Tables(s, dir, "embeddings")
+        val centroids = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+        val cells = SimilaritySearch.assignCells(
+            emb.select(col("vec_id"), col("embedding")), centroids,
+            "vec_id", "embedding")
+          .select(col("vec_id").as("doc_id"), col("cell_id").as("cell"))
+        val docs = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            TextFns.tokenCount(col("text")).cast(LongType).as("n_tokens"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cell")).orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        docs.join(cells, "doc_id")
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("seq_id", expr("(cum - n_tokens) div 2048"))
+          .groupBy(col("cell"), col("seq_id"))
+          .agg(count(lit(1)).cast(LongType).as("n_docs"),
+            sum(col("n_tokens")).cast(LongType).as("seq_tokens"),
+            min(col("doc_id")).as("first_doc"))
+          .select(col("cell"), col("seq_id"), col("n_docs"), col("seq_tokens"),
+            round(col("seq_tokens").cast(DoubleType) / lit(2048.0), 6)
+              .as("fill_ratio"), col("first_doc"))
+          .orderBy(col("cell"), col("seq_id"))
+      },
+      Some {
+        def l2(a: String, b: String) =
+          s"(${normSql(a)} - 2 * ${dotSql(a, b)} + ${normSql(b)})"
+        s"""WITH cent AS (SELECT vec_id AS cell_id, embedding AS cell_vec
+           |    FROM embeddings WHERE vec_id % 50 = 0),
+           |v AS (SELECT vec_id, embedding AS cv FROM embeddings),
+           |assigned AS (SELECT vec_id, cell_id,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY ${l2("cv", "cell_vec")}, cell_id) AS arn
+           |  FROM v, cent),
+           |cellof AS (SELECT vec_id AS doc_id, cell_id AS cell
+           |  FROM assigned WHERE arn = 1),
+           |t AS (SELECT d.doc_id, cell,
+           |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+           |      x -> x <> '')) AS BIGINT) AS n_tokens
+           |  FROM documents d JOIN cellof USING (doc_id)),
+           |c AS (SELECT doc_id, cell, n_tokens,
+           |    CAST(SUM(n_tokens) OVER (PARTITION BY cell ORDER BY doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM t),
+           |p AS (SELECT cell, doc_id, n_tokens,
+           |    (cum - n_tokens) // 2048 AS seq_id FROM c)
+           |SELECT cell, seq_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           |  round(CAST(SUM(n_tokens) AS DOUBLE) / CAST(2048 AS DOUBLE), 6)
+           |    AS fill_ratio,
+           |  MIN(doc_id) AS first_doc
+           |FROM p GROUP BY cell, seq_id ORDER BY cell, seq_id""".stripMargin
+      })
   )
 }
