@@ -72,6 +72,8 @@ object PlanAudit {
                             // exact-baseline shape with a label filter
     "q195_pr_curve",        // 1-row positive-total scalar broadcast
                             // into the domain-bounded cell table
+    "q196_context_packing", // 10-centroid broadcast × corpus — q27's
+                            // IVF assignment stage reused for packing
     "q166_ks_drift",          // ≤30-row corpus log2-CDF + 1-row total
                               // broadcast into the per-source grid —
                               // bounded by the bucket domain
