@@ -34,6 +34,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATESTORE=rocksdb times the streaming family on
+    // the disk-backed store (same hook as Verify/ScaleTrial)
+    sys.env.get("SPARK_GRAFT_STATESTORE")
+      .foreach(v => spark.conf.set("spark.graft.stateStore", v))
     // ten base tables, 95 queries: read each parquet once per session
     graft.util.Tables.enableSessionCache()
     // JVM/codegen warmup outside the timed region: the flagship entry

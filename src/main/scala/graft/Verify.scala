@@ -21,6 +21,11 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_STATESTORE=rocksdb runs the streaming family on the
+    // disk-backed store (state > heap posture) — same hook as
+    // ScaleTrial, honored by EventStreams.applyStateStore
+    sys.env.get("SPARK_GRAFT_STATESTORE")
+      .foreach(v => spark.conf.set("spark.graft.stateStore", v))
     // 95 queries over ten base tables: read each parquet once
     graft.util.Tables.enableSessionCache()
     new java.io.File(outDir).mkdirs()
