@@ -70,11 +70,24 @@ for name in names:
     # even when every value is equal. Catch the class locally.
     try:
         du_sch = con.execute(f"SELECT * FROM ({sql}) LIMIT 0").arrow().schema
-        widened = [(f.name, str(f.type)) for f in du_sch
-                   if "decimal" in str(f.type)]
+        sp_sch = con.execute(
+            f"SELECT * FROM '{pdir}/*.parquet' LIMIT 0").arrow().schema
+        sp_types = {f.name: str(f.type) for f in sp_sch}
+        INTEGRAL = ("int8", "int16", "int32", "int64",
+                    "uint8", "uint16", "uint32", "uint64")
+        widened = []
+        for f in du_sch:
+            du_t, sp_t = str(f.type), sp_types.get(f.name, "")
+            # decimal oracle vs non-decimal Spark: the HUGEINT class
+            if "decimal" in du_t and "decimal" not in sp_t:
+                widened.append((f.name, du_t, sp_t))
+            # float oracle vs integral Spark: formats 1.0 vs 1
+            elif du_t in ("float", "double") and sp_t in INTEGRAL:
+                widened.append((f.name, du_t, sp_t))
         if widened:
-            print(f"TYPEWIDE {name}: oracle returns {widened} — cast to "
-                  f"BIGINT (DuckDB HUGEINT hashes differently than int64)")
+            print(f"TYPEWIDE {name}: oracle widens {widened} vs spark — "
+                  f"CAST the oracle column to the exact Spark type "
+                  f"(formatted-value hashing diverges at equal values)")
             fails += 1
             continue
     except Exception:

@@ -152,7 +152,10 @@ object TextFns {
 
   /** PII patterns (email / IPv4 / NANP-suffix phone), kept inside the
     * regex subset Java and RE2 execute identically (character classes,
-    * bounded repetition, \b ASCII word boundaries — no lookaround), so
+    * bounded repetition, \b ASCII word boundaries — no lookaround, and
+    * no (?m) line anchors: Java's MULTILINE recognizes \r/NEL/LS/PS as
+    * line terminators where RE2 only sees \n, so line-anchored
+    * patterns must run on \n-normalized text — see q192), so
     * a DuckDB oracle replays detection and redaction byte-for-byte.
     * This is the C4/Dolma-style scrub stage: counts for the audit
     * artifact, regexp_replace chain for the redacted corpus. Order

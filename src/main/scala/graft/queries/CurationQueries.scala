@@ -865,10 +865,17 @@ object CurationQueries {
           .withColumn("n_sym", TextFns.piiCount(col("text"), "#|\\.\\.\\."))
           .withColumn("sym_per_1000",
             expr("(n_sym * 1000) div greatest(n_words, 1L)"))
+          // Line-anchored counts run on \n-normalized text: Java's
+          // MULTILINE treats \r, NEL and LS/PS as terminators while
+          // RE2 (the oracle) only recognizes \n — both sides normalize
+          // with the same pattern so (?m)^/$ agree byte-for-byte on
+          // CRLF and Unicode-terminated text.
+          .withColumn("nl_text", regexp_replace(col("text"),
+            "\\r\\n|[\\r\\x{0085}\\x{2028}\\x{2029}]", "\n"))
           .withColumn("bullet_lines",
-            TextFns.piiCount(col("text"), "(?m)^[-*•]"))
+            TextFns.piiCount(col("nl_text"), "(?m)^[-*•]"))
           .withColumn("ellipsis_lines",
-            TextFns.piiCount(col("text"), "(?m)\\.\\.\\.$"))
+            TextFns.piiCount(col("nl_text"), "(?m)\\.\\.\\.$"))
           .withColumn("stop_hits",
             size(filter(array_distinct(col("t")),
               t => t.isin(sw: _*))).cast(LongType))
@@ -892,9 +899,13 @@ object CurationQueries {
            |      AS sum_len,
            |    CAST(len(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT)
            |      AS n_sym,
-           |    CAST(len(regexp_extract_all(text, '(?m)^[-*•]')) AS BIGINT)
+           |    CAST(len(regexp_extract_all(regexp_replace(text,
+           |      '\\r\\n|[\\r\\x{0085}\\x{2028}\\x{2029}]', chr(10), 'g'),
+           |      '(?m)^[-*•]')) AS BIGINT)
            |      AS bullet_lines,
-           |    CAST(len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS BIGINT)
+           |    CAST(len(regexp_extract_all(regexp_replace(text,
+           |      '\\r\\n|[\\r\\x{0085}\\x{2028}\\x{2029}]', chr(10), 'g'),
+           |      '(?m)\\.\\.\\.$$')) AS BIGINT)
            |      AS ellipsis_lines,
            |    CAST(len(list_filter(list_distinct(t), x -> x IN ($sw)))
            |      AS BIGINT) AS stop_hits

@@ -140,6 +140,13 @@ class WarcMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
 
   private def spark = SparkSession.active
   @volatile private var availableNowSnapshot: Option[Seq[String]] = None
+  // Listing captured at admission time (latestOffset): batch membership
+  // is pinned when the offset is chosen, so a file landing mid-trigger
+  // with a name inside the admitted range can neither sneak into the
+  // in-flight batch (breaking the maxFilesPerTrigger bound and making a
+  // WAL replay differ from the committed batch) nor be skipped — it is
+  // admitted by the NEXT trigger's fresh listing.
+  @volatile private var admissionSnapshot: Seq[String] = Nil
   private def names: Seq[String] = availableNowSnapshot.getOrElse(
     Warc.listFiles(spark, path).map(_._1)) // sorted by name
 
@@ -153,13 +160,18 @@ class WarcMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
   /** "" sorts strictly before every file name. */
   override def initialOffset(): streaming.Offset = WarcOffset("")
 
-  override def latestOffset(): streaming.Offset =
-    WarcOffset(names.lastOption.getOrElse(""))
+  override def latestOffset(): streaming.Offset = {
+    val listing = names
+    admissionSnapshot = listing
+    WarcOffset(listing.lastOption.getOrElse(""))
+  }
 
   override def latestOffset(start: streaming.Offset,
                             limit: ReadLimit): streaming.Offset = {
     val from = start.asInstanceOf[WarcOffset].last
-    val pending = names.filter(_ > from)
+    val listing = names
+    admissionSnapshot = listing
+    val pending = listing.filter(_ > from)
     val admitted = limit match {
       case m: ReadMaxFiles => pending.take(m.maxFiles())
       case _ => pending
@@ -174,7 +186,15 @@ class WarcMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
                                    end: streaming.Offset): Array[InputPartition] = {
     val from = start.asInstanceOf[WarcOffset].last
     val to = end.asInstanceOf[WarcOffset].last
-    val files = names.filter(n => n > from && n <= to)
+    // Plan from the listing snapshotted at admission time, so batch
+    // membership is exactly what latestOffset admitted. A fresh stream
+    // instance replaying a WAL batch (restart) has no snapshot covering
+    // `to` and falls back to a live listing filtered by the committed
+    // name range — the closest reconstruction a name-keyed offset
+    // permits.
+    val snapshot = admissionSnapshot
+    val base = if (to.isEmpty || snapshot.contains(to)) snapshot else names
+    val files = base.filter(n => n > from && n <= to)
     // one partition per file: record ranges within a batch's files
     // still decode in parallel across the batch
     files.map(f =>
@@ -218,8 +238,10 @@ object WarcOffset {
     while (i < body.length) {
       body.charAt(i) match {
         case '\\' =>
+          require(i + 1 < body.length, s"malformed warc offset: $t")
           body.charAt(i + 1) match {
             case 'u' =>
+              require(i + 6 <= body.length, s"malformed warc offset: $t")
               sb.append(Integer.parseInt(body.substring(i + 2, i + 6), 16).toChar)
               i += 6
             case c => sb.append(c); i += 2

@@ -101,4 +101,17 @@ class WarcSourceSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("WARC/"))
   }
+
+  test("offset json round-trips and truncated escapes fail with the malformed diagnostic") {
+    import graft.sources.WarcOffset
+    for (name <- Seq("", "plain.warc", "q\"uote\\back\tctl.warc")) {
+      assert(WarcOffset.fromJson(WarcOffset(name).json()).last == name)
+    }
+    // corrupted checkpoint: escape cut mid-sequence must hit the
+    // malformed-offset require, not a StringIndexOutOfBoundsException
+    for (bad <- Seq("{\"last\":\"x\\\"}", "{\"last\":\"x\\u00\"}")) {
+      val e = intercept[IllegalArgumentException](WarcOffset.fromJson(bad))
+      assert(e.getMessage.contains("malformed warc offset"))
+    }
+  }
 }
