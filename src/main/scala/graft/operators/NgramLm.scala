@@ -154,7 +154,12 @@ object NgramLm {
     val dg = bigrams(docs, idCol, textCol)
       .groupBy(col(idCol), col("g"))
       .agg(count(lit(1)).cast(LongType).as("cnt"))
-      .localCheckpoint()
+      // lazy: materializes inside the first consuming job instead of
+      // paying a separate eager barrier job; consumers still share the
+      // one pinned RDD (the PrefixSum convention). Safe here because
+      // every consumer is order-insensitive (aggregates + broadcast
+      // build) over a deterministic row SET.
+      .localCheckpoint(eager = false)
     val gc = dg.groupBy(col("g")).agg(sum(col("cnt")).cast(LongType).as("cab"))
     val ca = gc.groupBy(substring(col("g"), 1, 1).as("a"))
       .agg(sum(col("cab")).as("ca"))
@@ -239,7 +244,7 @@ object DsirSelect {
     // driver.
     val dg = bg.groupBy(col(idCol), col("tgt"), col("g"))
       .agg(count(lit(1)).cast(LongType).as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false) // lazy: see selfScore
     // distinct-gram corpus counts: ≤ |alphabet|² groups
     val gc = dg.groupBy(col("g")).agg(
       sum(when(col("tgt"), col("cnt")).otherwise(0L)).cast(LongType).as("ct_g"),

@@ -62,4 +62,42 @@ object PrefixSum {
       .withColumn(outCol, col("_local") + col("_off"))
       .drop("_pid", "_local", "_off")
   }
+
+  /** Per-group running totals in ONE machine: `outCol` = running sum
+    * of `valueCol` within each `groupCol` value, ordered by
+    * `orderCol`. Equivalent to one [[apply]] per group but pays the
+    * range-sampling job, the checkpoint, and the totals/offset stages
+    * ONCE — q155 composes three dimension-wise prefix sums and
+    * serialized three of everything through the driver before this.
+    * Same two-phase scan: range-partition on (group, order) so a
+    * group's rows appear in order across consecutive partitions, sum
+    * locally per (partition, group), then offset by the preceding
+    * partitions' totals OF THE SAME GROUP (a numParts × |groups| frame
+    * windowed per group — still bounded by the partition count, never
+    * by the data). */
+  def grouped(df: DataFrame, groupCol: String, orderCol: String,
+              valueCol: String, outCol: String = "cum",
+              numParts: Int = 0): DataFrame = {
+    val n = if (numParts > 0) numParts
+            else df.sparkSession.sparkContext.defaultParallelism
+    val parted = df.repartitionByRange(n, col(groupCol), col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("_pid"), col(groupCol))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // same single-RDD guarantee as apply(): _pid must agree between
+    // the totals branch and the final join
+    val local = parted.withColumn("_local", sum(col(valueCol)).over(wLocal))
+      .localCheckpoint(eager = false)
+    val totals = local.groupBy(col("_pid"), col(groupCol))
+      .agg(sum(col(valueCol)).as("_ptot"))
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals
+      .withColumn("_off", coalesce(sum(col("_ptot")).over(wOff), lit(0L)))
+      .select(col("_pid"), col(groupCol), col("_off"))
+    local.join(broadcast(offsets), Seq("_pid", groupCol))
+      .withColumn(outCol, col("_local") + col("_off"))
+      .drop("_pid", "_local", "_off")
+  }
 }

@@ -32,6 +32,27 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == expected(rows))
   }
 
+  test("grouped prefix sum equals one apply() per group") {
+    val rng = new scala.util.Random(11)
+    val rows = for {
+      g <- Seq("a", "b", "c")
+      i <- 0L until 400L
+    } yield (g, i, (rng.nextInt(100) - 20).toLong)
+    val perGroup: Map[(String, Long), Long] = rows.groupBy(_._1).flatMap {
+      case (g, rs) =>
+        var acc = 0L
+        rs.sortBy(_._2).map { case (_, k, v) => acc += v; (g, k) -> acc }
+    }
+    val df = rows.toDF("g", "k", "v")
+    for (n <- Seq(1, 3, 16, 64)) {
+      val got = PrefixSum.grouped(df, "g", "k", "v", numParts = n)
+        .select(col("g"), col("k"), col("cum"))
+        .as[(String, Long, Long)].collect()
+        .map { case (g, k, c) => (g, k) -> c }.toMap
+      assert(got == perGroup, s"grouped mismatch at numParts=$n")
+    }
+  }
+
   test("offsets frame is bounded by partition count, not rows") {
     // the only non-parallel step must be the numParts-row window; the
     // data-sized stages keep the requested parallelism
