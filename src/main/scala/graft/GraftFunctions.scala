@@ -13,12 +13,46 @@ import org.apache.spark.sql.graftbridge.ColumnBridge
   */
 object GraftFunctions {
 
+  /** The full SQL-callable kernel list — the "DataFrame + Spark SQL
+    * text" parity claim, pinned by SqlSurfaceSpec (which asserts every
+    * name here resolves and evaluates from SQL text). Keep in sync
+    * with [[registerAll]]. */
+  val kernelNames: Seq[String] = Seq(
+    "normalize_text", "difflib_ratio", "dot_scaled",
+    "sorted_intersect_count", "shingle_hashes", "simhash_wide",
+    "winnow_fingerprints", "bpe_apply", "bpe_tokens", "bpe_token_count",
+    "clean_price", "clean_area", "clean_smallint", "clean_numeric_small",
+    "title_type", "content_hash", "poi_hash", "doc_hash",
+    "html_to_text", "lang_id", "quality_score", "token_count",
+    "quantize_int8", "cosine_q8", "l2_sq_scaled",
+    "haversine_km", "cosine_sim", "image_dhash", "redact_pii")
+
+  private def intLit(e: org.apache.spark.sql.catalyst.expressions.Expression,
+                     fn: String, arg: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Number,
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.ByteType) => v.intValue()
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
   /** Register graft's custom scalar functions into the session's
     * function registry. Native Catalyst expressions go in directly
-    * (stay codegen'd in SQL text too); composed-Column combinators get
-    * Scala-UDF shims for SQL access — the DataFrame API versions in
-    * graft.functions remain the codegen'd hot path. */
+    * (stay codegen'd in SQL text too); Column combinators register as
+    * expression builders — the SQL face composes the SAME native
+    * expression tree the DataFrame path builds, so nothing leaves
+    * whole-stage codegen. Only the two genuinely-JVM kernels
+    * (image_dhash's codec, cosine_sim's loop) are Scala UDFs. */
   def registerAll(spark: SparkSession): Unit = {
+    // a SQL name for a Column combinator: build columns from the call
+    // arguments, compose, hand the composed expression tree back
+    def combinator(name: String)(f: Seq[org.apache.spark.sql.Column]
+        => org.apache.spark.sql.Column): Unit =
+      ColumnBridge.registerFunction(spark, name,
+        exprs => ColumnBridge.eagerExpression(f(exprs.map(ColumnBridge.column))))
+
     ColumnBridge.registerFunction(spark, "normalize_text",
       exprs => NormalizeTextExpr(exprs.head))
     ColumnBridge.registerFunction(spark, "difflib_ratio",
@@ -28,15 +62,51 @@ object GraftFunctions {
     ColumnBridge.registerFunction(spark, "sorted_intersect_count",
       exprs => SortedIntersectCountExpr(exprs(0), exprs(1)))
     ColumnBridge.registerFunction(spark, "shingle_hashes",
-      exprs => ShingleHashesExpr(exprs(0), exprs(1) match {
-        case org.apache.spark.sql.catalyst.expressions.Literal(v: Number,
-            org.apache.spark.sql.types.IntegerType |
-            org.apache.spark.sql.types.LongType |
-            org.apache.spark.sql.types.ShortType |
-            org.apache.spark.sql.types.ByteType) => v.intValue()
-        case other => throw new IllegalArgumentException(
-          s"shingle_hashes(text, n): n must be an integer literal, got $other")
-      }))
+      exprs => ShingleHashesExpr(exprs(0),
+        intLit(exprs(1), "shingle_hashes(text, n)", "n")))
+    ColumnBridge.registerFunction(spark, "simhash_wide",
+      exprs => SimHashWideExpr(exprs.head))
+    ColumnBridge.registerFunction(spark, "winnow_fingerprints",
+      exprs => WinnowFingerprintsExpr(exprs(0),
+        intLit(exprs(1), "winnow_fingerprints(text, k, w)", "k"),
+        intLit(exprs(2), "winnow_fingerprints(text, k, w)", "w")))
+    // rank-ordered BPE merge application: the merge table must be a
+    // literal (foldable) array of [l, r] pairs — it is a trained
+    // ARTIFACT, evaluated once at registration so the per-row path is
+    // the same codegen'd regexp chain the DataFrame API builds
+    ColumnBridge.registerFunction(spark, "bpe_apply", exprs => {
+      require(exprs.length == 2 && exprs(1).foldable,
+        "bpe_apply(word, merges): merges must be a literal array of [l, r] pairs")
+      val arr = exprs(1).eval()
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val merges = (0 until arr.numElements()).map { i =>
+        val p = arr.getArray(i)
+        require(p != null && p.numElements() == 2,
+          s"bpe_apply: merges[$i] must be a [l, r] pair")
+        (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+      }
+      ColumnBridge.eagerExpression(
+        BpeApply.tokens(ColumnBridge.column(exprs(0)), merges))
+    })
+    combinator("bpe_tokens")(cs => TextFns.bpeTokens(cs(0)))
+    combinator("bpe_token_count")(cs => TextFns.bpeTokenCount(cs(0)))
+    combinator("clean_price")(cs => CleanFns.cleanPrice(cs(0), cs(1)))
+    combinator("clean_area")(cs => CleanFns.cleanArea(cs(0)))
+    combinator("clean_smallint")(cs => CleanFns.cleanSmallint(cs(0)))
+    combinator("clean_numeric_small")(cs => CleanFns.cleanNumericSmall(cs(0)))
+    combinator("title_type")(cs => CleanFns.titleTypeClassifier(cs(0)))
+    combinator("content_hash")(cs => HashFns.contentHash(
+      cs(0), cs(1), cs(2), cs(3), cs(4), cs(5), cs(6)))
+    combinator("poi_hash")(cs => HashFns.poiHash(cs(0), cs(1), cs(2)))
+    combinator("doc_hash")(cs => HashFns.docHash(cs(0)))
+    combinator("html_to_text")(cs => TextFns.htmlToText(cs(0)))
+    combinator("lang_id")(cs => TextFns.langId(cs(0)))
+    combinator("quality_score")(cs =>
+      TextFns.qualityScore(cs(0), TextFns.langStopwords.head._2))
+    combinator("token_count")(cs => TextFns.tokenCount(cs(0)))
+    combinator("quantize_int8")(cs => VectorFns.quantizeInt8(cs(0)))
+    combinator("cosine_q8")(cs => VectorFns.cosineQ8(cs(0), cs(1)))
+    combinator("l2_sq_scaled")(cs => VectorFns.l2SqScaled(cs(0), cs(1)))
     spark.udf.register("haversine_km",
       (lat1: Double, lon1: Double, lat2: Double, lon2: Double) => {
         // same formula as GeoFns.haversineKm (cl_test1.py:29-35)

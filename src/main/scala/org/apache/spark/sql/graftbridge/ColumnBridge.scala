@@ -14,6 +14,17 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager ColumnNode → Expression conversion. [[expression]] wraps a
+    * public-API Column in a lazy `ColumnNodeExpression` that only the
+    * Dataset construction path unwraps — returned from a
+    * FunctionRegistry builder it survives analysis unresolved and
+    * fails at codegen. This converts the node tree to real Catalyst
+    * expressions up front (builtins become `UnresolvedFunction`s the
+    * analyzer DOES resolve), so Column combinators can back SQL-text
+    * functions. */
+  def eagerExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Register an expression builder as a SQL-callable temp function
     * (FunctionRegistry is `private[sql]`, hence this bridge). */
   def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,

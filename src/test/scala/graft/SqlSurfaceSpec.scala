@@ -42,6 +42,58 @@ class SqlSurfaceSpec extends SparkSpec {
       .head().isNullAt(0))
   }
 
+  test("every public kernel in kernelNames resolves and evaluates from SQL text") {
+    GraftFunctions.registerAll(spark)
+    // closure: each registered name must parse, resolve, and produce a
+    // value through pure SQL text — one probe call per kernel
+    val probes = Map(
+      "normalize_text" -> "normalize_text('Ábc')",
+      "difflib_ratio" -> "difflib_ratio('ab', 'ab')",
+      "dot_scaled" -> "dot_scaled(array(1.0F), array(2.0F))",
+      "sorted_intersect_count" ->
+        "sorted_intersect_count(array('a', 'b'), array('b', 'c'))",
+      "shingle_hashes" -> "shingle_hashes('a b c d', 3)",
+      "simhash_wide" -> "simhash_wide('hello world hello')",
+      "winnow_fingerprints" -> "winnow_fingerprints('abcdefghij', 3, 4)",
+      "bpe_apply" -> "bpe_apply('spark', array(array('s','p'), array('a','r')))",
+      "bpe_tokens" -> "bpe_tokens('hello world 42!')",
+      "bpe_token_count" -> "bpe_token_count('hello world 42!')",
+      "clean_price" -> "clean_price('1.234,56', '€')",
+      "clean_area" -> "clean_area('120 m2')",
+      "clean_smallint" -> "clean_smallint('42')",
+      "clean_numeric_small" -> "clean_numeric_small('3.5')",
+      "title_type" -> "title_type('Apartamento en venta')",
+      "content_hash" ->
+        "content_hash('t', 1.0D, 'crc', 10.0D, 1.0D, 2.0D, map('a', '1'))",
+      "poi_hash" -> "poi_hash('cafe', 9.9281D, -84.0907D)",
+      "doc_hash" -> "doc_hash('body')",
+      "html_to_text" -> "html_to_text('<p>hi &amp; bye</p>')",
+      "lang_id" -> "lang_id('the cat sat on the mat and is happy')",
+      "quality_score" -> "quality_score('the quick brown fox is in the barn')",
+      "token_count" -> "token_count('a b  c')",
+      "quantize_int8" -> "quantize_int8(array(0.5F, -0.5F))",
+      "cosine_q8" ->
+        "cosine_q8(quantize_int8(array(1.0F, 0.0F)), quantize_int8(array(1.0F, 0.0F)))",
+      "l2_sq_scaled" -> "l2_sq_scaled(array(1.0F), array(2.0F))",
+      "haversine_km" -> "haversine_km(0.0D, 0.0D, 0.0D, 1.0D)",
+      "cosine_sim" -> "cosine_sim(array(1.0F), array(1.0F))",
+      "image_dhash" -> "image_dhash(CAST(NULL AS BINARY))",
+      "redact_pii" -> "redact_pii('a@b.co')")
+    val missing = GraftFunctions.kernelNames.filterNot(probes.contains)
+    assert(missing.isEmpty, s"kernelNames without a probe: $missing")
+    GraftFunctions.kernelNames.foreach { k =>
+      val row = spark.sql(s"SELECT ${probes(k)} AS v").head()
+      // evaluation succeeded; null only where the probe is a null input
+      if (k != "image_dhash") assert(!row.isNullAt(0), s"$k returned null")
+    }
+    // spot-check semantics through the SQL face
+    assert(spark.sql("SELECT bpe_apply('spark', array(array('s','p'), array('a','r')))")
+      .head().getSeq[String](0) == Seq("sp", "ar", "k"))
+    assert(spark.sql("SELECT token_count('a b  c')").head().getInt(0) == 3)
+    assert(spark.sql("SELECT lang_id('the cat sat on the mat and is happy')")
+      .head().getString(0) == "en")
+  }
+
   test("a full SQL query over registered views matches the DataFrame API") {
     GraftFunctions.registerAll(spark)
     GraftFunctions.registerViews(spark, sf001)
