@@ -135,4 +135,39 @@ object SimilaritySearch {
     TopKPhysical.topK(cand, Seq(qId), Seq(("cosine", false), (cId, true)), k)
       .select(col(qId), col(cId), col("cosine"), col("rnk"))
   }
+
+  /** Corpus-scale hard-negative mining through the IVF cell probe —
+    * q194's 100-TB path (its registry form broadcasts a small anchor
+    * batch against the full corpus exactly; this probes only the
+    * nProbe nearest cells per anchor): per anchor, the top-k
+    * most-similar vectors with a DIFFERENT label. The label-mismatch
+    * filter applies BEFORE the bounded top-k buffers, so only
+    * (ids, cosine) rows ever reach them — same discipline as the
+    * exact form. `indexed` must carry the label column (buildIndex
+    * preserves every corpus column). */
+  def probeHardNegatives(anchors: DataFrame, indexed: DataFrame,
+                         centroids: DataFrame, qId: String, qVec: String,
+                         qLbl: String, cId: String, cLbl: String,
+                         cVec: String, k: Int, nProbe: Int): DataFrame = {
+    val cent = centroids
+      .withColumn("_centn", VectorFns.normSqScaled(col("cell_vec")))
+    val qCells = anchors
+      .withColumn("_qn", VectorFns.normSqScaled(col(qVec)))
+      .crossJoin(broadcast(cent))
+      .withColumn("_d",
+        col("_qn") - lit(2L) * VectorFns.dotScaled(col(qVec), col("cell_vec")) + col("_centn"))
+    val probes = TopKPhysical.topK(
+      qCells.select(col(qId), col(qVec), col(qLbl), col("_qn"),
+        col("cell_id"), col("_d")),
+      Seq(qId), Seq(("_d", true), ("cell_id", true)), nProbe, "_rn")
+      .select(col(qId), col(qVec), col(qLbl), col("_qn"),
+        col("cell_id").as("cell"))
+    val cand = probes.join(indexed, "cell")
+      .filter(col(qLbl) =!= col(cLbl))
+      .withColumn("cosine", cosineFromParts(
+        VectorFns.dotScaled(col(qVec), col(cVec)), col("_qn"), col("_cn")))
+      .select(col(qId), col(cId), col("cosine"))
+    TopKPhysical.topK(cand, Seq(qId), Seq(("cosine", false), (cId, true)), k)
+      .select(col(qId), col(cId), col("cosine"), col("rnk"))
+  }
 }

@@ -144,6 +144,42 @@ object ScaleTrial {
       println(f"${"q27 ivf build"}%-26s $ba%8.2f $bb%8.2f ${bb / ba}%5.1f")
       println(f"${"q27 ivf probe"}%-26s $pa%8.2f $pb%8.2f ${pb / pa}%5.1f")
     }
+    // q194's registry form is the exact broadcast mine (|anchors|=20
+    // × corpus, allowlisted); the operator's 100-TB story is the IVF
+    // cell-probe path (SimilaritySearch.probeHardNegatives). Time the
+    // index build and the label-filtered probe apart, like q27 — the
+    // probe is the steady-state serving cost per anchor batch.
+    if (headline.contains("q194_hard_negatives")) {
+      import graft.operators.SimilaritySearch
+      def mineSplit(dir: String): (Double, Double) = {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val centroids = emb.filter(col("vec_id") % 50 === 0)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+        val anchors = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+            col("label").as("a_lbl"))
+        val idx = SimilaritySearch.buildIndex(
+            emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+              col("label").as("n_lbl")),
+            centroids, "n_id", "n_vec")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val t0 = System.nanoTime()
+        idx.count()
+        val build = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        SimilaritySearch.probeHardNegatives(anchors, idx, centroids,
+          "a_id", "a_vec", "a_lbl", "n_id", "n_lbl", "n_vec",
+          k = 3, nProbe = 3).count()
+        val probe = (System.nanoTime() - t1) / 1e9
+        idx.unpersist()
+        (build, probe)
+      }
+      val (ba, pa) = mineSplit(src)
+      val (bb, pb) = mineSplit(outDir)
+      println(f"${"q194 ivf build"}%-26s $ba%8.2f $bb%8.2f ${bb / ba}%5.1f")
+      println(f"${"q194 ivf probe"}%-26s $pa%8.2f $pb%8.2f ${pb / pa}%5.1f")
+    }
     // q98's one-line ratio is a mirage: under count() Catalyst
     // eliminates the final left join (the score side aggregates on the
     // unique join key and count references no right-side column), so

@@ -99,4 +99,35 @@ class VectorAnalyticsSpec extends SparkSpec {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got === expect)
   }
+
+  test("cell-probe hard negatives equal the exact q194 mine when every cell is probed") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+    val centroids = emb.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cell_vec"))
+    val nCells = centroids.count().toInt
+    val idx = SimilaritySearch.buildIndex(
+      emb.select(col("vec_id").as("n_id"), col("embedding").as("n_vec"),
+        col("label").as("n_lbl")),
+      centroids, "n_id", "n_vec")
+    val anchors = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+        col("label").as("a_lbl"))
+    // nProbe = nCells degenerates the probe to the exact search, so
+    // the result must match the registry's broadcast-exact q194
+    val got = SimilaritySearch.probeHardNegatives(anchors, idx, centroids,
+        "a_id", "a_vec", "a_lbl", "n_id", "n_lbl", "n_vec",
+        k = 3, nProbe = nCells)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val exact = rows("q194_hard_negatives")
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    assert(got == exact)
+    // a partial probe returns a subset of label-mismatch pairs
+    val partial = SimilaritySearch.probeHardNegatives(anchors, idx, centroids,
+        "a_id", "a_vec", "a_lbl", "n_id", "n_lbl", "n_vec",
+        k = 3, nProbe = 2).collect()
+    val labelOf = vecs.map(v => v._1 -> v._2).toMap
+    assert(partial.forall(r => labelOf(r.getLong(0)) != labelOf(r.getLong(1))),
+      "partial probe surfaced a same-label pair")
+  }
 }
