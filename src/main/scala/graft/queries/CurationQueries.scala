@@ -989,6 +989,104 @@ object CurationQueries {
            |  (tp * 10000) // pp AS precision_bp,
            |  (tp * 10000) // pos AS recall_bp
            |FROM cum, tot ORDER BY threshold_bp""".stripMargin
-      }))
+      })),
+
+    // Gopher REPETITION rules (Rae et al. 2021, arXiv:2112.11446
+    // §A1.1 — the other half of the rule table; q192 covers the
+    // word/symbol/stopword rules): per document, the character mass
+    // of the single most-frequent word 2-gram and the duplicate
+    // fraction of word 5-grams — the signals that catch boilerplate
+    // loops and template spam that per-token stats miss. Engine
+    // quantization of the paper's fractions, integer-exact both
+    // engines: top2_milli = chars covered by the modal 2-gram
+    // (count × gram chars, space excluded) per-mille of the doc's
+    // non-whitespace chars; rep5_milli = occurrences-beyond-first
+    // per-mille of all 5-grams. Modal-gram ties break to the
+    // lexicographically smallest gram (the min(struct) convention).
+    // Shape at scale: ONE tagged union of the 2-/5-gram explodes →
+    // a (doc, n, gram) wordcount (map-side combine collapses the
+    // within-doc repeats that ARE the signal) → one doc-keyed
+    // rollup; nothing wider than distinct-(doc,gram) crosses the
+    // wire. Thresholds are Gopher's: top-2-gram mass < 20 %,
+    // duplicate 5-grams < 15 %.
+    Q("q197_gopher_repetition",
+      (s, dir) => {
+        val d = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            length(regexp_replace(col("text"), "\\s", ""))
+              .cast(LongType).as("sum_len"),
+            TextFns.shingles(col("text"), 2).as("g2"),
+            TextFns.shingles(col("text"), 5).as("g5"))
+        val grams =
+          d.select(col("doc_id"), lit(2).as("n"), explode(col("g2")).as("g"))
+            .unionAll(
+              d.select(col("doc_id"), lit(5).as("n"), explode(col("g5")).as("g")))
+        val a = grams.groupBy(col("doc_id"), col("n"), col("g"))
+          .agg(count(lit(1)).cast(LongType).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(
+            sum(when(col("n") === 2, col("c"))).cast(LongType).as("n2"),
+            min(when(col("n") === 2,
+              struct((-col("c")).as("nc"), col("g").as("g")))).as("m2"),
+            sum(when(col("n") === 5, col("c"))).cast(LongType).as("n5"),
+            sum(when(col("n") === 5 && col("c") >= 2, col("c") - 1))
+              .cast(LongType).as("dup5"))
+        val top2Chars = ((-col("m2.nc")) *
+          (length(col("m2.g")) - 1).cast(LongType)).cast(LongType)
+        d.select(col("doc_id"), col("sum_len")).join(a, Seq("doc_id"), "left")
+          .withColumn("top2_chars", top2Chars)
+          .withColumn("top2_milli",
+            expr("(top2_chars * 1000) div greatest(sum_len, 1L)"))
+          .withColumn("rep5_milli",
+            when(col("n5").isNotNull,
+              expr("(coalesce(dup5, 0L) * 1000) div n5")))
+          .select(col("doc_id"),
+            coalesce(col("n2"), lit(0L)).as("n_2grams"),
+            col("top2_chars"), col("top2_milli"),
+            coalesce(col("n5"), lit(0L)).as("n_5grams"),
+            col("rep5_milli"),
+            (coalesce(col("top2_milli"), lit(0L)) < 200 &&
+              coalesce(col("rep5_milli"), lit(0L)) < 150).as("keep"))
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    list_filter(string_split_regex(trim(text), '\s+'),
+             |      x -> x <> '') AS t,
+             |    CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT)
+             |      AS sum_len
+             |  FROM documents),
+             |sh AS (
+             |  SELECT doc_id, 2 AS n,
+             |      array_to_string(list_slice(t, i, i + 1), ' ') AS g
+             |    FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+             |    WHERE len(t) >= 2
+             |  UNION ALL
+             |  SELECT doc_id, 5,
+             |      array_to_string(list_slice(t, i, i + 4), ' ')
+             |    FROM toks, unnest(generate_series(1, len(t) - 4)) AS u(i)
+             |    WHERE len(t) >= 5),
+             |c AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+             |  FROM sh GROUP BY 1, 2, 3),
+             |a AS (SELECT doc_id,
+             |    CAST(SUM(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n2,
+             |    min(CASE WHEN n = 2 THEN {'nc': -c, 'g': g} END) AS m2,
+             |    CAST(SUM(CASE WHEN n = 5 THEN c END) AS BIGINT) AS n5,
+             |    CAST(SUM(CASE WHEN n = 5 AND c >= 2 THEN c - 1 END) AS BIGINT)
+             |      AS dup5
+             |  FROM c GROUP BY doc_id),
+             |j AS (SELECT d.doc_id, d.sum_len, n2, m2, n5, dup5,
+             |    CAST((-m2.nc) * (length(m2.g) - 1) AS BIGINT) AS top2_chars
+             |  FROM toks d LEFT JOIN a USING (doc_id))
+             |SELECT doc_id,
+             |  COALESCE(n2, 0) AS n_2grams,
+             |  top2_chars,
+             |  CAST((top2_chars * 1000) // greatest(sum_len, 1) AS BIGINT)
+             |    AS top2_milli,
+             |  COALESCE(n5, 0) AS n_5grams,
+             |  CAST((COALESCE(dup5, 0) * 1000) // n5 AS BIGINT) AS rep5_milli,
+             |  COALESCE((top2_chars * 1000) // greatest(sum_len, 1), 0) < 200
+             |    AND COALESCE((COALESCE(dup5, 0) * 1000) // n5, 0) < 150
+             |    AS keep
+             |FROM j ORDER BY doc_id""".stripMargin))
   )
 }
