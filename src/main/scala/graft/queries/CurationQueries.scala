@@ -241,7 +241,7 @@ object CurationQueries {
           .select(col("doc_id"),
             explode(TextFns.shingles(col("text"), 8)).as("g"))
           .distinct()
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val nw = w.groupBy(col("doc_id"))
           .agg(count(lit(1)).cast(LongType).as("nw"))
         val shared = w.groupBy(col("g"))
@@ -427,7 +427,7 @@ object CurationQueries {
           .select(col("source"),
             explode(TextFns.shingles(col("text"), 8)).as("g"))
           .distinct()
-          .localCheckpoint() // feeds totals and both pair sides
+          .localCheckpoint(eager = false) // feeds totals and both pair sides
         val nw = w.groupBy(col("source"))
           .agg(count(lit(1)).cast(LongType).as("nw"))
         val p = w.as("a").join(w.as("b"), Seq("g"))
@@ -487,7 +487,7 @@ object CurationQueries {
               .cast(LongType).as("bk"))
         val sc = b.groupBy(col("source"), col("bk"))
           .agg(count(lit(1)).cast(LongType).as("c"))
-          .localCheckpoint() // feeds the corpus rollup AND the CDF join
+          .localCheckpoint(eager = false) // feeds the corpus rollup AND the CDF join
         val ac = sc.groupBy(col("bk"))
           .agg(sum(col("c")).cast(LongType).as("ca"))
         val nAll = ac.agg(sum(col("ca")).cast(LongType).as("n_all"))
@@ -1017,10 +1017,14 @@ object CurationQueries {
               .cast(LongType).as("sum_len"),
             TextFns.shingles(col("text"), 2).as("g2"),
             TextFns.shingles(col("text"), 5).as("g5"))
-        val grams =
-          d.select(col("doc_id"), lit(2).as("n"), explode(col("g2")).as("g"))
-            .unionAll(
-              d.select(col("doc_id"), lit(5).as("n"), explode(col("g5")).as("g")))
+        // ONE explode over the tagged concat of both gram arrays — a
+        // union of two explodes would scan (and shingle) the corpus
+        // twice
+        val grams = d.select(col("doc_id"), explode(concat(
+            transform(col("g2"), g => struct(lit(2).as("n"), g.as("g"))),
+            transform(col("g5"), g => struct(lit(5).as("n"), g.as("g")))))
+            .as("x"))
+          .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
         val a = grams.groupBy(col("doc_id"), col("n"), col("g"))
           .agg(count(lit(1)).cast(LongType).as("c"))
           .groupBy(col("doc_id"))

@@ -497,7 +497,7 @@ object ExtraQueries {
         // materialized once: g feeds the prefix sum (which range-
         // repartitions it) and the global total — different exchanges
         val g = v.groupBy(col("p")).agg(count(lit(1)).cast(LongType).as("c"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val cum = graft.operators.PrefixSum(g, "p", "c", "cum")
         val n = g.agg(sum(col("c")).as("n"))
         cum.crossJoin(broadcast(n))

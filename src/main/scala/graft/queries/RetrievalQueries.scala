@@ -142,7 +142,7 @@ object RetrievalQueries {
         val cnt = train.select(col("source"), explode(col("toks")).as("w"))
           .groupBy(col("source"), col("w"))
           .agg(count(lit(1)).cast(LongType).as("c"))
-          .localCheckpoint()
+          .localCheckpoint(eager = false)
         val vocab = cnt.select(col("w")).distinct()
         val vsz = vocab.agg(count(lit(1)).cast(LongType).as("vsz"))
         val classes = train.groupBy(col("source"))
@@ -571,7 +571,7 @@ object RetrievalQueries {
         val dt = docs.select(col("doc_id"),
             explode(TextFns.tokens(col("text"))).as("tok"))
           .distinct()
-          .localCheckpoint() // the inverted-index artifact: 2 corpus consumers
+          .localCheckpoint(eager = false) // the inverted-index artifact: 2 corpus consumers
         val nRow = docs.agg(count(lit(1)).cast(LongType).as("n"))
         val qt = dt.filter(col("doc_id") < 10)
           .select(col("doc_id").as("q_id"), col("tok"))

@@ -74,7 +74,7 @@ object ScaleQueries {
         val signs = emb.select(col("vec_id"), col("embedding"),
             VectorFns.normSqScaled(col("embedding")).as("_n"),
             bucket.as("bucket"), share.as("share"))
-          .localCheckpoint() // one projection pass feeds both sides
+          .localCheckpoint(eager = false) // one projection pass feeds both sides
         val train = signs.filter(col("share") < 90)
           .select(col("bucket"), col("vec_id").as("train_id"),
             col("embedding").as("tv"), col("_n").as("tn"))

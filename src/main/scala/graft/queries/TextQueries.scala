@@ -449,7 +449,7 @@ object TextQueries {
           .select(col("doc_id"), col("source"),
             explode(graft.functions.ShingleHashes(col("text"), n)).as("hv"))
           .distinct()
-          .localCheckpoint() // feeds both splits below
+          .localCheckpoint(eager = false) // feeds both splits below
         val train = grams.filter(!col("source").isin(holdout: _*))
           .select(col("hv")).distinct()
         val test = grams.filter(col("source").isin(holdout: _*))
