@@ -102,6 +102,34 @@ class WarcSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("WARC/"))
   }
 
+  test("a file landing mid-trigger inside the admitted range stays out of the in-flight batch") {
+    import graft.sources.{WarcMicroBatchStream, WarcOffset}
+    import org.apache.spark.sql.connector.read.streaming.ReadLimit
+    spark.version // the stream resolves SparkSession.active lazily
+    val land = Files.createTempDirectory("warc_race")
+    // admitted listing: a.warc and c.warc (c sorts last)
+    Files.copy(Paths.get(s"$dir/a.warc"), land.resolve("a.warc"))
+    Files.copy(Paths.get(s"$dir/a.warc"), land.resolve("c.warc"))
+    val stream = new WarcMicroBatchStream(land.toString, None)
+    val start = stream.initialOffset()
+    val end = stream.latestOffset(start, ReadLimit.allAvailable())
+    assert(end.asInstanceOf[WarcOffset].last.endsWith("c.warc"))
+    // b.warc lands AFTER admission, with a name inside ("", "c.warc"]
+    Files.copy(Paths.get(s"$dir/a.warc"), land.resolve("b.warc"))
+    val planned = stream.planInputPartitions(start, end)
+    val files = planned.flatMap(
+      _.asInstanceOf[graft.sources.WarcInputPartition].ranges.map(_.file))
+      .map(p => p.substring(p.lastIndexOf('/') + 1)).distinct.sorted
+    assert(files.toSeq == Seq("a.warc", "c.warc"),
+      s"mid-trigger arrival leaked into the planned batch: ${files.toSeq}")
+    // ...and the NEXT trigger's fresh listing cannot admit it either
+    // (its name sorts below the committed offset — the documented
+    // benign-skip for a non-monotone producer), so the stream neither
+    // replays nor double-reads: a second admission from `end` is empty
+    val end2 = stream.latestOffset(end, ReadLimit.allAvailable())
+    assert(end2.asInstanceOf[WarcOffset].last.endsWith("c.warc"))
+  }
+
   test("offset json round-trips and truncated escapes fail with the malformed diagnostic") {
     import graft.sources.WarcOffset
     for (name <- Seq("", "plain.warc", "q\"uote\\back\tctl.warc")) {
