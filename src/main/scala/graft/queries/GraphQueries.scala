@@ -30,6 +30,11 @@ object GraphQueries {
             orders("o_orderkey") === lineitem("l_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("sup"))
           .distinct()
+          // eager: the symmetrizing union below consumes ce in BOTH
+          // branches of one plan — without the barrier the
+          // orders⋈lineitem distinct (the query's heaviest stage)
+          // executes twice inside PageRank's edge materialization
+          .localCheckpoint()
         val edges = ce.selectExpr("'c' AS srcType", "c AS srcKey",
             "'s' AS dstType", "sup AS dstKey")
           .unionAll(ce.selectExpr("'s' AS srcType", "sup AS srcKey",
