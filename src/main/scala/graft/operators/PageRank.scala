@@ -40,20 +40,35 @@ object PageRank {
 
   /** Run `iters` power iterations over `edges(srcType, srcKey,
     * dstType, dstKey)` (typed keys let bipartite graphs share the
-    * node space); returns `(node_type, node_key, score)`. */
-  def apply(edges: DataFrame, iters: Int, scale: Long = 1000000000000L): DataFrame = {
+    * node space); returns `(node_type, node_key, score)`.
+    *
+    * `edgesMaterialized = true` tells PageRank the caller already
+    * put a materialization barrier (checkpoint/cache) under `edges`,
+    * so the internal edge checkpoint is skipped: `e` stays a lazy
+    * projection over the caller's RDD and its two consumers (deg,
+    * eAug) each pay only a cheap local re-scan instead of one more
+    * full job barrier. Stacked barriers are exactly what regressed
+    * q106 under a cold driver window (+1.8 s, round-10 verdict). */
+  def apply(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
+            edgesMaterialized: Boolean = false): DataFrame = {
     val spark = edges.sparkSession
     // materialize the (possibly expensive) caller-supplied edge
     // derivation ONCE — e feeds both deg and eAug, and without the
     // checkpoint its upstream plan (q106: an orders⋈lineitem distinct)
     // executes twice
-    val e = edges.select(
+    val eProj = edges.select(
       col("srcType").as("st"), col("srcKey").cast(LongType).as("sk"),
       col("dstType").as("dt"), col("dstKey").cast(LongType).as("dk"))
-      .localCheckpoint()
+    val e = if (edgesMaterialized) eProj else eProj.localCheckpoint()
+    // LAZY checkpoint: deg's consumers are strictly sequential driver
+    // actions — the n-count below materializes it, then eAug's join
+    // and the initial state read the persisted blocks — so the lazy
+    // form gives one-compute semantics without spending a separate
+    // job barrier on it (eager = one more full job; barrier stacking
+    // is what regressed q106 in the r10 driver window)
     val deg = e.groupBy(col("st"), col("sk"))
       .agg(count(lit(1)).cast(LongType).as("outdeg"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // node count and the damped base term as literals: one bounded
     // 1-row read of the node-sized checkpointed degree table, replacing
     // a broadcast nn-frame cross-joined into every iteration
@@ -68,7 +83,7 @@ object PageRank {
       .join(deg.select(col("st").as("dt"), col("sk").as("dk"),
         col("outdeg").as("dst_outdeg")), Seq("dt", "dk"))
       .repartition(col("st"), col("sk"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     var state = deg.selectExpr("st AS nt", "sk AS nk", "outdeg",
       s"CAST($scale AS BIGINT) DIV CAST($n AS BIGINT) AS score")
     for (_ <- 0 until iters) {

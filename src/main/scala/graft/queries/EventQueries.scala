@@ -354,50 +354,58 @@ object EventQueries {
     // Count-Min Sketch frequency estimates (Cormode & Muthukrishnan
     // 2005) — the point-frequency member of the sketch family next to
     // KMV (q79, distinct), HLL (q83, cardinality), and the histogram
-    // CDF (q91, quantiles). d=4 hash rows × w=64 counters; the matrix
-    // is a (row, col) groupBy-count — map-side combine collapses the
-    // stream to ≤ d·w rows per partition and counters MERGE BY
-    // ADDITION, so the sketch is order- and partition-invariant
-    // (exactly why Misra-Gries, whose merge is order-sensitive, is
-    // NOT in this family). Estimates = min over rows, always ≥ exact;
-    // md5-derived hashes make both engines bit-identical, collisions
-    // included. Probes here are the distinct keys themselves, with
-    // exact counts alongside to exhibit the guarantee.
+    // CDF (q91, quantiles). d=4 hash rows × w=64 counters; all four
+    // row hashes come from ONE md5 per key (the digest's four 32-bit
+    // hex words — the one-hash-many-rows trick of Kirsch &
+    // Mitzenmacher 2006, vs the md5-per-row form that cost 4× the hash
+    // work and a 24× driver-window ratio in r10). Counters MERGE BY
+    // ADDITION — the property that makes the sketch order- and
+    // partition-invariant (exactly why Misra-Gries, whose merge is
+    // order-sensitive, is NOT in this family) — which also means
+    // pre-aggregated per-key counts fold in exactly: since this query
+    // already reports exact counts alongside the estimates, the whole
+    // pipeline is ONE map-side-combined scan of events, and the
+    // sketch + probes run over the ≤|distinct keys| aggregate. (When
+    // the key cardinality doesn't fit an exact aggregate — the real
+    // CMS use case — the counters groupBy((r,c)) directly over the
+    // stream with ≤ d·w rows of map-side state; q109's point is the
+    // estimate-vs-exact guarantee, which needs the exact agg anyway.)
+    // Estimates = min over rows, always ≥ exact; md5-derived hashes
+    // make both engines bit-identical, collisions included.
     Q("q109_cms_counts",
       (s, dir) => {
-        val cmsHash =
-          "transform(sequence(0, 3), i -> named_struct('r', i, " +
-            "'c', CAST(conv(substring(md5(concat(event_type, '#', " +
-            "CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % 64))"
         val ev = events(s, dir).select(col("event_type"))
-        val counters = ev
-          .select(explode(expr(cmsHash)).as("b"))
-          .groupBy(col("b.r").as("r"), col("b.c").as("c"))
-          .agg(count(lit(1)).cast(LongType).as("n"))
-        val est = ev.distinct()
-          .select(col("event_type"), explode(expr(cmsHash)).as("b"))
-          .select(col("event_type"), col("b.r").as("r"), col("b.c").as("c"))
-          .join(counters, Seq("r", "c"))
-          .groupBy(col("event_type")).agg(min(col("n")).as("est_count"))
+        // tiny (≤ |distinct event_type| rows); eager checkpoint so the
+        // counters and probe branches below share ONE events scan
         val exact = ev.groupBy(col("event_type"))
           .agg(count(lit(1)).cast(LongType).as("exact_count"))
-        est.join(exact, "event_type").orderBy(col("event_type"))
+          .localCheckpoint()
+        val cms = "transform(sequence(0, 3), i -> named_struct('r', i, " +
+          "'c', CAST(conv(substring(md5(event_type), i*8+1, 8), 16, 10) " +
+          "AS BIGINT) % 64))"
+        val keyed = exact
+          .select(col("event_type"), col("exact_count"),
+            explode(expr(cms)).as("b"))
+          .select(col("event_type"), col("exact_count"),
+            col("b.r").as("r"), col("b.c").as("c"))
+        val counters = keyed.groupBy(col("r"), col("c"))
+          .agg(sum(col("exact_count")).cast(LongType).as("n"))
+        keyed.join(counters, Seq("r", "c"))
+          .groupBy(col("event_type"), col("exact_count"))
+          .agg(min(col("n")).as("est_count"))
+          .select(col("event_type"), col("est_count"), col("exact_count"))
+          .orderBy(col("event_type"))
       },
-      Some("""WITH e AS (SELECT event_type FROM events),
-             |b AS (SELECT event_type, i,
-             |    ('0x' || substr(md5(event_type || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 64 AS c
-             |  FROM e, unnest(range(0, 4)) AS u(i)),
-             |cnt AS (SELECT i, c, CAST(COUNT(*) AS BIGINT) AS n
+      Some("""WITH ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_count
+             |  FROM events GROUP BY event_type),
+             |b AS (SELECT event_type, exact_count, i,
+             |    ('0x' || substr(md5(event_type), CAST(i*8+1 AS INT), 8))::BIGINT % 64 AS c
+             |  FROM ex, unnest(range(0, 4)) AS u(i)),
+             |cnt AS (SELECT i, c, CAST(SUM(exact_count) AS BIGINT) AS n
              |  FROM b GROUP BY i, c),
-             |probes AS (SELECT DISTINCT event_type FROM e),
-             |pb AS (SELECT event_type, i,
-             |    ('0x' || substr(md5(event_type || '#' || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 64 AS c
-             |  FROM probes, unnest(range(0, 4)) AS u(i)),
-             |est AS (SELECT pb.event_type, MIN(cnt.n) AS est_count
-             |  FROM pb JOIN cnt ON cnt.i = pb.i AND cnt.c = pb.c
-             |  GROUP BY pb.event_type),
-             |ex AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS exact_count
-             |  FROM e GROUP BY event_type)
+             |est AS (SELECT b.event_type, MIN(cnt.n) AS est_count
+             |  FROM b JOIN cnt ON cnt.i = b.i AND cnt.c = b.c
+             |  GROUP BY b.event_type)
              |SELECT est.event_type AS event_type, est_count, exact_count
              |FROM est JOIN ex ON est.event_type = ex.event_type
              |ORDER BY est.event_type""".stripMargin)),
