@@ -84,6 +84,12 @@ for name in names:
             # float oracle vs integral Spark: formats 1.0 vs 1
             elif du_t in ("float", "double") and sp_t in INTEGRAL:
                 widened.append((f.name, du_t, sp_t))
+            # the REVERSE direction diverges identically (round-10
+            # advisor finding): integral oracle vs float/double Spark
+            elif du_t in INTEGRAL and sp_t in ("float", "double"):
+                widened.append((f.name, du_t, sp_t))
+            elif "decimal" in sp_t and "decimal" not in du_t:
+                widened.append((f.name, du_t, sp_t))
         if widened:
             print(f"TYPEWIDE {name}: oracle widens {widened} vs spark — "
                   f"CAST the oracle column to the exact Spark type "

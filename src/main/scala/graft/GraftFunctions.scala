@@ -46,30 +46,46 @@ object GraftFunctions {
     * whole-stage codegen. Only the two genuinely-JVM kernels
     * (image_dhash's codec, cosine_sim's loop) are Scala UDFs. */
   def registerAll(spark: SparkSession): Unit = {
+    // wrong-arity SQL calls must fail with a NAMED error, not an
+    // IndexOutOfBounds from cs(1) deep inside a builder (round-10
+    // advisor finding)
+    def arity(name: String, n: Int,
+              exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+      if (exprs.length != n) throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${exprs.length}")
+      exprs
+    }
     // a SQL name for a Column combinator: build columns from the call
     // arguments, compose, hand the composed expression tree back
-    def combinator(name: String)(f: Seq[org.apache.spark.sql.Column]
+    def combinator(name: String, n: Int)(f: Seq[org.apache.spark.sql.Column]
         => org.apache.spark.sql.Column): Unit =
       ColumnBridge.registerFunction(spark, name,
-        exprs => ColumnBridge.eagerExpression(f(exprs.map(ColumnBridge.column))))
+        exprs => ColumnBridge.eagerExpression(
+          f(arity(name, n, exprs).map(ColumnBridge.column))))
 
     ColumnBridge.registerFunction(spark, "normalize_text",
-      exprs => NormalizeTextExpr(exprs.head))
+      exprs => NormalizeTextExpr(arity("normalize_text", 1, exprs).head))
     ColumnBridge.registerFunction(spark, "difflib_ratio",
-      exprs => DifflibRatioExpr(exprs(0), exprs(1)))
+      exprs => { arity("difflib_ratio", 2, exprs)
+        DifflibRatioExpr(exprs(0), exprs(1)) })
     ColumnBridge.registerFunction(spark, "dot_scaled",
-      exprs => DotScaledExpr(exprs(0), exprs(1)))
+      exprs => { arity("dot_scaled", 2, exprs)
+        DotScaledExpr(exprs(0), exprs(1)) })
     ColumnBridge.registerFunction(spark, "sorted_intersect_count",
-      exprs => SortedIntersectCountExpr(exprs(0), exprs(1)))
+      exprs => { arity("sorted_intersect_count", 2, exprs)
+        SortedIntersectCountExpr(exprs(0), exprs(1)) })
     ColumnBridge.registerFunction(spark, "shingle_hashes",
-      exprs => ShingleHashesExpr(exprs(0),
-        intLit(exprs(1), "shingle_hashes(text, n)", "n")))
+      exprs => { arity("shingle_hashes", 2, exprs)
+        ShingleHashesExpr(exprs(0),
+          intLit(exprs(1), "shingle_hashes(text, n)", "n")) })
     ColumnBridge.registerFunction(spark, "simhash_wide",
-      exprs => SimHashWideExpr(exprs.head))
+      exprs => SimHashWideExpr(arity("simhash_wide", 1, exprs).head))
     ColumnBridge.registerFunction(spark, "winnow_fingerprints",
-      exprs => WinnowFingerprintsExpr(exprs(0),
-        intLit(exprs(1), "winnow_fingerprints(text, k, w)", "k"),
-        intLit(exprs(2), "winnow_fingerprints(text, k, w)", "w")))
+      exprs => { arity("winnow_fingerprints", 3, exprs)
+        WinnowFingerprintsExpr(exprs(0),
+          intLit(exprs(1), "winnow_fingerprints(text, k, w)", "k"),
+          intLit(exprs(2), "winnow_fingerprints(text, k, w)", "w")) })
     // rank-ordered BPE merge application: the merge table must be a
     // literal (foldable) array of [l, r] pairs — it is a trained
     // ARTIFACT, evaluated once at registration so the per-row path is
@@ -83,30 +99,33 @@ object GraftFunctions {
         val p = arr.getArray(i)
         require(p != null && p.numElements() == 2,
           s"bpe_apply: merges[$i] must be a [l, r] pair")
-        (p.getUTF8String(0).toString, p.getUTF8String(1).toString)
+        val (l, r) = (p.getUTF8String(0), p.getUTF8String(1))
+        require(l != null && r != null,
+          s"bpe_apply: merges[$i] contains a NULL element")
+        (l.toString, r.toString)
       }
       ColumnBridge.eagerExpression(
         BpeApply.tokens(ColumnBridge.column(exprs(0)), merges))
     })
-    combinator("bpe_tokens")(cs => TextFns.bpeTokens(cs(0)))
-    combinator("bpe_token_count")(cs => TextFns.bpeTokenCount(cs(0)))
-    combinator("clean_price")(cs => CleanFns.cleanPrice(cs(0), cs(1)))
-    combinator("clean_area")(cs => CleanFns.cleanArea(cs(0)))
-    combinator("clean_smallint")(cs => CleanFns.cleanSmallint(cs(0)))
-    combinator("clean_numeric_small")(cs => CleanFns.cleanNumericSmall(cs(0)))
-    combinator("title_type")(cs => CleanFns.titleTypeClassifier(cs(0)))
-    combinator("content_hash")(cs => HashFns.contentHash(
+    combinator("bpe_tokens", 1)(cs => TextFns.bpeTokens(cs(0)))
+    combinator("bpe_token_count", 1)(cs => TextFns.bpeTokenCount(cs(0)))
+    combinator("clean_price", 2)(cs => CleanFns.cleanPrice(cs(0), cs(1)))
+    combinator("clean_area", 1)(cs => CleanFns.cleanArea(cs(0)))
+    combinator("clean_smallint", 1)(cs => CleanFns.cleanSmallint(cs(0)))
+    combinator("clean_numeric_small", 1)(cs => CleanFns.cleanNumericSmall(cs(0)))
+    combinator("title_type", 1)(cs => CleanFns.titleTypeClassifier(cs(0)))
+    combinator("content_hash", 7)(cs => HashFns.contentHash(
       cs(0), cs(1), cs(2), cs(3), cs(4), cs(5), cs(6)))
-    combinator("poi_hash")(cs => HashFns.poiHash(cs(0), cs(1), cs(2)))
-    combinator("doc_hash")(cs => HashFns.docHash(cs(0)))
-    combinator("html_to_text")(cs => TextFns.htmlToText(cs(0)))
-    combinator("lang_id")(cs => TextFns.langId(cs(0)))
-    combinator("quality_score")(cs =>
+    combinator("poi_hash", 3)(cs => HashFns.poiHash(cs(0), cs(1), cs(2)))
+    combinator("doc_hash", 1)(cs => HashFns.docHash(cs(0)))
+    combinator("html_to_text", 1)(cs => TextFns.htmlToText(cs(0)))
+    combinator("lang_id", 1)(cs => TextFns.langId(cs(0)))
+    combinator("quality_score", 1)(cs =>
       TextFns.qualityScore(cs(0), TextFns.langStopwords.head._2))
-    combinator("token_count")(cs => TextFns.tokenCount(cs(0)))
-    combinator("quantize_int8")(cs => VectorFns.quantizeInt8(cs(0)))
-    combinator("cosine_q8")(cs => VectorFns.cosineQ8(cs(0), cs(1)))
-    combinator("l2_sq_scaled")(cs => VectorFns.l2SqScaled(cs(0), cs(1)))
+    combinator("token_count", 1)(cs => TextFns.tokenCount(cs(0)))
+    combinator("quantize_int8", 1)(cs => VectorFns.quantizeInt8(cs(0)))
+    combinator("cosine_q8", 2)(cs => VectorFns.cosineQ8(cs(0), cs(1)))
+    combinator("l2_sq_scaled", 2)(cs => VectorFns.l2SqScaled(cs(0), cs(1)))
     spark.udf.register("haversine_km",
       (lat1: Double, lon1: Double, lat2: Double, lon2: Double) => {
         // same formula as GeoFns.haversineKm (cl_test1.py:29-35)

@@ -19,7 +19,10 @@ package graft.functions
   */
 private[graft] object Md5Kernel {
 
-  val ws: java.util.regex.Pattern = java.util.regex.Pattern.compile("\\s+")
+  // the engine's whitespace contract: RE2's \s (= [ \t\n\f\r]), NOT
+  // Java's \s which adds \x0B — must stay identical to TextFns.tokens
+  val ws: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile("[ \t\n\f\r]+")
 
   private val digest = new ThreadLocal[java.security.MessageDigest] {
     override def initialValue(): java.security.MessageDigest =

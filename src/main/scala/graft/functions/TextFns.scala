@@ -54,12 +54,19 @@ object TextFns {
   /** Whitespace tokenization. Contract (engine-wide, kernels
     * included): NO empty tokens, ever. Spark's trim strips 0x20 only,
     * so text edged with \t or \n survives the trim and `split` on
-    * `\s+` would emit leading/trailing "" tokens; the filter removes
-    * them, which also covers the empty/whitespace-only document (→
-    * zero tokens). DuckDB oracles mirror this with
-    * `list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')`. */
+    * whitespace would emit leading/trailing "" tokens; the filter
+    * removes them, which also covers the empty/whitespace-only
+    * document (→ zero tokens). DuckDB oracles mirror this with
+    * `list_filter(string_split_regex(trim(text),'\s+'), x -> x <> '')`.
+    *
+    * Whitespace is the EXPLICIT class `[ \t\n\f\r]` — RE2's `\s`,
+    * which the oracles' regexes mean — not Java's `\s`, which also
+    * includes \x0B (vertical tab) and would diverge token counts on
+    * VT-containing text (round-10 advisor finding; same Java-vs-RE2
+    * class as the (?m) line-terminator fix). */
+  val WsClass = "[ \\t\\n\\f\\r]"
   def tokens(text: Column): Column =
-    filter(split(trim(text), "\\s+"), t => t =!= "")
+    filter(split(trim(text), WsClass + "+"), t => t =!= "")
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
@@ -195,6 +202,6 @@ object TextFns {
     val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, ch)) => replace(c, lit(e), lit(ch)) }
-    trim(regexp_replace(ent, "\\s+", " "))
+    trim(regexp_replace(ent, WsClass + "+", " "))
   }
 }

@@ -859,7 +859,8 @@ object CurationQueries {
           .select(col("doc_id"), col("text"), toks.as("t"))
           .withColumn("n_words", size(col("t")).cast(LongType))
           .withColumn("sum_len",
-            length(regexp_replace(col("text"), "\\s", "")).cast(LongType))
+            length(regexp_replace(col("text"),
+              graft.functions.TextFns.WsClass, "")).cast(LongType))
           .withColumn("mwl_milli",
             expr("(sum_len * 1000) div greatest(n_words, 1L)"))
           .withColumn("n_sym", TextFns.piiCount(col("text"), "#|\\.\\.\\."))
@@ -1013,7 +1014,8 @@ object CurationQueries {
       (s, dir) => {
         val d = Tables(s, dir, "documents")
           .select(col("doc_id"),
-            length(regexp_replace(col("text"), "\\s", ""))
+            length(regexp_replace(col("text"),
+              graft.functions.TextFns.WsClass, ""))
               .cast(LongType).as("sum_len"),
             TextFns.shingles(col("text"), 2).as("g2"),
             TextFns.shingles(col("text"), 5).as("g5"))

@@ -497,7 +497,7 @@ object SurfaceQueries {
           concat(title, lit(" "),
             array_join(graft.functions.TextFns.tokens(col("text")), " "),
             lit(" Home & About")),
-          "\\s+", " "))
+          graft.functions.TextFns.WsClass + "+", " "))
         d.select(col("doc_id"), html.as("html"), expected.as("expected"))
           .select(col("doc_id"),
             length(col("html")).cast(LongType).as("n_chars_html"),

@@ -880,7 +880,7 @@ object TextQueries {
         // positional spelling, same result.
         .select(col("doc_id"), expr(
           """element_at(transform(array(
-            |  filter(split(trim(text), '\\s+'), x -> x <> '')),
+            |  filter(split(trim(text), '[ \\t\\n\\f\\r]+'), x -> x <> '')),
             |toks -> element_at(transform(array(
             |    CASE WHEN size(toks) < 3 THEN CAST(array() AS ARRAY<STRING>)
             |      ELSE transform(sequence(1, size(toks) - 2),

@@ -169,7 +169,21 @@ class WarcMicroBatchStream(path: String, maxFilesPerTrigger: Option[Int])
   override def latestOffset(start: streaming.Offset,
                             limit: ReadLimit): streaming.Offset = {
     val from = start.asInstanceOf[WarcOffset].last
+    val prev = admissionSnapshot.toSet
     val listing = names
+    // observability for the benign-skip contract: a file whose name
+    // sorts <= the committed offset but was NOT in the listing when
+    // that offset was chosen landed mid-trigger from a non-monotone
+    // producer — it can never be admitted (names only move forward),
+    // so make the silent skip loud (round-10 advisor finding)
+    if (prev.nonEmpty) {
+      val lateSkipped = listing.filter(n => n <= from && !prev(n))
+      if (lateSkipped.nonEmpty)
+        org.apache.log4j.LogManager.getLogger("graft.sources.WarcDataSource")
+          .warn(s"${lateSkipped.size} WARC file(s) appeared with names <= " +
+            s"the committed offset '$from' and will never be admitted " +
+            s"(non-monotone producer): ${lateSkipped.take(3).mkString(", ")}")
+    }
     admissionSnapshot = listing
     val pending = listing.filter(_ > from)
     val admitted = limit match {

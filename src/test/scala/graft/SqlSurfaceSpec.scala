@@ -94,6 +94,26 @@ class SqlSurfaceSpec extends SparkSpec {
       .head().getString(0) == "en")
   }
 
+  test("wrong-arity and null-merge SQL calls fail with named errors") {
+    GraftFunctions.registerAll(spark)
+    def msgChain(t: Throwable): String = {
+      var m = ""; var c: Throwable = t
+      while (c != null) { m += Option(c.getMessage).getOrElse(""); c = c.getCause }
+      m
+    }
+    // wrong arity on a combinator kernel: named error, not IndexOutOfBounds
+    val e1 = intercept[Throwable] { spark.sql("SELECT clean_price('x')").head() }
+    assert(msgChain(e1).contains("clean_price expects 2 argument(s), got 1"))
+    // wrong arity on a native-expression kernel
+    val e2 = intercept[Throwable] {
+      spark.sql("SELECT difflib_ratio('a', 'b', 'c')").head() }
+    assert(msgChain(e2).contains("difflib_ratio expects 2 argument(s), got 3"))
+    // NULL merge-pair element: named bpe_apply error, not an NPE
+    val e3 = intercept[Throwable] {
+      spark.sql("SELECT bpe_apply('sp', array(array('s', CAST(NULL AS STRING))))").head() }
+    assert(msgChain(e3).contains("bpe_apply: merges[0] contains a NULL element"))
+  }
+
   test("a full SQL query over registered views matches the DataFrame API") {
     GraftFunctions.registerAll(spark)
     GraftFunctions.registerViews(spark, sf001)
