@@ -789,7 +789,19 @@ object SurfaceQueries {
              |SELECT change, CAST(COUNT(*) AS BIGINT) AS n,
              |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
              |    AS revenue
-             |FROM ch GROUP BY change ORDER BY change""".stripMargin))
+             |FROM ch GROUP BY change ORDER BY change""".stripMargin)),
+
+    // S2/S3 end-to-end over a real loopback HTTP transport (the last
+    // SURVEY rows that were unit-only): pagination walk + _fields
+    // projection + modified_gmt 60 s-tolerance delta skip + detail
+    // fetch with 429-retry and 500 fault isolation. The oracle is an
+    // independent Python replay of the same deterministic universe
+    // (scripts/make_http_fixture.py) — see HttpIngestQuery.
+    Q("q199_http_ingest",
+      (s, _) => HttpIngestQuery.run(s),
+      Some(s"SELECT wp_id, slug, action, price, bedrooms, attempts, error " +
+        s"FROM '${graft.util.RepoRoot.fixture("http_expected.parquet")}' " +
+        "ORDER BY wp_id"))
   )
 
   // One two-generation drift layout per (session, source dir):
