@@ -69,15 +69,34 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
                  maxIters: Int = 25): DataFrame = {
     // the edge set is re-joined every round: materialize it once
     val edges = edges0.persist()
-    edges.count()
+    val edgeCount = edges.count()
+    if (edgeCount == 0) {
+      edges.unpersist()
+      return nodes.select(col("_id"), col("_id").as("_lbl"))
+    }
 
+    // Iterate ONLY the edge-incident subgraph: a node with no edge can
+    // never leave its singleton label, so the loop runs over the
+    // active vertices (dup-cluster members — orders of magnitude fewer
+    // than the corpus at production scale) and every other node is
+    // emitted as its own component by the final left-join. Round 1 is
+    // FUSED into the initialization: with symmetric edges every active
+    // vertex appears as a _dst, so one groupBy yields both the active
+    // set and its round-1 neighbor-min (self-labels make the jump step
+    // a no-op in round 1, so this is exactly the old first round —
+    // which always changes ≥1 label when edges exist, so its
+    // convergence check is safely skipped).
+    //
     // localCheckpoint per round truncates lineage — a persist/unpersist
     // chain would leave each round's cache depending on the previous
     // (just-dropped) one and replay the whole iteration history on any
     // later action.
-    var labels = nodes.select(col("_id"), col("_id").as("_lbl"))
+    var labels = edges.groupBy(col("_dst"))
+      .agg(min(col("_src")).as("_m"))
+      .select(col("_dst").as("_id"),
+        least(col("_dst"), col("_m")).as("_lbl"))
       .localCheckpoint()
-    var iter = 0
+    var iter = 1
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
       val t0 = System.nanoTime()
@@ -103,6 +122,7 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
         f"(${(System.nanoTime() - t0) / 1e9}%.2fs)")
     }
     edges.unpersist()
-    labels
+    nodes.join(labels, Seq("_id"), "left")
+      .select(col("_id"), coalesce(col("_lbl"), col("_id")).as("_lbl"))
   }
 }
