@@ -67,10 +67,12 @@ object Bench {
       try graft.util.Tables(spark, sfDir, t).count()
       catch { case _: Throwable => }
     }
-    // the wide-events copy is session cache too — materialize it
-    // BEFORE the keepRdds snapshot or release() evicts it per query
-    try graft.util.Tables.wide(spark, sfDir, "events").count()
-    catch { case _: Throwable => }
+    // the wide copies are session cache too — materialize them
+    // BEFORE the keepRdds snapshot or release() evicts them per query
+    Seq("events", "documents", "orders", "embeddings").foreach { t =>
+      try graft.util.Tables.wide(spark, sfDir, t).count()
+      catch { case _: Throwable => }
+    }
     // Query-scratch hygiene: every operator `localCheckpoint` (lineage
     // truncation in the iterative/self-join kernels) pins its blocks in
     // the block manager for the SESSION, not the query — across the

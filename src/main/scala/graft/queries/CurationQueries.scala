@@ -99,7 +99,7 @@ object CurationQueries {
     // formulations check each other.
     Q("q140_ngram_novelty",
       (s, dir) => {
-        val gc = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val gc = Tables.wide(s, dir, "documents")
           .select(splitCol.as("split"),
             explode(TextFns.shingles(col("text"), 8)).as("g"))
           .groupBy(col("g"))
@@ -237,7 +237,7 @@ object CurationQueries {
       (s, dir) => {
         // materialized once: the distinct window stream feeds the df
         // aggregate, the per-doc totals, and the pair join
-        val w = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val w = Tables.wide(s, dir, "documents")
           .select(col("doc_id"),
             explode(TextFns.shingles(col("text"), 8)).as("g"))
           .distinct()
@@ -306,7 +306,7 @@ object CurationQueries {
     // plan shape (K = max rung, still bounded state).
     Q("q152_vocab_coverage",
       (s, dir) => {
-        val c = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val c = Tables.wide(s, dir, "documents")
           .select(explode(TextFns.tokens(col("text"))).as("w"))
           .groupBy(col("w")).agg(count(lit(1)).cast(LongType).as("c"))
         val tot = c.agg(sum(col("c")).cast(LongType).as("n"))
@@ -423,7 +423,7 @@ object CurationQueries {
     // |sources|-row broadcast. Exact basis points, ordered pairs.
     Q("q154_source_contamination",
       (s, dir) => {
-        val w = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val w = Tables.wide(s, dir, "documents")
           .select(col("source"),
             explode(TextFns.shingles(col("text"), 8)).as("g"))
           .distinct()
@@ -622,7 +622,7 @@ object CurationQueries {
     // (the q171 convention) and verifies every weight bit-for-bit.
     Q("q180_perceptron",
       (s, dir) => {
-        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val d = Tables.wide(s, dir, "documents")
           .select(col("doc_id"),
             when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
             col("text"))
@@ -690,7 +690,7 @@ object CurationQueries {
     // its own slice — Spark runs all 32 concurrently).
     Q("q181_shard_layout",
       (s, dir) => {
-        val base = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val base = Tables.wide(s, dir, "documents")
           .select(col("doc_id"),
             TextFns.tokenCount(col("text")).cast(LongType).as("n_tok"))
         val eps = base
@@ -744,7 +744,7 @@ object CurationQueries {
     // intermediates. The oracle replays the identical chain in SQL.
     Q("q184_curation_e2e",
       (s, dir) => {
-        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val d = Tables.wide(s, dir, "documents")
           .select(col("doc_id"), col("text"),
             TextFns.tokenCount(col("text")).cast(LongType).as("n_tok"))
           .filter(col("n_tok") >= 5 && col("n_tok") <= 5000)

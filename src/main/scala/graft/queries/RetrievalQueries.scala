@@ -55,7 +55,7 @@ object RetrievalQueries {
     // query term, never materialize the full corpus ranking.
     Q("q126_bm25_topk",
       (s, dir) => {
-        val toks = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val toks = Tables.wide(s, dir, "documents")
           .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         val dl = toks.select(col("doc_id"),
           size(col("toks")).cast(LongType).as("dl"))
@@ -131,7 +131,7 @@ object RetrievalQueries {
     // bounded per-doc window. No all-pairs, no driver-side state.
     Q("q127_nb_classify",
       (s, dir) => {
-        val docs = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val docs = Tables.wide(s, dir, "documents")
           .select(col("doc_id"), col("source"),
             TextFns.tokens(col("text")).as("toks"))
         val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
@@ -233,7 +233,7 @@ object RetrievalQueries {
     // once; c_ab ≥ 5 keeps the output collocation-sized.
     Q("q128_term_cooccur",
       (s, dir) => {
-        val d0 = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val d0 = Tables.wide(s, dir, "documents")
           .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
           .distinct()
         // materialized once: d feeds the df aggregate and both sides
@@ -295,7 +295,7 @@ object RetrievalQueries {
         // materialized once (the SemanticDedup.scala:47 precedent):
         // four consumers (df, rank, arrays, prefix) would otherwise
         // recompute the corpus-sized explode+distinct per branch
-        val sh = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val sh = Tables.wide(s, dir, "documents")
           .select(col("doc_id"),
             explode(TextFns.shingles(col("text"), 3)).as("w"))
           .distinct()
@@ -375,7 +375,7 @@ object RetrievalQueries {
       (s, dir) => {
         val isBase = graft.operators.Dedup
           .md5Int32(col("doc_id").cast(StringType)) % 100 < 90
-        val sh = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val sh = Tables.wide(s, dir, "documents")
           .select(col("doc_id"),
             explode(TextFns.shingles(col("text"), 3)).as("w"))
           .distinct()
@@ -437,7 +437,7 @@ object RetrievalQueries {
 
     Q("q134_source_entropy",
       (s, dir) => {
-        val c = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val c = Tables.wide(s, dir, "documents")
           .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
           .groupBy(col("source"), col("w"))
           .agg(count(lit(1)).cast(LongType).as("c"))
@@ -489,7 +489,7 @@ object RetrievalQueries {
     // takes q75's maxDf boilerplate cap; here the corpus is exact.
     Q("q143_containment_join",
       (s, dir) => {
-        val sh = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val sh = Tables.wide(s, dir, "documents")
           .select(col("doc_id"),
             explode(TextFns.shingles(col("text"), 3)).as("w"))
           .distinct()
@@ -567,7 +567,7 @@ object RetrievalQueries {
     // discipline of q126.
     Q("q167_rrf_fusion",
       (s, dir) => {
-        val docs = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val docs = Tables.wide(s, dir, "documents")
         val dt = docs.select(col("doc_id"),
             explode(TextFns.tokens(col("text"))).as("tok"))
           .distinct()
@@ -679,7 +679,7 @@ object RetrievalQueries {
     Q("q169_phrase_proximity",
       (s, dir) => {
         val (t1, t2) = ("hash", "join")
-        val pos = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val pos = Tables.wide(s, dir, "documents")
           .select(col("doc_id"),
             posexplode(TextFns.tokens(col("text"))).as(Seq("p", "term")))
           .filter(col("term").isin(t1, t2))

@@ -61,7 +61,7 @@ object ScaleQueries {
     Q("q188_semantic_decontam",
       (s, dir) => {
         import graft.functions.VectorFns
-        val emb = graft.operators.NgramLm.widen(Tables(s, dir, "embeddings"))
+        val emb = Tables.wide(s, dir, "embeddings")
         val planeVecs: Seq[Seq[Float]] = emb.orderBy(col("vec_id")).limit(4)
           .select(col("embedding")).collect().toSeq
           .map(_.getSeq[Float](0))

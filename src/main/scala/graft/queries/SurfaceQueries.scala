@@ -335,7 +335,7 @@ object SurfaceQueries {
     // status code, content-type, body length, and the page title.
     Q("q186_http_parse",
       (s, dir) => {
-        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val d = Tables.wide(s, dir, "documents")
         val crlf = "\r\n"
         val status = when(col("doc_id") % 7 === 0, lit("404 Not Found"))
           .otherwise(lit("200 OK"))
@@ -403,7 +403,7 @@ object SurfaceQueries {
     // Extends F17's sanitize/extension ops to the full URL surface.
     Q("q187_url_canonicalize",
       (s, dir) => {
-        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val d = Tables.wide(s, dir, "documents")
         val id = col("doc_id").cast(StringType)
         val variants = d.select(col("doc_id"), explode(array(
           concat(lit("https://Example.COM:443/p/"), id, lit("/?b=2&a=1")),
@@ -482,7 +482,7 @@ object SurfaceQueries {
     // shuffle; scales as a map over the corpus.
     Q("q183_html_extract",
       (s, dir) => {
-        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val d = Tables.wide(s, dir, "documents")
         val title = array_join(
           slice(graft.functions.TextFns.tokens(col("text")), 1, 3), " ")
         val escaped = replace(replace(replace(col("text"),
@@ -557,7 +557,7 @@ object SurfaceQueries {
     // curation-side composition; oracle replays every stage in SQL.
     Q("q193_wet_extract",
       (s, dir) => {
-        val d = graft.operators.NgramLm.widen(Tables(s, dir, "documents"))
+        val d = Tables.wide(s, dir, "documents")
         val crlf = "\r\n"
         val status = when(col("doc_id") % 7 === 0, lit("404 Not Found"))
           .otherwise(lit("200 OK"))

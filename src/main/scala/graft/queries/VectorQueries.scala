@@ -562,7 +562,7 @@ object VectorQueries {
     // key space.
     Q("q157_gram_matrix",
       (s, dir) => {
-        graft.operators.NgramLm.widen(Tables(s, dir, "embeddings"))
+        Tables.wide(s, dir, "embeddings")
           .select(expr(
             "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
             .as("qv"))
@@ -605,7 +605,7 @@ object VectorQueries {
     Q("q171_power_iteration",
       (s, dir) => {
         val d = 64
-        val cells = graft.operators.NgramLm.widen(Tables(s, dir, "embeddings"))
+        val cells = Tables.wide(s, dir, "embeddings")
           .select(expr(
             "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
             .as("qv"))
