@@ -66,13 +66,57 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
     * @return `_id`, `_lbl` where `_lbl` = min reachable `_id`.
     */
   def components(nodes: DataFrame, edges0: DataFrame,
-                 maxIters: Int = 25): DataFrame = {
+                 maxIters: Int = 25,
+                 localSolveMaxEdges: Long = 500000L): DataFrame = {
     // the edge set is re-joined every round: materialize it once
     val edges = edges0.persist()
     val edgeCount = edges.count()
     if (edgeCount == 0) {
       edges.unpersist()
       return nodes.select(col("_id"), col("_id").as("_lbl"))
+    }
+
+    // Hybrid algorithm switch (the GraphFrames/GraphX convention): a
+    // post-threshold dup-pair graph is usually a few rows per
+    // duplicate cluster, and O(log diameter) distributed rounds cost
+    // more in per-stage scheduling than the whole graph. Below the
+    // threshold — known for free from the count above — solve
+    // exactly with ONE union-find task (an executor task over a
+    // coalesced partition, not a driver collect); above it, fall
+    // through to the pointer-jumping loop. Same output either way:
+    // `_lbl` = min reachable id.
+    if (edgeCount <= localSolveMaxEdges) {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        edges.schema("_src").copy(name = "_id"),
+        edges.schema("_src").copy(name = "_lbl")))
+      val lblRdd = edges.coalesce(1).rdd.mapPartitions { it =>
+        val parent = new java.util.HashMap[Any, Any]()
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.get(r) != r) r = parent.get(r)
+          var c = x // path compression
+          while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+          r
+        }
+        def lt(a: Any, b: Any): Boolean =
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        it.foreach { row =>
+          val (a, b) = (row.get(0), row.get(1))
+          if (!parent.containsKey(a)) parent.put(a, a)
+          if (!parent.containsKey(b)) parent.put(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { // min id becomes the root
+            if (lt(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+          }
+        }
+        val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+        parent.keySet().forEach(k => out += org.apache.spark.sql.Row(k, find(k)))
+        out.iterator
+      }
+      val labels = edges.sparkSession.createDataFrame(lblRdd, schema)
+      edges.unpersist()
+      return nodes.join(labels, Seq("_id"), "left")
+        .select(col("_id"), coalesce(col("_lbl"), col("_id")).as("_lbl"))
     }
 
     // Iterate ONLY the edge-incident subgraph: a node with no edge can
