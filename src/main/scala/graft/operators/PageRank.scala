@@ -50,7 +50,8 @@ object PageRank {
     * full job barrier. Stacked barriers are exactly what regressed
     * q106 under a cold driver window (+1.8 s, round-10 verdict). */
   def apply(edges: DataFrame, iters: Int, scale: Long = 1000000000000L,
-            edgesMaterialized: Boolean = false): DataFrame = {
+            edgesMaterialized: Boolean = false,
+            localSolveMaxEdges: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     // materialize the (possibly expensive) caller-supplied edge
     // derivation ONCE — e feeds both deg and eAug, and without the
@@ -60,6 +61,16 @@ object PageRank {
       col("srcType").as("st"), col("srcKey").cast(LongType).as("sk"),
       col("dstType").as("dt"), col("dstKey").cast(LongType).as("dk"))
     val e = if (edgesMaterialized) eProj else eProj.localCheckpoint()
+    // Hybrid switch (the ClusterUnify convention): below the edge
+    // threshold the whole power iteration runs as ONE union-find-style
+    // executor task over a coalesced partition — integer math
+    // identical to the distributed loop below (score DIV outdeg per
+    // edge, base + (85·inc) DIV 100 per node, and the same
+    // destination-only state regeneration), so the two paths are
+    // bit-equal. The count is one cheap job over the materialized
+    // edge relation; above the threshold the stationary-relation
+    // Pregel loop is unchanged.
+    if (e.count() <= localSolveMaxEdges) return localSolve(e, iters, scale)
     // LAZY checkpoint: deg's consumers are strictly sequential driver
     // actions — the n-count below materializes it, then eAug's join
     // and the initial state read the persisted blocks — so the lazy
@@ -112,5 +123,67 @@ object PageRank {
           s"CAST($base AS BIGINT) + (85 * inc) DIV 100 AS score")
     }
     state.select(col("nt").as("node_type"), col("nk").as("node_key"), col("score"))
+  }
+
+  /** Single-task exact replay of the distributed loop for small edge
+    * sets. Parity details that matter: `n` is the count of SOURCE
+    * nodes (= deg rows); the state after each iteration covers only
+    * nodes that RECEIVED a contribution (the join-aggregate shape —
+    * src-only nodes drop out exactly as they do distributed); all
+    * arithmetic is the same truncating integer division. */
+  private def localSolve(e: DataFrame, iters: Int, scale: Long): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("node_key", LongType),
+      org.apache.spark.sql.types.StructField("score", LongType)))
+    val rows = e.coalesce(1).rdd.mapPartitions { it =>
+      import scala.collection.mutable
+      val idx = mutable.HashMap.empty[(String, Long), Int]
+      val keys = mutable.ArrayBuffer.empty[(String, Long)]
+      def id(k: (String, Long)): Int =
+        idx.getOrElseUpdate(k, { keys += k; keys.size - 1 })
+      val srcs = mutable.ArrayBuffer.empty[Int]
+      val dsts = mutable.ArrayBuffer.empty[Int]
+      it.foreach { r =>
+        srcs += id((r.getString(0), r.getLong(1)))
+        dsts += id((r.getString(2), r.getLong(3)))
+      }
+      val nN = keys.size
+      val outdeg = new Array[Long](nN)
+      srcs.foreach(s => outdeg(s) += 1)
+      val n = outdeg.count(_ > 0L) // deg.count(): distinct sources
+      if (n == 0) Iterator.empty
+      else {
+        val base = (15L * (scale / n)) / 100L
+        val score = Array.fill[Long](nN)(scale / n)
+        val active = Array.tabulate[Boolean](nN)(outdeg(_) > 0L)
+        for (_ <- 0 until iters) {
+          val inc = new Array[Long](nN)
+          val nextActive = new Array[Boolean](nN)
+          var i = 0
+          while (i < srcs.length) {
+            val s = srcs(i)
+            if (active(s)) {
+              val d = dsts(i)
+              inc(d) += score(s) / outdeg(s)
+              nextActive(d) = true
+            }
+            i += 1
+          }
+          var j = 0
+          while (j < nN) {
+            if (nextActive(j)) score(j) = base + (85L * inc(j)) / 100L
+            j += 1
+          }
+          System.arraycopy(nextActive, 0, active, 0, nN)
+        }
+        keys.iterator.zipWithIndex.collect {
+          case ((t, k), i) if active(i) =>
+            org.apache.spark.sql.Row(t, k, score(i))
+        }
+      }
+    }
+    e.sparkSession.createDataFrame(rows, schema)
   }
 }

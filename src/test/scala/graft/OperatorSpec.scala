@@ -282,6 +282,23 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("pagerank local single-task path is bit-equal to the distributed loop") {
+    // asymmetric bipartite-ish graph with a src-only node (30 never a
+    // dst: it must DROP OUT of the state after iteration 1 on both
+    // paths) and unequal outdegrees
+    val edges = Seq(
+      ("c", 1L, "s", 10L), ("c", 1L, "s", 20L), ("c", 2L, "s", 10L),
+      ("s", 10L, "c", 1L), ("s", 20L, "c", 2L), ("c", 30L, "s", 10L))
+      .toDF("srcType", "srcKey", "dstType", "dstKey")
+    def runPath(threshold: Long): Map[(String, Long), Long] =
+      graft.operators.PageRank(edges, iters = 4, localSolveMaxEdges = threshold)
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    val local = runPath(Long.MaxValue)
+    val dist = runPath(0L)
+    assert(local == dist, s"local $local != distributed $dist")
+    assert(!local.contains(("c", 30L))) // src-only node dropped out
+  }
+
   test("batch perceptron matches the in-memory reference, learns a separable set, partition-invariant") {
     // two docs per class over 3 buckets (bucket 2 = bias); class +1
     // leans on bucket 0, class −1 on bucket 1 — linearly separable
