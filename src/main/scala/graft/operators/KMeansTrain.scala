@@ -42,9 +42,17 @@ object KMeansTrain {
     * `(cell_id: long, cell_vec: array<double>)`, one row per of the
     * `k` min-id-initialized centroids. */
   def train(vectors: DataFrame, idCol: String, vecCol: String,
-            k: Int, iters: Int): DataFrame = {
+            k: Int, iters: Int,
+            localSolveMaxVectors: Long = 2000000L): DataFrame = {
     val vecs = vectors.select(col(idCol).cast(LongType).as("_vid"),
       col(vecCol).as("_v"))
+    // Hybrid switch (ClusterUnify/PageRank/Perceptron convention):
+    // below the threshold the whole Lloyd loop runs in one executor
+    // task with the identical scaled-long / HALF_UP arithmetic —
+    // above it, the broadcast-assignment iterations below are
+    // unchanged (the 100-TB path: each iteration is one corpus pass).
+    if (vecs.count() <= localSolveMaxVectors)
+      return localSolve(vecs, k, iters)
     var cents = vecs.filter(col("_vid") < k)
       .select(col("_vid").as("cell_id"),
         transform(col("_v"), x => x.cast(DoubleType)).as("cell_vec"))
@@ -79,5 +87,83 @@ object KMeansTrain {
         .localCheckpoint()
     }
     cents
+  }
+
+  /** Single-task exact replay of the distributed Lloyd loop. Parity
+    * details: per-element products round HALF_UP in the 1e10 scaled
+    * domain ([[graft.functions.VectorKernels.halfUpLong]] — the same
+    * kernel the DotScaledExpr assignment uses); the (distance,
+    * cell_id) tie-break matches `min_by`'s struct order; per-(cell,
+    * dim) counts replicate the posexplode grouping (short vectors
+    * contribute to fewer dims); empty clusters keep their previous
+    * centroid; means round to 6 decimals via the same BigDecimal
+    * HALF_UP as Catalyst's `round(x, 6)`. */
+  private def localSolve(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ArrayType, FloatType, StructField, StructType}
+    val isFloat = vecs.schema("_v").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType
+    val schema = StructType(Seq(StructField("cell_id", LongType),
+      StructField("cell_vec", ArrayType(DoubleType))))
+    val rows = vecs.coalesce(1).rdd.mapPartitions { it =>
+      import graft.functions.VectorKernels.halfUpLong
+      val data = it.map { r =>
+        val v = if (isFloat) r.getSeq[Float](1).map(_.toDouble).toArray
+          else r.getSeq[Double](1).toArray
+        (r.getLong(0), v)
+      }.toArray
+      def dot(a: Array[Double], b: Array[Double]): Long = {
+        val n = math.min(a.length, b.length)
+        var s = 0L
+        var i = 0
+        while (i < n) { s += halfUpLong(a(i) * b(i) * 1e10); i += 1 }
+        s
+      }
+      def round6(v: Double): Double = java.math.BigDecimal.valueOf(v)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      var cents = data.filter(_._1 < k).sortBy(_._1)
+        .map { case (id, v) => (id, v.clone()) }
+      if (cents.isEmpty) Iterator.empty
+      else {
+        val normV = data.map { case (_, v) => dot(v, v) }
+        for (_ <- 0 until iters) {
+          val normC = cents.map { case (_, c) => dot(c, c) }
+          val dimMax = data.iterator.map(_._2.length).max
+          val xsum = Array.ofDim[Long](cents.length, dimMax)
+          val cnt = Array.ofDim[Long](cents.length, dimMax)
+          var vi = 0
+          while (vi < data.length) {
+            val v = data(vi)._2
+            var best = 0
+            var bestD = Long.MaxValue
+            var bestId = Long.MaxValue
+            var j = 0
+            while (j < cents.length) {
+              val d = normV(vi) - 2L * dot(v, cents(j)._2) + normC(j)
+              if (d < bestD || (d == bestD && cents(j)._1 < bestId)) {
+                best = j; bestD = d; bestId = cents(j)._1
+              }
+              j += 1
+            }
+            var di = 0
+            while (di < v.length) {
+              xsum(best)(di) += halfUpLong(v(di) * 1e10)
+              cnt(best)(di) += 1L
+              di += 1
+            }
+            vi += 1
+          }
+          cents = cents.zipWithIndex.map { case ((id, old), j) =>
+            val nDims = cnt(j).lastIndexWhere(_ > 0L) + 1
+            if (nDims == 0) (id, old) // empty cluster keeps centroid
+            else (id, Array.tabulate(nDims)(d =>
+              round6(xsum(j)(d).toDouble / cnt(j)(d).toDouble / 1e10)))
+          }
+        }
+        cents.iterator.map { case (id, v) =>
+          org.apache.spark.sql.Row(id, v.toSeq)
+        }
+      }
+    }
+    vecs.sparkSession.createDataFrame(rows, schema)
   }
 }

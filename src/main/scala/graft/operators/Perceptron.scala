@@ -49,7 +49,8 @@ object Perceptron {
     * (bucket `nBuckets` is the caller's bias feature), x an integer
     * count. Returns `(b, w)`, one row per bucket, zero-initialized
     * buckets included even when no document touches them. */
-  def train(feats: DataFrame, nBuckets: Int, iters: Int): DataFrame = {
+  def train(feats: DataFrame, nBuckets: Int, iters: Int,
+            localSolveMaxDocs: Long = 2000000L): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._
     // one array-pair row per doc, materialized once: every round
@@ -61,6 +62,41 @@ object Perceptron {
         transform(col("fx"), s => s.getField("b")).as("bs"),
         transform(col("fx"), s => s.getField("x")).as("xs"))
       .localCheckpoint()
+    // Hybrid switch (the ClusterUnify/PageRank convention): the
+    // per-doc feature table is already materialized, so its count is
+    // one cheap job; below the threshold ALL rounds run in one
+    // executor task with the identical integer update — above it,
+    // the per-round corpus aggregate below is unchanged.
+    if (fa.count() <= localSolveMaxDocs) {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("b",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      val rows = fa.coalesce(1).rdd.mapPartitions { it =>
+        val docs = it.map { r =>
+          (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray)
+        }.toArray
+        val w = Array.fill(nBuckets + 1)(0L)
+        for (_ <- 1 to iters) {
+          val upd = Array.fill(nBuckets + 1)(0L)
+          docs.foreach { case (y, bs, xs) =>
+            var m = 0L
+            var i = 0
+            while (i < bs.length) { m += w(bs(i).toInt) * xs(i); i += 1 }
+            if (y * m <= 0L) {
+              i = 0
+              while (i < bs.length) { upd(bs(i).toInt) += y * xs(i); i += 1 }
+            }
+          }
+          var b = 0
+          while (b <= nBuckets) { w(b) += upd(b); b += 1 }
+        }
+        (0 to nBuckets).iterator
+          .map(b => org.apache.spark.sql.Row(b.toLong, w(b)))
+      }
+      return spark.createDataFrame(rows, schema)
+    }
     val w = Array.fill(nBuckets + 1)(0L)
     for (_ <- 1 to iters) {
       val wlit = array(w.toSeq.map(lit): _*)

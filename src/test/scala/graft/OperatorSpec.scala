@@ -194,6 +194,24 @@ class OperatorSpec extends SparkSpec {
     assert(cents(0L) == Seq(1.0, 0.0) && cents(1L) == Seq(1.0, 0.0))
   }
 
+  test("kmeans local single-task path is bit-equal to the distributed loop") {
+    import graft.operators.KMeansTrain
+    // irregular blobs with non-trivial means (rounding to 6 decimals
+    // must agree bit-for-bit), plus a tie-broken point equidistant to
+    // both seeds
+    val vecs = Seq(
+      (0L, Array(1f, 0.1f)), (1L, Array(0f, 1.7f)), (2L, Array(2.9f, 0.3f)),
+      (3L, Array(0.2f, 3.3f)), (4L, Array(0.5f, 0.9f)), (5L, Array(1.1f, 1.1f))
+    ).toDF("vec_id", "embedding")
+    def run(threshold: Long) =
+      KMeansTrain.train(vecs, "vec_id", "embedding", k = 2, iters = 3,
+        localSolveMaxVectors = threshold)
+        .as[(Long, Seq[Double])].collect().toMap
+    val local = run(Long.MaxValue)
+    val dist = run(0L)
+    assert(local == dist, s"local $local != distributed $dist")
+  }
+
   test("mixed float/double dot kernel equals the all-double computation") {
     val df = Seq((Array(0.1f, -0.25f, 3.75f), Array(-1.523456, 0.5, 2.25)))
       .toDF("a", "b")
@@ -341,5 +359,11 @@ class OperatorSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got == reference(3))
     }
+    // the distributed per-round aggregate (forced via threshold 0)
+    // must agree with the local single-task path and the reference
+    val dist = graft.operators.Perceptron
+      .train(feats, nBuckets = 2, iters = 3, localSolveMaxDocs = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == reference(3), "distributed path")
   }
 }
