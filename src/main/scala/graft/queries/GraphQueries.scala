@@ -108,34 +108,9 @@ object GraphQueries {
           .select(col("a.pk").as("u"), col("b.pk").as("v"))
           .distinct()
           .localCheckpoint()
-        val deg = e.select(col("u").as("n"))
-          .unionAll(e.select(col("v").as("n")))
-          .groupBy(col("n")).agg(count(lit(1)).as("d"))
-        val ori = e
-          .join(deg.as("du"), col("u") === col("du.n"))
-          .join(deg.as("dv"), col("v") === col("dv.n"))
-          .select(
-            when(col("du.d") < col("dv.d") ||
-                (col("du.d") === col("dv.d") && col("u") < col("v")),
-              struct(col("u").as("src"), col("v").as("dst")))
-              .otherwise(struct(col("v").as("src"), col("u").as("dst")))
-              .as("o"))
-          .select(col("o.src").as("src"), col("o.dst").as("dst"))
-        val wedges = ori.as("e1").join(ori.as("e2"),
-            col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-          .select(col("e1.src").as("p"),
-            col("e1.dst").as("x"), col("e2.dst").as("y"))
-        // closing-edge probe: the edge list is two longs per row —
-        // broadcast it so the wedge stream (the big side, degree²-
-        // shaped) never shuffles; on a graph whose edge list outgrows
-        // the broadcast threshold AQE falls back to a shuffle join on
-        // the same keys
-        val tri = wedges.join(broadcast(e),
-          least(col("x"), col("y")) === col("u") &&
-            greatest(col("x"), col("y")) === col("v"))
-        tri.select(explode(array(col("p"), col("x"), col("y"))).as("node"))
-          .groupBy(col("node"))
-          .agg(count(lit(1)).cast(LongType).as("triangles"))
+        // degree-oriented wedge join / single-task hybrid — see
+        // operators/TriangleCount
+        graft.operators.TriangleCount.perNode(e)
           .orderBy(col("node"))
       },
       Some("""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk

@@ -300,6 +300,20 @@ class OperatorSpec extends SparkSpec {
     }
   }
 
+  test("triangle count local path equals the distributed wedge join") {
+    // K4 on {1,2,3,4} (every node in C(3,2)=3 triangles), a pendant
+    // 4-5 edge (no triangle), and a separate triangle {6,7,8}
+    val e = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (6L, 8L), (7L, 8L))).toDF("u", "v")
+    def run(threshold: Long) =
+      graft.operators.TriangleCount.perNode(e, localSolveMaxEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+    val expect = Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      6L -> 1L, 7L -> 1L, 8L -> 1L)
+    assert(run(Long.MaxValue) == expect, "local path")
+    assert(run(0L) == expect, "distributed path")
+  }
+
   test("pagerank local single-task path is bit-equal to the distributed loop") {
     // asymmetric bipartite-ish graph with a src-only node (30 never a
     // dst: it must DROP OUT of the state after iteration 1 on both
