@@ -235,15 +235,16 @@ object CurationQueries {
     // containment direction, q143's asymmetric-similarity argument).
     Q("q151_substring_pairs",
       (s, dir) => {
-        // materialized once: the distinct window stream feeds the df
-        // aggregate, the per-doc totals, and the pair join
-        val w = Tables.wide(s, dir, "documents")
+        // per-doc dedup inside the array (the q133 shape): (doc_id, g)
+        // is then unique by construction — no corpus-wide DISTINCT
+        // shuffle, and the per-doc window total is just size(arr)
+        val docArr = Tables.wide(s, dir, "documents")
           .select(col("doc_id"),
-            explode(TextFns.shingles(col("text"), 8)).as("g"))
-          .distinct()
+            array_distinct(TextFns.shingles(col("text"), 8)).as("arr"))
           .localCheckpoint(eager = false)
-        val nw = w.groupBy(col("doc_id"))
-          .agg(count(lit(1)).cast(LongType).as("nw"))
+        val w = docArr.select(col("doc_id"), explode(col("arr")).as("g"))
+        val nw = docArr.select(col("doc_id"),
+          size(col("arr")).cast(LongType).as("nw"))
         val shared = w.groupBy(col("g"))
           .agg(count(lit(1)).cast(LongType).as("df"))
           .filter(col("df").between(2L, 50L))

@@ -292,24 +292,28 @@ object RetrievalQueries {
     // arrays carried to the verify are doc-sized (AllPairs' design).
     Q("q133_allpairs_jaccard",
       (s, dir) => {
-        // materialized once (the SemanticDedup.scala:47 precedent):
-        // four consumers (df, rank, arrays, prefix) would otherwise
-        // recompute the corpus-sized explode+distinct per branch
-        val sh = Tables.wide(s, dir, "documents")
+        // Per-doc dedup happens INSIDE the array (array_distinct) —
+        // the (doc_id, w) pairs are then unique by construction, so
+        // the old corpus-wide explode→DISTINCT shuffle and the
+        // re-grouping groupBy(doc_id) that rebuilt the arrays both
+        // disappear: the doc's sorted array IS the grouped form. One
+        // map-only materialization feeds dfw, the prefix stream, and
+        // both verify joins.
+        val docArr = Tables.wide(s, dir, "documents")
           .select(col("doc_id"),
-            explode(TextFns.shingles(col("text"), 3)).as("w"))
-          .distinct()
+            array_sort(array_distinct(TextFns.shingles(col("text"), 3)))
+              .as("arr"))
+          .withColumn("sz", size(col("arr")).cast(LongType))
           .localCheckpoint()
+        val sh = docArr.select(col("doc_id"), col("sz"),
+          explode(col("arr")).as("w"))
         val dfw = sh.groupBy(col("w"))
           .agg(count(lit(1)).cast(LongType).as("df"))
-        val ranked = sh.join(dfw, "w")
+        val arrs = docArr
+        val prefix = sh.join(dfw, "w")
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-        val arrs = sh.groupBy(col("doc_id"))
-          .agg(sort_array(collect_set(col("w"))).as("arr"),
-            count(lit(1)).cast(LongType).as("sz"))
-        val prefix = ranked.join(arrs.select(col("doc_id"), col("sz")), "doc_id")
           .filter(col("rn") <= expr("sz div 2 + 1"))
           .select(col("doc_id"), col("w"))
         val cand = prefix.as("a").join(prefix.as("b"), Seq("w"))
@@ -375,20 +379,22 @@ object RetrievalQueries {
       (s, dir) => {
         val isBase = graft.operators.Dedup
           .md5Int32(col("doc_id").cast(StringType)) % 100 < 90
-        val sh = Tables.wide(s, dir, "documents")
+        // per-doc array_distinct replaces the corpus-wide DISTINCT
+        // shuffle and the array-rebuilding groupBy — the q133 shape
+        val docArr = Tables.wide(s, dir, "documents")
           .select(col("doc_id"),
-            explode(TextFns.shingles(col("text"), 3)).as("w"))
-          .distinct()
+            array_sort(array_distinct(TextFns.shingles(col("text"), 3)))
+              .as("arr"))
+          .withColumn("sz", size(col("arr")).cast(LongType))
           .localCheckpoint()
+        val sh = docArr.select(col("doc_id"), col("sz"),
+          explode(col("arr")).as("w"))
         val dfw = sh.groupBy(col("w"))
           .agg(count(lit(1)).cast(LongType).as("df"))
-        val ranked = sh.join(dfw, "w")
+        val arrs = docArr
+        val prefix = sh.join(dfw, "w")
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-        val arrs = sh.groupBy(col("doc_id"))
-          .agg(sort_array(collect_set(col("w"))).as("arr"),
-            count(lit(1)).cast(LongType).as("sz"))
-        val prefix = ranked.join(arrs.select(col("doc_id"), col("sz")), "doc_id")
           .filter(col("rn") <= expr("sz div 2 + 1"))
           .select(col("doc_id"), col("w"), isBase.as("base"))
         val cand = prefix.filter(!col("base")).as("a")
@@ -489,21 +495,23 @@ object RetrievalQueries {
     // takes q75's maxDf boilerplate cap; here the corpus is exact.
     Q("q143_containment_join",
       (s, dir) => {
-        val sh = Tables.wide(s, dir, "documents")
+        // per-doc array_distinct replaces the corpus-wide DISTINCT
+        // shuffle and the array-rebuilding groupBy — the q133 shape
+        val docArr = Tables.wide(s, dir, "documents")
           .select(col("doc_id"),
-            explode(TextFns.shingles(col("text"), 3)).as("w"))
-          .distinct()
+            array_sort(array_distinct(TextFns.shingles(col("text"), 3)))
+              .as("arr"))
+          .withColumn("sz", size(col("arr")).cast(LongType))
           .localCheckpoint()
+        val sh = docArr.select(col("doc_id"), col("sz"),
+          explode(col("arr")).as("w"))
         val dfw = sh.groupBy(col("w"))
           .agg(count(lit(1)).cast(LongType).as("df"))
-        val arrs = sh.groupBy(col("doc_id"))
-          .agg(sort_array(collect_set(col("w"))).as("arr"),
-            count(lit(1)).cast(LongType).as("sz"))
+        val arrs = docArr
         val prefix = sh.join(dfw, "w")
           .withColumn("rn", row_number().over(
             org.apache.spark.sql.expressions.Window
               .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-          .join(arrs.select(col("doc_id"), col("sz")), "doc_id")
           .filter(col("rn") <= expr("sz div 5 + 1"))
           .select(col("doc_id"), col("w"))
         val cand = prefix.as("a").join(sh.as("b"), Seq("w"))

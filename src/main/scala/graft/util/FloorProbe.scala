@@ -38,7 +38,9 @@ object FloorProbe {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     Tables.enableSessionCache()
     Tables.names.foreach(t => try Tables(spark, dir, t).count() catch { case _: Throwable => })
-    try Tables.wide(spark, dir, "events").count() catch { case _: Throwable => }
+    Seq("events", "documents", "orders", "embeddings").foreach { t =>
+      try Tables.wide(spark, dir, t).count() catch { case _: Throwable => }
+    }
 
     @volatile var jobs = 0
     @volatile var stages = 0
