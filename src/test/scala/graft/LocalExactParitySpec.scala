@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Pins the LocalExact hybrid queries' two paths equal: the
+  * single-task sequential pass (default at test scale) must produce
+  * the exact rows of the distributed DECIMAL/window plan (forced via
+  * the spark.graft.localExactMaxRows=0 override). Runs on the sf0.001
+  * testdata when present.
+  */
+class LocalExactParitySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def available: Boolean = new java.io.File(dir).isDirectory
+
+  private def rowsOf(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def bothPaths(name: String): Unit = {
+    assume(available, s"$dir not present")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q = graft.queries.Registry.byName(name)
+    spark.conf.unset("spark.graft.localExactMaxRows")
+    val local = rowsOf(q.run(spark, dir))
+    spark.conf.set("spark.graft.localExactMaxRows", "0")
+    try {
+      val dist = rowsOf(q.run(spark, dir))
+      assert(local == dist, s"$name: local path != distributed path")
+      assert(local.nonEmpty, s"$name returned no rows")
+    } finally spark.conf.unset("spark.graft.localExactMaxRows")
+  }
+
+  test("q135 decision stump: local scan equals the DECIMAL(38) plan") {
+    bothPaths("q135_decision_stump")
+  }
+
+  test("q130 MAD outliers: local scan equals the window-median plan") {
+    bothPaths("q130_mad_outliers")
+  }
+}
