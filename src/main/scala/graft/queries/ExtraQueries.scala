@@ -498,15 +498,45 @@ object ExtraQueries {
         // repartitions it) and the global total — different exchanges
         val g = v.groupBy(col("p")).agg(count(lit(1)).cast(LongType).as("c"))
           .localCheckpoint(eager = false)
-        val cum = graft.operators.PrefixSum(g, "p", "c", "cum")
-        val n = g.agg(sum(col("c")).as("n"))
-        cum.crossJoin(broadcast(n))
-          .withColumn("decile", expr("((cum - c) * 10) div n"))
-          .groupBy(col("decile"))
-          .agg(sum(col("c")).cast(LongType).as("n_rows"),
-            min(col("p")).as("min_cents"),
-            max(col("p")).as("max_cents"))
-          .orderBy(col("decile"))
+        // LocalExact hybrid: the cell table is bounded by the price
+        // domain — one sorted sequential pass bins exactly, same
+        // rows_strictly_below rule
+        val localOut = graft.operators.LocalExact(g,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("decile", LongType),
+            org.apache.spark.sql.types.StructField("n_rows", LongType),
+            org.apache.spark.sql.types.StructField("min_cents", LongType),
+            org.apache.spark.sql.types.StructField("max_cents", LongType))),
+          5000000L) { it =>
+          val cells = it.map(r => (r.getLong(0), r.getLong(1))).toArray.sortBy(_._1)
+          val n = cells.map(_._2).sum
+          if (n == 0) Iterator.empty
+          else {
+            val nr = new Array[Long](10)
+            val mn = Array.fill(10)(Long.MaxValue)
+            val mx = Array.fill(10)(Long.MinValue)
+            var below = 0L
+            cells.foreach { case (p, c) =>
+              val d = ((below * 10) / n).toInt
+              nr(d) += c
+              if (p < mn(d)) mn(d) = p
+              if (p > mx(d)) mx(d) = p
+              below += c
+            }
+            (0 until 10).iterator.filter(nr(_) > 0L)
+              .map(d => org.apache.spark.sql.Row(d.toLong, nr(d), mn(d), mx(d)))
+          }
+        }
+        localOut.getOrElse {
+          val cum = graft.operators.PrefixSum(g, "p", "c", "cum")
+          val n = g.agg(sum(col("c")).as("n"))
+          cum.crossJoin(broadcast(n))
+            .withColumn("decile", expr("((cum - c) * 10) div n"))
+            .groupBy(col("decile"))
+            .agg(sum(col("c")).cast(LongType).as("n_rows"),
+              min(col("p")).as("min_cents"),
+              max(col("p")).as("max_cents"))
+        }.orderBy(col("decile"))
       },
       Some("""WITH v AS (SELECT CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS p
              |  FROM lineitem),

@@ -37,4 +37,12 @@ class LocalExactParitySpec extends SparkSpec {
   test("q130 MAD outliers: local scan equals the window-median plan") {
     bothPaths("q130_mad_outliers")
   }
+
+  test("q122 decile bins: local scan equals the distributed prefix sum") {
+    bothPaths("q122_decile_bins")
+  }
+
+  test("q146 PSI drift: local scan equals the distributed bounds plan") {
+    bothPaths("q146_psi_drift")
+  }
 }
