@@ -45,4 +45,8 @@ class LocalExactParitySpec extends SparkSpec {
   test("q146 PSI drift: local scan equals the distributed bounds plan") {
     bothPaths("q146_psi_drift")
   }
+
+  test("q150 max concurrency: local scan equals the prefix-sum plan") {
+    bothPaths("q150_max_concurrency")
+  }
 }
