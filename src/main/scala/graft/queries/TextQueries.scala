@@ -398,12 +398,13 @@ object TextQueries {
         val df = tf.groupBy(col("term"))
           .agg(count(lit(1)).as("df_docs"))
         val n = docs.select(count(lit(1)).as("n_docs"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("doc_id"))
-          .orderBy(col("tf").desc, col("df_docs"), col("term"))
-        tf.join(df, "term").crossJoin(broadcast(n))
-          .withColumn("rnk", row_number().over(w))
-          .filter(col("rnk") <= 3)
+        // bounded top-k buffer (the q06/q167 physical operator)
+        // instead of a full per-doc window sort
+        graft.plans.TopKPhysical.topK(
+          tf.join(df, "term").crossJoin(broadcast(n)),
+          Seq("doc_id"),
+          Seq(("tf", false), ("df_docs", true), ("term", true)),
+          k = 3, rankName = "rnk")
           .select(col("doc_id"), col("term"), col("tf"), col("df_docs"),
             round(col("tf") * log(col("n_docs").cast(DoubleType) /
               col("df_docs").cast(DoubleType)), 6).as("tfidf"),
@@ -444,15 +445,20 @@ object TextQueries {
         val holdout = Seq("src0", "src1")
         val docs = Tables(s, dir, "documents")
         val par = s.sparkContext.defaultParallelism
-        val grams = docs
+        // per-doc dedup INSIDE the hash array (the q133 shape): the
+        // exploded (doc, hv) pairs are unique by construction, so the
+        // corpus-wide DISTINCT shuffle disappears and the checkpoint
+        // stores compact arrays instead of exploded rows
+        val docGrams = docs
           .repartition(par, col("doc_id"))
           .select(col("doc_id"), col("source"),
-            explode(graft.functions.ShingleHashes(col("text"), n)).as("hv"))
-          .distinct()
+            array_distinct(graft.functions.ShingleHashes(col("text"), n))
+              .as("arr"))
           .localCheckpoint(eager = false) // feeds both splits below
-        val train = grams.filter(!col("source").isin(holdout: _*))
-          .select(col("hv")).distinct()
-        val test = grams.filter(col("source").isin(holdout: _*))
+        val train = docGrams.filter(!col("source").isin(holdout: _*))
+          .select(explode(col("arr")).as("hv")).distinct()
+        val test = docGrams.filter(col("source").isin(holdout: _*))
+          .select(col("doc_id"), explode(col("arr")).as("hv"))
         test.join(train.withColumn("_hit", lit(1)), Seq("hv"), "left")
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_grams"),
