@@ -35,13 +35,20 @@ import org.apache.spark.sql.functions._
 object BloomFilter {
 
   /** k md5-derived 32-bit hashes of `keyCol`, exploded one per row as
-    * column `h` alongside the key as `k`. */
-  private def hashed(df: DataFrame, keyCol: String, k: Int): DataFrame =
-    df.select(col(keyCol).as("k"), explode(expr(
-      s"""transform(sequence(0, ${k - 1}), i ->
-         |  CAST(conv(substring(md5(concat(CAST($keyCol AS STRING), '#',
-         |    CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT))""".stripMargin))
-      .as("h"))
+    * column `h` alongside the key as `k`. ONE md5 per key — the k
+    * hashes are disjoint 8-hex-digit slices of the digest (k ≤ 4; the
+    * q109 CMS convention). The old per-hash `md5(key#i)` inside a
+    * `transform` lambda evaluated interpreted (higher-order functions
+    * have no codegen) and paid k digests per key; the flat
+    * array-of-slices projection whole-stage-codegens. */
+  private def hashed(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k <= 4, s"md5 has 32 hex digits = 4 disjoint 32-bit slices, got k=$k")
+    val slices = (0 until k).map(i =>
+      expr(s"CAST(conv(substring(_m, ${i * 8 + 1}, 8), 16, 10) AS BIGINT)"))
+    df.select(col(keyCol).as("k"),
+        md5(col(keyCol).cast("string")).as("_m"))
+      .select(col("k"), explode(array(slices: _*)).as("h"))
+  }
 
   /** Build the (word, bits) table from the build-side keys: `words`
     * rows at most, each holding 32 usable bits. */

@@ -372,15 +372,15 @@ object ExtraQueries {
       },
       Some("""WITH keys AS (SELECT o_orderkey AS k FROM orders
              |    WHERE o_totalprice >= 495000),
-             |hb AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR) || '#' ||
-             |      CAST(i AS VARCHAR)), 1, 8))::BIGINT AS h
+             |hb AS (SELECT ('0x' || substr(md5(CAST(k AS VARCHAR)),
+             |      CAST(1 + 8 * i AS INT), 8))::BIGINT AS h
              |  FROM keys, unnest(range(0, 3)) AS u(i)),
              |bloom AS (SELECT (h // 32) % 1024 AS word,
              |    bit_or(CAST(1 AS BIGINT) << CAST(h % 32 AS INT)) AS bits
              |  FROM hb GROUP BY 1),
              |probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
-             |ph AS (SELECT k, ('0x' || substr(md5(CAST(k AS VARCHAR) || '#' ||
-             |      CAST(i AS VARCHAR)), 1, 8))::BIGINT AS h
+             |ph AS (SELECT k, ('0x' || substr(md5(CAST(k AS VARCHAR)),
+             |      CAST(1 + 8 * i AS INT), 8))::BIGINT AS h
              |  FROM probe, unnest(range(0, 3)) AS u(i)),
              |pj AS (SELECT ph.k, CASE WHEN b.bits IS NOT NULL
              |      AND ((b.bits >> CAST(ph.h % 32 AS INT)) & 1) = 1
