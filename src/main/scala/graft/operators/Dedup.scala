@@ -53,7 +53,7 @@ object Dedup {
   /** MinHash signature over word n-gram shingles: for each hash j,
     * min over shingles of (a_j * md5_32(shingle) + b_j) mod p.
     *
-    * Takes a PRE-HASHED shingle array (`hv`, from [[shingleHashes]])
+    * Takes a PRE-HASHED shingle array (`hv`, from graft.functions.ShingleHashes)
     * so the md5 pass runs once per document, not once per hash
     * function — the naive per-hash recompute blows the generated code
     * up 16× and costs two orders of magnitude at bench scale. */
@@ -61,10 +61,6 @@ object Dedup {
     hashParams(numHashes).map { case (a, b) =>
       array_min(transform(hv, h => (h * a + b) % HashPrime))
     }
-
-  /** md5-int32 hash of each word n-gram shingle (one md5 pass). */
-  def shingleHashes(text: Column, n: Int): Column =
-    transform(TextFns.shingles(text, n), s => md5Int32(s))
 
   /** MinHash-LSH candidate pairs: band the signature, bucket-join on
     * (band, band-signature), emit unordered (idA < idB) pairs with the
