@@ -59,3 +59,48 @@ object ShingleHashes {
   def apply(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashesExpr(ColumnBridge.expression(text), n))
 }
+
+/** String sibling of [[ShingleHash]]: word n-gram shingles as
+  * UTF8String array, same tokenize + single-space join — the kernel
+  * behind `TextFns.shingles`, replacing the interpreted
+  * `transform(sequence…, i -> array_join(slice…))` lambda with a
+  * whole-stage-codegen static call (q133/q143/q165/q151/q154/q114 all
+  * construct this stream before any shuffle). */
+object ShingleString {
+  def strings(text: UTF8String, n: Int): ArrayData = {
+    val toks = Md5Kernel.tokenize(text.toString)
+    if (toks.length < n)
+      return new GenericArrayData(Array.empty[AnyRef])
+    val out = new Array[AnyRef](toks.length - n + 1)
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** Codegen'd string-shingle expression (static call per row). */
+case class ShingleStringsExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.StringType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleString.strings(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleString.strings($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleStringsExpr =
+    copy(child = newChild)
+}
+
+object ShingleStrings {
+  def apply(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleStringsExpr(ColumnBridge.expression(text), n))
+}

@@ -72,13 +72,12 @@ object TextFns {
 
   /** Word n-gram shingles: contiguous n-token windows joined by a
     * single space. Fewer than n tokens → empty array. */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), size(toks) - lit(n - 1)),
-        i => array_join(slice(toks, i, lit(n)), " ")))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // codegen kernel (ShingleStrings) — the composed
+    // transform/array_join lambda form evaluates interpreted and was
+    // the hot prologue of every shingle-pair query; the kernel shares
+    // Md5Kernel.tokenize, so tokenization is bit-identical to tokens()
+    ShingleStrings(text, n)
 
   /** Punctuation-character ratio (over total characters). */
   def punctRatio(text: Column): Column = {

@@ -1015,12 +1015,14 @@ object TextQueries {
       (s, dir) => {
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
-        val win = toks.filter(size(col("toks")) >= 3)
-          .select(col("doc_id"), explode(expr(
-            """transform(sequence(1, size(toks) - 2),
-              |  i -> named_struct('i', i, 'g', array_join(slice(toks, i, 3), ' ')))"""
-              .stripMargin)).as("w"))
-          .select(col("doc_id"), col("w.i").as("i"), col("w.g").as("g"))
+        // positional windows via the codegen shingle kernel (pos is
+        // 0-based, the span indices below are 1-based) — the old
+        // named_struct transform lambda evaluated interpreted
+        val win = Tables(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(graft.functions.TextFns.shingles(col("text"), 3))
+              .as(Seq("p", "g")))
+          .select(col("doc_id"), (col("p") + 1).as("i"), col("g"))
         val boiler = win.groupBy(col("g"))
           .agg(countDistinct(col("doc_id")).as("df"))
           .filter(col("df") >= 5).select(col("g"))
