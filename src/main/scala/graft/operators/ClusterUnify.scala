@@ -83,7 +83,13 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
     // threshold — known for free from the count above — solve
     // exactly with ONE union-find task (an executor task over a
     // coalesced partition, not a driver collect); above it, fall
-    // through to the pointer-jumping loop. Same output either way:
+    // through to the pointer-jumping loop. NOTE: union-find is
+    // direction-insensitive while pointer jumping follows edge
+    // direction, so the two paths agree ONLY for symmetric edge
+    // sets — which the docstring already requires of every caller
+    // (for a lone directed edge b→a with b>a, union-find would
+    // label b with a where pointer jumping leaves b alone). With
+    // symmetric input the output is identical either way:
     // `_lbl` = min reachable id.
     if (edgeCount <= localSolveMaxEdges) {
       val schema = org.apache.spark.sql.types.StructType(Seq(

@@ -41,6 +41,17 @@ object ExternalFetch {
     }
   }
 
+  /** The attempt number of the in-flight call, visible to the
+    * transport closure on the calling thread (mapPartitions runs the
+    * closure on the task thread, so this is race-free). Lets a
+    * transport tag requests with the retry ordinal — e.g. an
+    * `X-Graft-Attempt` header — so server-side behavior keyed on
+    * "first attempt" stays deterministic even when a task retry or
+    * speculative duplicate replays the whole partition. */
+  val currentAttempt = new ThreadLocal[Integer] {
+    override def initialValue(): Integer = 1
+  }
+
   /** One rate-limited call with bounded exponential-backoff retries:
     * (payload, error, attempts) — exactly one of payload/error set. */
   private def attemptCall(limiter: RateLimiter, maxRetries: Int, backoffMs: Long,
@@ -51,6 +62,7 @@ object ExternalFetch {
     while (out == null) {
       attempt += 1
       limiter.acquire()
+      currentAttempt.set(attempt)
       try out = (Some(call()), None, attempt)
       catch {
         case scala.util.control.NonFatal(ex) =>

@@ -40,20 +40,36 @@ object KMeansTrain {
 
   /** Train centroids over `vectors(idCol, vecCol)`; returns
     * `(cell_id: long, cell_vec: array<double>)`, one row per of the
-    * `k` min-id-initialized centroids. */
+    * `k` min-id-initialized centroids.
+    *
+    * @param autoCellTarget when set, `k` becomes a FLOOR and the
+    *   effective centroid count grows with the corpus:
+    *   `max(k, ceil(n / target))` — the SemDeDup posture "more
+    *   centroids for more vectors" as the default instead of a
+    *   strictCap fail-fast at scale-up. The count is the same one
+    *   the hybrid switch already pays. Unset = fixed k (the
+    *   oracle-replayable form). */
   def train(vectors: DataFrame, idCol: String, vecCol: String,
             k: Int, iters: Int,
-            localSolveMaxVectors: Long = 2000000L): DataFrame = {
+            localSolveMaxVectors: Long = 2000000L,
+            autoCellTarget: Option[Int] = None): DataFrame = {
+    // pin the caller's (possibly expensive) vector derivation ONCE
+    // before the threshold count — without the checkpoint the count
+    // and the chosen path's first pass each re-execute the upstream
+    // lineage (the PageRank/ClusterUnify materialization convention)
     val vecs = vectors.select(col(idCol).cast(LongType).as("_vid"),
-      col(vecCol).as("_v"))
+      col(vecCol).as("_v")).localCheckpoint(eager = false)
+    val n = vecs.count()
+    val kEff = autoCellTarget
+      .map(t => math.max(k.toLong, (n + t - 1) / t).toInt).getOrElse(k)
     // Hybrid switch (ClusterUnify/PageRank/Perceptron convention):
     // below the threshold the whole Lloyd loop runs in one executor
     // task with the identical scaled-long / HALF_UP arithmetic —
     // above it, the broadcast-assignment iterations below are
     // unchanged (the 100-TB path: each iteration is one corpus pass).
-    if (vecs.count() <= localSolveMaxVectors)
-      return localSolve(vecs, k, iters)
-    var cents = vecs.filter(col("_vid") < k)
+    if (n <= localSolveMaxVectors)
+      return localSolve(vecs, kEff, iters)
+    var cents = vecs.filter(col("_vid") < kEff)
       .select(col("_vid").as("cell_id"),
         transform(col("_v"), x => x.cast(DoubleType)).as("cell_vec"))
       .localCheckpoint()

@@ -166,8 +166,14 @@ object PageRank {
             val s = srcs(i)
             if (active(s)) {
               val d = dsts(i)
-              inc(d) += score(s) / outdeg(s)
-              nextActive(d) = true
+              // mirror the distributed eAug inner join with the
+              // source-degree table: edges to a sink destination
+              // (outdeg 0) never enter state there, so they must not
+              // receive contributions here either
+              if (outdeg(d) > 0L) {
+                inc(d) += score(s) / outdeg(s)
+                nextActive(d) = true
+              }
             }
             i += 1
           }

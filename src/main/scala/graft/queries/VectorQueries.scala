@@ -350,9 +350,14 @@ object VectorQueries {
     Q("q103_semdedup_trained",
       (s, dir) => {
         val emb = Tables(s, dir, "embeddings")
+        // autoCellTarget: at the oracle scales n/250 stays under the
+        // k=8 floor (sf0.01: 500, sf0.1: 2000 vectors → kEff=8, the
+        // oracle-replayed value); a 10×+ scale-up grows the codebook
+        // so SemanticDedup's maxCell strict gate holds by default
         val centroids = graft.operators.KMeansTrain.train(
           emb.select(col("vec_id"), col("embedding")),
-          "vec_id", "embedding", k = 8, iters = 3)
+          "vec_id", "embedding", k = 8, iters = 3,
+          autoCellTarget = Some(250))
         graft.operators.SemanticDedup(
           emb.select(col("vec_id"), col("embedding")),
           "vec_id", "embedding", centroids, threshold = 0.35)

@@ -317,10 +317,14 @@ class OperatorSpec extends SparkSpec {
   test("pagerank local single-task path is bit-equal to the distributed loop") {
     // asymmetric bipartite-ish graph with a src-only node (30 never a
     // dst: it must DROP OUT of the state after iteration 1 on both
-    // paths) and unequal outdegrees
+    // paths), a SINK destination (99 never a src: the distributed
+    // eAug dst-degree inner join drops its incoming edge, so it must
+    // never appear in the output and must not siphon contributions)
+    // and unequal outdegrees
     val edges = Seq(
       ("c", 1L, "s", 10L), ("c", 1L, "s", 20L), ("c", 2L, "s", 10L),
-      ("s", 10L, "c", 1L), ("s", 20L, "c", 2L), ("c", 30L, "s", 10L))
+      ("s", 10L, "c", 1L), ("s", 20L, "c", 2L), ("c", 30L, "s", 10L),
+      ("c", 2L, "s", 99L))
       .toDF("srcType", "srcKey", "dstType", "dstKey")
     def runPath(threshold: Long): Map[(String, Long), Long] =
       graft.operators.PageRank(edges, iters = 4, localSolveMaxEdges = threshold)
@@ -329,6 +333,7 @@ class OperatorSpec extends SparkSpec {
     val dist = runPath(0L)
     assert(local == dist, s"local $local != distributed $dist")
     assert(!local.contains(("c", 30L))) // src-only node dropped out
+    assert(!local.contains(("s", 99L))) // sink dest never enters state
   }
 
   test("batch perceptron matches the in-memory reference, learns a separable set, partition-invariant") {
