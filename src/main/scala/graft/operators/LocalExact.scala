@@ -30,6 +30,13 @@ object LocalExact {
       .getOrElse(maxRows)
     if (cells.count() > limit) None
     else Some(cells.sparkSession.createDataFrame(
-      cells.coalesce(1).rdd.mapPartitions(f), schema))
+      cells.coalesce(1).rdd.mapPartitions(f), schema)
+      // materialize the one-task result LAZILY: every caller ends in
+      // a global orderBy, whose range-sample pass + sort pass would
+      // otherwise each re-execute the kernel (2× the sequential
+      // work); the sample pass materializes the (output-sized, tiny)
+      // blocks and the sort pass re-reads them — lazy so query
+      // CONSTRUCTION doesn't pay a synchronous job barrier
+      .localCheckpoint(eager = false))
   }
 }

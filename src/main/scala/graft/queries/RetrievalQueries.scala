@@ -305,32 +305,39 @@ object RetrievalQueries {
               .as("arr"))
           .withColumn("sz", size(col("arr")).cast(LongType))
           .localCheckpoint()
-        val sh = docArr.select(col("doc_id"), col("sz"),
-          explode(col("arr")).as("w"))
-        val dfw = sh.groupBy(col("w"))
-          .agg(count(lit(1)).cast(LongType).as("df"))
-        val arrs = docArr
-        val prefix = sh.join(dfw, "w")
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-          .filter(col("rn") <= expr("sz div 2 + 1"))
-          .select(col("doc_id"), col("w"))
-        val cand = prefix.as("a").join(prefix.as("b"), Seq("w"))
-          .filter(col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-          .distinct()
-        cand
-          .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"),
-            col("sz").as("sz1")), "d1")
-          .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"),
-            col("sz").as("sz2")), "d2")
-          .withColumn("inter", graft.functions.SortedIntersect
-            .intersectCount(col("arr1"), col("arr2")))
-          .filter(expr("3 * inter >= sz1 + sz2"))
-          .withColumn("jac_bp", expr("(inter * 10000) div (sz1 + sz2 - inter)"))
-          .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
-            col("jac_bp"))
+        // LocalExact hybrid (AllPairsLocal): below the doc threshold
+        // the whole df-rank → prefix → candidate → verify chain is ONE
+        // executor task; the Bayardo equi-join below stays the 100-TB
+        // path (parity pinned by LocalExactParitySpec).
+        graft.operators.AllPairsLocal.allPairs(docArr, 100000L)
+          .getOrElse {
+            val sh = docArr.select(col("doc_id"), col("sz"),
+              explode(col("arr")).as("w"))
+            val dfw = sh.groupBy(col("w"))
+              .agg(count(lit(1)).cast(LongType).as("df"))
+            val arrs = docArr
+            val prefix = sh.join(dfw, "w")
+              .withColumn("rn", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+              .filter(col("rn") <= expr("sz div 2 + 1"))
+              .select(col("doc_id"), col("w"))
+            val cand = prefix.as("a").join(prefix.as("b"), Seq("w"))
+              .filter(col("a.doc_id") < col("b.doc_id"))
+              .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+              .distinct()
+            cand
+              .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"),
+                col("sz").as("sz1")), "d1")
+              .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"),
+                col("sz").as("sz2")), "d2")
+              .withColumn("inter", graft.functions.SortedIntersect
+                .intersectCount(col("arr1"), col("arr2")))
+              .filter(expr("3 * inter >= sz1 + sz2"))
+              .withColumn("jac_bp", expr("(inter * 10000) div (sz1 + sz2 - inter)"))
+              .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+                col("jac_bp"))
+          }
           .orderBy(col("d1"), col("d2"))
       },
       Some("""WITH d AS (SELECT doc_id,
@@ -386,34 +393,41 @@ object RetrievalQueries {
             array_sort(array_distinct(TextFns.shingles(col("text"), 3)))
               .as("arr"))
           .withColumn("sz", size(col("arr")).cast(LongType))
+          .withColumn("base", isBase)
           .localCheckpoint()
-        val sh = docArr.select(col("doc_id"), col("sz"),
-          explode(col("arr")).as("w"))
-        val dfw = sh.groupBy(col("w"))
-          .agg(count(lit(1)).cast(LongType).as("df"))
-        val arrs = docArr
-        val prefix = sh.join(dfw, "w")
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-          .filter(col("rn") <= expr("sz div 2 + 1"))
-          .select(col("doc_id"), col("w"), isBase.as("base"))
-        val cand = prefix.filter(!col("base")).as("a")
-          .join(prefix.filter(col("base")).as("b"), Seq("w"))
-          .select(col("a.doc_id").as("inc"), col("b.doc_id").as("bs"))
-          .distinct()
-        cand
-          .join(arrs.select(col("doc_id").as("inc"), col("arr").as("arr1"),
-            col("sz").as("sz1")), "inc")
-          .join(arrs.select(col("doc_id").as("bs"), col("arr").as("arr2"),
-            col("sz").as("sz2")), "bs")
-          .withColumn("inter", graft.functions.SortedIntersect
-            .intersectCount(col("arr1"), col("arr2")))
-          .filter(expr("3 * inter >= sz1 + sz2"))
-          .withColumn("jac_bp", expr("(inter * 10000) div (sz1 + sz2 - inter)"))
-          .groupBy(col("inc"))
-          .agg(min(struct((-col("jac_bp")).as("nj"), col("bs").as("bs"))).as("m"))
-          .select(col("inc"), col("m.bs").as("base_id"),
-            (-col("m.nj")).cast(LongType).as("jac_bp"))
+        // LocalExact hybrid (AllPairsLocal, q133 convention): one-task
+        // exact pass below the doc threshold, the orientation-
+        // restricted Bayardo join below as the 100-TB path.
+        graft.operators.AllPairsLocal.incremental(docArr, 100000L)
+          .getOrElse {
+            val sh = docArr.select(col("doc_id"), col("sz"), col("base"),
+              explode(col("arr")).as("w"))
+            val dfw = sh.groupBy(col("w"))
+              .agg(count(lit(1)).cast(LongType).as("df"))
+            val arrs = docArr
+            val prefix = sh.join(dfw, "w")
+              .withColumn("rn", row_number().over(
+                Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+              .filter(col("rn") <= expr("sz div 2 + 1"))
+              .select(col("doc_id"), col("w"), col("base"))
+            val cand = prefix.filter(!col("base")).as("a")
+              .join(prefix.filter(col("base")).as("b"), Seq("w"))
+              .select(col("a.doc_id").as("inc"), col("b.doc_id").as("bs"))
+              .distinct()
+            cand
+              .join(arrs.select(col("doc_id").as("inc"), col("arr").as("arr1"),
+                col("sz").as("sz1")), "inc")
+              .join(arrs.select(col("doc_id").as("bs"), col("arr").as("arr2"),
+                col("sz").as("sz2")), "bs")
+              .withColumn("inter", graft.functions.SortedIntersect
+                .intersectCount(col("arr1"), col("arr2")))
+              .filter(expr("3 * inter >= sz1 + sz2"))
+              .withColumn("jac_bp", expr("(inter * 10000) div (sz1 + sz2 - inter)"))
+              .groupBy(col("inc"))
+              .agg(min(struct((-col("jac_bp")).as("nj"), col("bs").as("bs"))).as("m"))
+              .select(col("inc"), col("m.bs").as("base_id"),
+                (-col("m.nj")).cast(LongType).as("jac_bp"))
+          }
           .orderBy(col("inc"))
       },
       Some("""WITH d AS (SELECT doc_id,

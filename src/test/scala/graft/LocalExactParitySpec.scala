@@ -49,4 +49,12 @@ class LocalExactParitySpec extends SparkSpec {
   test("q150 max concurrency: local scan equals the prefix-sum plan") {
     bothPaths("q150_max_concurrency")
   }
+
+  test("q133 all-pairs jaccard: one-task kernel equals the Bayardo join") {
+    bothPaths("q133_allpairs_jaccard")
+  }
+
+  test("q165 incremental dedup: one-task kernel equals the oriented join") {
+    bothPaths("q165_incremental_dedup")
+  }
 }
