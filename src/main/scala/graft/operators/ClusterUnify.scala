@@ -119,7 +119,14 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
         parent.keySet().forEach(k => out += org.apache.spark.sql.Row(k, find(k)))
         out.iterator
       }
+      // lazy-materialize the one-task result (the LocalExact
+      // convention): the first consumer runs the union-find kernel
+      // once (recomputing only edges' final map stage from its
+      // shuffle files — the cache is gone by then) and every later
+      // pass reads the label blocks; eager was measured ~0.3 s worse
+      // at sf0.1 (extra job barrier > the saved final-stage re-read)
       val labels = edges.sparkSession.createDataFrame(lblRdd, schema)
+        .localCheckpoint(eager = false)
       edges.unpersist()
       return nodes.join(labels, Seq("_id"), "left")
         .select(col("_id"), coalesce(col("_lbl"), col("_id")).as("_lbl"))

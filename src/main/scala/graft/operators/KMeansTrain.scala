@@ -180,6 +180,10 @@ object KMeansTrain {
         }
       }
     }
+    // lazy-materialize the one-task result: consumers broadcast or
+    // sort the k-row codebook, and each pass would otherwise re-run
+    // the whole Lloyd kernel (the LocalExact convention)
     vecs.sparkSession.createDataFrame(rows, schema)
+      .localCheckpoint(eager = false)
   }
 }

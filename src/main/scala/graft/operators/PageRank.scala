@@ -60,7 +60,10 @@ object PageRank {
     val eProj = edges.select(
       col("srcType").as("st"), col("srcKey").cast(LongType).as("sk"),
       col("dstType").as("dt"), col("dstKey").cast(LongType).as("dk"))
-    val e = if (edgesMaterialized) eProj else eProj.localCheckpoint()
+    // lazy: the hybrid-switch count below is the first consumer and
+    // materializes the blocks — one job instead of barrier + count
+    val e = if (edgesMaterialized) eProj
+            else eProj.localCheckpoint(eager = false)
     // Hybrid switch (the ClusterUnify convention): below the edge
     // threshold the whole power iteration runs as ONE union-find-style
     // executor task over a coalesced partition — integer math
@@ -190,6 +193,10 @@ object PageRank {
         }
       }
     }
+    // lazy-materialize the one-task result: the caller's global
+    // orderBy (range-sample + sort) would otherwise run the kernel
+    // twice (the LocalExact convention)
     e.sparkSession.createDataFrame(rows, schema)
+      .localCheckpoint(eager = false)
   }
 }

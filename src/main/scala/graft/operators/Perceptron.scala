@@ -95,7 +95,11 @@ object Perceptron {
         (0 to nBuckets).iterator
           .map(b => org.apache.spark.sql.Row(b.toLong, w(b)))
       }
+      // lazy-materialize the one-task result so downstream passes
+      // (broadcast + sort) run the multi-round kernel once
+      // (the LocalExact convention)
       return spark.createDataFrame(rows, schema)
+        .localCheckpoint(eager = false)
     }
     val w = Array.fill(nBuckets + 1)(0L)
     for (_ <- 1 to iters) {

@@ -113,6 +113,10 @@ object TriangleCount {
       (0 until nN).iterator.filter(cnt(_) > 0L)
         .map(j => org.apache.spark.sql.Row(ids(j), cnt(j)))
     }
+    // lazy-materialize the one-task result: the caller's global
+    // orderBy (range-sample + sort) would otherwise run the kernel
+    // twice (the LocalExact convention)
     e.sparkSession.createDataFrame(rows, schema)
+      .localCheckpoint(eager = false)
   }
 }

@@ -107,7 +107,9 @@ object GraphQueries {
             col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
           .select(col("a.pk").as("u"), col("b.pk").as("v"))
           .distinct()
-          .localCheckpoint()
+          // lazy: perNode's hybrid-switch count is the first consumer
+          // and materializes it — one job instead of barrier + count
+          .localCheckpoint(eager = false)
         // degree-oriented wedge join / single-task hybrid — see
         // operators/TriangleCount
         graft.operators.TriangleCount.perNode(e)
