@@ -33,7 +33,8 @@ object AllPairsLocal {
     def sz: Long = sorted.length.toLong
   }
 
-  private def internDocs(rows: Iterator[Row], baseAt: Int): Array[Doc] = {
+  private def internDocs(rows: Iterator[Row], baseAt: Int,
+                         prefixDiv: Int = 2): Array[Doc] = {
     val ids = new java.util.HashMap[String, Integer]()
     val df = new scala.collection.mutable.ArrayBuffer[Int]()
     val raw = rows.map { r =>
@@ -56,7 +57,7 @@ object AllPairsLocal {
       sortBy(byRank, id => (df(id).toLong << 32) | id.toLong)
       val sorted = a.clone()
       java.util.Arrays.sort(sorted)
-      Doc(docId, base, sorted, byRank.take(a.length / 2 + 1))
+      Doc(docId, base, sorted, byRank.take(a.length / prefixDiv + 1))
     }
   }
 
@@ -131,6 +132,63 @@ object AllPairsLocal {
       verifiedPairs(docs, (a, b) => a.id < b.id).map { case (a, b, inter) =>
         Row(a.id, b.id, inter, a.sz, b.sz, jacBp(inter, a.sz, b.sz))
       }
+    }
+
+  /** q143 shape over checkpointed `docArr(doc_id, arr, sz)` — EXACT
+    * asymmetric containment: ordered pairs (a, b), a ≠ b, with
+    * 5·|A∩B| ≥ 4·|A|. One-sided prefix filter: a pair must share one
+    * of A's ⌊|A|/5⌋+1 rarest shingles with B's FULL set, so the
+    * candidate scan walks A's prefix against the full inverted
+    * index. (d_a, d_b, inter, sz_a, sz_b, cont_bp), UNSORTED. */
+  def containment(docArr: DataFrame, maxRows: Long): Option[DataFrame] =
+    LocalExact(docArr, StructType(Seq(
+      StructField("d_a", LongType), StructField("d_b", LongType),
+      StructField("inter", LongType), StructField("sz_a", LongType),
+      StructField("sz_b", LongType), StructField("cont_bp", LongType))),
+      maxRows) { it =>
+      val docs = internDocs(it, baseAt = -1, prefixDiv = 5)
+      val nShingles = docs.iterator.map(d =>
+        if (d.sorted.isEmpty) 0 else d.sorted(d.sorted.length - 1) + 1)
+        .foldLeft(0)(math.max)
+      // FULL-stream inverted index (the container side pays nothing)
+      val index = Array.fill(nShingles)(null: java.util.ArrayList[Integer])
+      var i = 0
+      while (i < docs.length) {
+        docs(i).sorted.foreach { w =>
+          if (index(w) == null) index(w) = new java.util.ArrayList[Integer]()
+          index(w).add(i)
+        }
+        i += 1
+      }
+      val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var a = 0
+      while (a < docs.length) {
+        val da = docs(a)
+        val seen = new java.util.HashSet[Int]()
+        da.prefix.foreach { w =>
+          val bucket = index(w)
+          var x = 0
+          while (x < bucket.size()) {
+            val b = bucket.get(x).intValue()
+            if (b != a && seen.add(b)) {
+              val db = docs(b)
+              var (u, v, inter) = (0, 0, 0L)
+              while (u < da.sorted.length && v < db.sorted.length) {
+                val c = da.sorted(u) - db.sorted(v)
+                if (c == 0) { inter += 1L; u += 1; v += 1 }
+                else if (c < 0) u += 1
+                else v += 1
+              }
+              if (5L * inter >= 4L * da.sz)
+                out += Row(da.id, db.id, inter, da.sz, db.sz,
+                  (inter * 10000L) / da.sz)
+            }
+            x += 1
+          }
+        }
+        a += 1
+      }
+      out.iterator
     }
 
   /** q165 shape over checkpointed `docArr(doc_id, arr, sz, base)`:

@@ -61,6 +61,34 @@ object NgramLm {
   private[operators] def floorLog2(p: Column): Column =
     (length(bin(greatest(p, lit(1L)))) - 1).cast(LongType)
 
+  /** JVM twins of the column kernels, for the one-task local paths —
+    * each must stay bit-identical to its Catalyst form above. */
+  private[operators] def fl2Jvm(p: Long): Long =
+    63 - java.lang.Long.numberOfLeadingZeros(math.max(p, 1L))
+
+  /** Exact scaledP (round-half-up of Scale·(c+1)/d) in BigInt —
+    * 2·10¹²·(c+1) overflows int64 once c passes ~4.6M, which a
+    * sub-threshold corpus can reach. */
+  private[operators] def scaledPJvm(c: Long, d: Long): Long =
+    ((BigInt(2L) * Scale * (c + 1L) + d) / (BigInt(d) * 2L)).toLong
+
+  /** All code-point bigrams of `text` — the JVM twin of
+    * `substring(text, i, 2)` over UTF8String, which indexes by CODE
+    * POINT (Java String indexes by UTF-16 unit; they diverge on
+    * supplementary characters). Empty for texts under 2 code points. */
+  private[operators] def bigramsJvm(text: String): Array[String] = {
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    while (i < text.length) {
+      starts += i
+      i += Character.charCount(text.codePointAt(i))
+    }
+    starts += text.length
+    val n = starts.length - 1 // code-point count
+    if (n < 2) Array.empty[String]
+    else Array.tabulate(n - 1)(j => text.substring(starts(j), starts(j + 2)))
+  }
+
   /** Spread a narrow input across the session's cores before a
     * corpus-sized explode. The explode multiplies work ~|text|-fold,
     * so a single-partition input (a small cached file) serializes the
@@ -149,7 +177,50 @@ object NgramLm {
     * not fire across the differently-pruned branches (measured r8:
     * 2.6 s → 1.5 s at sf0.1). Identical numbers: per-occurrence sums
     * become cnt-weighted sums over the distinct-gram rows. */
-  def selfScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def selfScore(docs: DataFrame, idCol: String, textCol: String,
+                localSolveMaxDocs: Long = 200000L): DataFrame = {
+    // LocalExact hybrid: below the doc threshold, train + score run
+    // in one sequential pass with the identical BigInt round-half-up
+    // and integer floor-log2 (LocalExactParitySpec pins the paths)
+    val localOut = LocalExact(docs.select(col(idCol), col(textCol)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, LongType),
+        org.apache.spark.sql.types.StructField("n_bigrams", LongType),
+        org.apache.spark.sql.types.StructField("mean_p_scaled", LongType),
+        org.apache.spark.sql.types.StructField("mean_surprisal", DoubleType))),
+      localSolveMaxDocs) { it =>
+      val rows = it.map(r => (r.getLong(0), r.getString(1))).toArray
+      val cab = new java.util.HashMap[String, Long]()
+      rows.foreach { case (_, t) =>
+        bigramsJvm(t).foreach(g => cab.merge(g, 1L, _ + _))
+      }
+      val ca = new java.util.HashMap[String, Long]()
+      cab.forEach { (g, c) =>
+        ca.merge(g.substring(0, g.offsetByCodePoints(0, 1)), c, _ + _)
+      }
+      val vsz = ca.size.toLong
+      val pOf = new java.util.HashMap[String, (Long, Long)]() // g → (p, s)
+      cab.forEach { (g, c) =>
+        val d = ca.get(g.substring(0, g.offsetByCodePoints(0, 1))) + vsz
+        val p = scaledPJvm(c, d)
+        pOf.put(g, (p, 40L - fl2Jvm(p)))
+      }
+      rows.iterator.map { case (id, t) =>
+        val gs = bigramsJvm(t)
+        if (gs.isEmpty) org.apache.spark.sql.Row(id, 0L, null, null)
+        else {
+          var (sp, ss) = (BigInt(0), BigInt(0))
+          gs.foreach { g =>
+            val (p, s) = pOf.get(g); sp += p; ss += s
+          }
+          val n = gs.length.toLong
+          org.apache.spark.sql.Row(id, n,
+            ((sp * 2 + n) / (2L * n)).toLong,
+            ((ss * 2000000L + n) / (2L * n)).toLong.toDouble / 1000000.0d)
+        }
+      }
+    }
+    if (localOut.isDefined) return localOut.get
     val dec = DecimalType(38, 0)
     val dg = bigrams(docs, idCol, textCol)
       .groupBy(col(idCol), col("g"))
@@ -229,7 +300,56 @@ object DsirSelect {
     * tiny distinct-gram aggregate, whose exchange Spark reuses across
     * the model and scoring branches. */
   def select(docs: DataFrame, idCol: String, textCol: String,
-             targetFlag: Column, nBuckets: Int, k: Int): DataFrame = {
+             targetFlag: Column, nBuckets: Int, k: Int,
+             localSolveMaxDocs: Long = 200000L): DataFrame = {
+    // LocalExact hybrid (the NgramLm.selfScore convention): one
+    // sequential pass builds both bucket models and scores + selects,
+    // with the identical md5 bucketing (Md5Kernel.md5Int32), BigInt
+    // round-half-up scaledP and integer floor-log2
+    val localOut = LocalExact(
+      docs.select(col(idCol), targetFlag.as("tgt"), col(textCol)),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, LongType),
+        org.apache.spark.sql.types.StructField("n_bigrams", LongType),
+        org.apache.spark.sql.types.StructField("dsir_logw", LongType))),
+      localSolveMaxDocs) { it =>
+      import graft.functions.Md5Kernel
+      val rows = it.map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toArray
+      val ct = new java.util.HashMap[String, Long]()
+      val cs = new java.util.HashMap[String, Long]()
+      rows.foreach { case (_, tgt, t) =>
+        val m = if (tgt) ct else cs
+        NgramLm.bigramsJvm(t).foreach(g => m.merge(g, 1L, _ + _))
+      }
+      val grams = new java.util.HashSet[String](ct.keySet())
+      grams.addAll(cs.keySet())
+      val bT = new Array[Long](nBuckets)
+      val bS = new Array[Long](nBuckets)
+      val bucketOf = new java.util.HashMap[String, Int]()
+      grams.forEach { g =>
+        val b = (Md5Kernel.md5Int32(g) % nBuckets).toInt
+        bucketOf.put(g, b)
+        bT(b) += ct.getOrDefault(g, 0L)
+        bS(b) += cs.getOrDefault(g, 0L)
+      }
+      val (nt, ns) = (bT.sum, bS.sum)
+      val dlw = Array.tabulate(nBuckets) { b =>
+        NgramLm.fl2Jvm(NgramLm.scaledPJvm(bT(b), nt + nBuckets)) -
+          NgramLm.fl2Jvm(NgramLm.scaledPJvm(bS(b), ns + nBuckets))
+      }
+      val scored = rows.flatMap { case (id, _, t) =>
+        val gs = NgramLm.bigramsJvm(t)
+        if (gs.isEmpty) None
+        else {
+          var w = 0L
+          gs.foreach(g => w += dlw(bucketOf.get(g)))
+          Some((id, gs.length.toLong, w))
+        }
+      }
+      scored.sortBy { case (id, _, w) => (-w, id) }.take(k).iterator
+        .map { case (id, n, w) => org.apache.spark.sql.Row(id, n, w) }
+    }
+    if (localOut.isDefined) return localOut.get
     val bg = bigrams(docs, idCol, textCol, targetFlag)
     // ONE corpus-sized pass: per-(doc, gram) occurrence counts,
     // materialized once (localCheckpoint, the SemanticDedup

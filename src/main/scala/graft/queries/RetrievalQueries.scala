@@ -136,18 +136,92 @@ object RetrievalQueries {
             TextFns.tokens(col("text")).as("toks"))
         val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
         val test = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
-        // materialized once (vocab×sources-sized): cnt feeds vocab,
-        // vsz, totals AND the model join — without the checkpoint the
-        // corpus-sized explode+groupBy recomputes for each consumer
-        val cnt = train.select(col("source"), explode(col("toks")).as("w"))
+        // ALL the bounded state of train+apply in one tagged cell
+        // relation (vocab×classes counts, per-test-doc tf, class doc
+        // counts), materialized once: the LocalExact pass below (and
+        // the distributed fallback) read these blocks — no consumer
+        // re-runs a corpus-sized explode
+        val cells = train.select(col("source"), explode(col("toks")).as("w"))
           .groupBy(col("source"), col("w"))
           .agg(count(lit(1)).cast(LongType).as("c"))
+          .select(lit(0L).as("tag"), col("source"), col("w"),
+            lit(null).cast(LongType).as("did"), col("c").as("v"))
+          .unionAll(test.select(col("doc_id"), explode(col("toks")).as("w"))
+            .groupBy(col("doc_id"), col("w"))
+            .agg(count(lit(1)).cast(LongType).as("tf"))
+            .select(lit(1L).as("tag"), lit(null).cast(StringType).as("source"),
+              col("w"), col("doc_id").as("did"), col("tf").as("v")))
+          .unionAll(train.groupBy(col("source"))
+            .agg(count(lit(1)).cast(LongType).as("docs_c"))
+            .select(lit(2L).as("tag"), col("source"),
+              lit(null).cast(StringType).as("w"),
+              lit(null).cast(LongType).as("did"), col("docs_c").as("v")))
           .localCheckpoint(eager = false)
+        // LocalExact hybrid: below the cell threshold the zero-filled
+        // model grid, priors, per-doc scores and argmin run in one
+        // sequential pass with the identical integer quantization
+        val localOut = graft.operators.LocalExact(cells,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", LongType),
+            org.apache.spark.sql.types.StructField("pred",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("score_s", LongType))),
+          5000000L) { it =>
+          def fl2(x: Long): Long = 63 - java.lang.Long.numberOfLeadingZeros(x)
+          val cnt = new java.util.HashMap[(String, String), Long]()
+          val tf = new java.util.HashMap[Long, scala.collection.mutable.ArrayBuffer[(String, Long)]]()
+          val docsC = new java.util.HashMap[String, Long]()
+          it.foreach { r =>
+            r.getLong(0) match {
+              case 0L => cnt.put((r.getString(1), r.getString(2)), r.getLong(4))
+              case 1L => tf.computeIfAbsent(r.getLong(3), _ =>
+                scala.collection.mutable.ArrayBuffer.empty) +=
+                ((r.getString(2), r.getLong(4)))
+              case _ => docsC.put(r.getString(1), r.getLong(4))
+            }
+          }
+          val vocab = new java.util.HashSet[String]()
+          val tot = new java.util.HashMap[String, Long]()
+          cnt.forEach { case ((src, w), c) =>
+            vocab.add(w); tot.merge(src, c, _ + _)
+          }
+          val vsz = vocab.size.toLong
+          val docsTot = { var t = 0L; docsC.forEach((_, v) => t += v); t }
+          val classes = docsC.keySet().toArray(Array.empty[String]).sorted
+          val sp = classes.map { src =>
+            src -> (20L - fl2(math.max(
+              (docsC.get(src) * 1048576L) / docsTot, 1L)))
+          }.toMap
+          def sl2(src: String, w: String): Long = {
+            val c = cnt.getOrDefault((src, w), 0L)
+            20L - fl2(math.max(
+              ((c + 1L) * 1048576L) / (tot.get(src) + vsz), 1L))
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          tf.forEach { (docId, toks) =>
+            val inVocab = toks.filter(t => vocab.contains(t._1))
+            if (inVocab.nonEmpty) {
+              var bestSrc: String = null
+              var bestScore = Long.MaxValue
+              classes.foreach { src =>
+                var ll = 0L
+                inVocab.foreach { case (w, f) => ll += f * sl2(src, w) }
+                val score = ll + sp(src)
+                if (score < bestScore) { bestScore = score; bestSrc = src }
+              }
+              out += org.apache.spark.sql.Row(docId, bestSrc, bestScore)
+            }
+          }
+          out.iterator
+        }
+        localOut.map(_.orderBy(col("doc_id"))).getOrElse {
+        val cnt = cells.filter(col("tag") === 0L)
+          .select(col("source"), col("w"), col("v").as("c"))
         val vocab = cnt.select(col("w")).distinct()
         val vsz = vocab.agg(count(lit(1)).cast(LongType).as("vsz"))
-        val classes = train.groupBy(col("source"))
-          .agg(count(lit(1)).cast(LongType).as("docs_c"))
-        val docsTot = train.agg(count(lit(1)).cast(LongType).as("docs_tot"))
+        val classes = cells.filter(col("tag") === 2L)
+          .select(col("source"), col("v").as("docs_c"))
+        val docsTot = classes.agg(sum(col("docs_c")).cast(LongType).as("docs_tot"))
         val totals = cnt.groupBy(col("source"))
           .agg(sum(col("c")).cast(LongType).as("tot"))
         val model = vocab
@@ -164,9 +238,8 @@ object RetrievalQueries {
           .withColumn("sp", lit(20L) -
             (length(bin(greatest(col("pp_s"), lit(1L)))) - 1).cast(LongType))
           .select(col("source"), col("sp"))
-        val stream = test.select(col("doc_id"), explode(col("toks")).as("w"))
-          .groupBy(col("doc_id"), col("w"))
-          .agg(count(lit(1)).cast(LongType).as("tf"))
+        val stream = cells.filter(col("tag") === 1L)
+          .select(col("did").as("doc_id"), col("w"), col("v").as("tf"))
         val scores = stream.join(broadcast(model), "w")
           .groupBy(col("doc_id"), col("source"))
           .agg(sum(col("tf") * col("sl2")).cast(LongType).as("ll"))
@@ -179,6 +252,7 @@ object RetrievalQueries {
           .filter(col("rn") === 1)
           .select(col("doc_id"), col("source").as("pred"), col("score_s"))
           .orderBy(col("doc_id"))
+        }
       },
       Some("""WITH d AS (SELECT doc_id, source,
              |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
@@ -457,23 +531,53 @@ object RetrievalQueries {
 
     Q("q134_source_entropy",
       (s, dir) => {
+        // the (source, word) count cells are VOCAB-bounded — one
+        // map-side-combined wordcount materializes them once for
+        // both the totals and the surprisal pass
         val c = Tables.wide(s, dir, "documents")
           .select(col("source"), explode(TextFns.tokens(col("text"))).as("w"))
           .groupBy(col("source"), col("w"))
           .agg(count(lit(1)).cast(LongType).as("c"))
-        val n = c.groupBy(col("source"))
-          .agg(sum(col("c")).cast(LongType).as("n_tok"),
-            count(lit(1)).cast(LongType).as("n_vocab"))
-        val sur = c.join(n.select(col("source"), col("n_tok")), "source")
-          .withColumn("sl2", lit(20L) - (length(bin(greatest(
-            expr("CAST((CAST(c AS DECIMAL(38,0)) * 1048576) div n_tok AS BIGINT)"),
-            lit(1L)))) - 1).cast(LongType))
-          .groupBy(col("source"))
-          .agg(sum(col("c") * col("sl2")).cast(LongType).as("sur_bits"))
-        n.join(sur, "source")
-          .withColumn("bpt_x100", expr("(sur_bits * 100) div n_tok"))
-          .select(col("source"), col("n_tok"), col("n_vocab"),
-            col("sur_bits"), col("bpt_x100"))
+          .localCheckpoint()
+        // LocalExact hybrid: below the cell threshold the totals and
+        // the surprisal sum are one sequential pass (same integer
+        // floor-log2: sl2 = 20 − ⌊log2(max((c·2²⁰) div n_tok, 1))⌋;
+        // c·2²⁰ stays in exact int64 for any sub-threshold corpus)
+        val localOut = graft.operators.LocalExact(c,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("source",
+              org.apache.spark.sql.types.StringType),
+            org.apache.spark.sql.types.StructField("n_tok", LongType),
+            org.apache.spark.sql.types.StructField("n_vocab", LongType),
+            org.apache.spark.sql.types.StructField("sur_bits", LongType),
+            org.apache.spark.sql.types.StructField("bpt_x100", LongType))),
+          5000000L) { it =>
+          val cells = it.map(r => (r.getString(0), r.getLong(2))).toArray
+          cells.groupBy(_._1).iterator.map { case (src, cs) =>
+            val nTok = cs.map(_._2).sum
+            val surBits = cs.map { case (_, cnt) =>
+              val q = math.max((cnt * 1048576L) / nTok, 1L)
+              cnt * (20L - (63 - java.lang.Long.numberOfLeadingZeros(q)))
+            }.sum
+            org.apache.spark.sql.Row(src, nTok, cs.length.toLong, surBits,
+              (surBits * 100L) / nTok)
+          }
+        }
+        localOut.getOrElse {
+          val n = c.groupBy(col("source"))
+            .agg(sum(col("c")).cast(LongType).as("n_tok"),
+              count(lit(1)).cast(LongType).as("n_vocab"))
+          val sur = c.join(n.select(col("source"), col("n_tok")), "source")
+            .withColumn("sl2", lit(20L) - (length(bin(greatest(
+              expr("CAST((CAST(c AS DECIMAL(38,0)) * 1048576) div n_tok AS BIGINT)"),
+              lit(1L)))) - 1).cast(LongType))
+            .groupBy(col("source"))
+            .agg(sum(col("c") * col("sl2")).cast(LongType).as("sur_bits"))
+          n.join(sur, "source")
+            .withColumn("bpt_x100", expr("(sur_bits * 100) div n_tok"))
+            .select(col("source"), col("n_tok"), col("n_vocab"),
+              col("sur_bits"), col("bpt_x100"))
+        }
           .orderBy(col("source"))
       },
       Some("""WITH t AS (SELECT source,
@@ -517,32 +621,38 @@ object RetrievalQueries {
               .as("arr"))
           .withColumn("sz", size(col("arr")).cast(LongType))
           .localCheckpoint()
-        val sh = docArr.select(col("doc_id"), col("sz"),
-          explode(col("arr")).as("w"))
-        val dfw = sh.groupBy(col("w"))
-          .agg(count(lit(1)).cast(LongType).as("df"))
-        val arrs = docArr
-        val prefix = sh.join(dfw, "w")
-          .withColumn("rn", row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-          .filter(col("rn") <= expr("sz div 5 + 1"))
-          .select(col("doc_id"), col("w"))
-        val cand = prefix.as("a").join(sh.as("b"), Seq("w"))
-          .filter(col("a.doc_id") =!= col("b.doc_id"))
-          .select(col("a.doc_id").as("d_a"), col("b.doc_id").as("d_b"))
-          .distinct()
-        cand
-          .join(arrs.select(col("doc_id").as("d_a"), col("arr").as("arr_a"),
-            col("sz").as("sz_a")), "d_a")
-          .join(arrs.select(col("doc_id").as("d_b"), col("arr").as("arr_b"),
-            col("sz").as("sz_b")), "d_b")
-          .withColumn("inter", graft.functions.SortedIntersect
-            .intersectCount(col("arr_a"), col("arr_b")))
-          .filter(expr("5 * inter >= 4 * sz_a"))
-          .withColumn("cont_bp", expr("(inter * 10000) div sz_a"))
-          .select(col("d_a"), col("d_b"), col("inter"), col("sz_a"),
-            col("sz_b"), col("cont_bp"))
+        // LocalExact hybrid (AllPairsLocal, q133 convention): one-task
+        // exact pass below the doc threshold; the one-sided prefix
+        // join below stays the 100-TB path.
+        graft.operators.AllPairsLocal.containment(docArr, 100000L)
+          .getOrElse {
+            val sh = docArr.select(col("doc_id"), col("sz"),
+              explode(col("arr")).as("w"))
+            val dfw = sh.groupBy(col("w"))
+              .agg(count(lit(1)).cast(LongType).as("df"))
+            val arrs = docArr
+            val prefix = sh.join(dfw, "w")
+              .withColumn("rn", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+              .filter(col("rn") <= expr("sz div 5 + 1"))
+              .select(col("doc_id"), col("w"))
+            val cand = prefix.as("a").join(sh.as("b"), Seq("w"))
+              .filter(col("a.doc_id") =!= col("b.doc_id"))
+              .select(col("a.doc_id").as("d_a"), col("b.doc_id").as("d_b"))
+              .distinct()
+            cand
+              .join(arrs.select(col("doc_id").as("d_a"), col("arr").as("arr_a"),
+                col("sz").as("sz_a")), "d_a")
+              .join(arrs.select(col("doc_id").as("d_b"), col("arr").as("arr_b"),
+                col("sz").as("sz_b")), "d_b")
+              .withColumn("inter", graft.functions.SortedIntersect
+                .intersectCount(col("arr_a"), col("arr_b")))
+              .filter(expr("5 * inter >= 4 * sz_a"))
+              .withColumn("cont_bp", expr("(inter * 10000) div sz_a"))
+              .select(col("d_a"), col("d_b"), col("inter"), col("sz_a"),
+                col("sz_b"), col("cont_bp"))
+          }
           .orderBy(col("d_a"), col("d_b"))
       },
       Some("""WITH d AS (SELECT doc_id,

@@ -57,4 +57,28 @@ class LocalExactParitySpec extends SparkSpec {
   test("q165 incremental dedup: one-task kernel equals the oriented join") {
     bothPaths("q165_incremental_dedup")
   }
+
+  test("q143 containment: one-task kernel equals the one-sided prefix join") {
+    bothPaths("q143_containment_join")
+  }
+
+  test("q127 NB classify: one-task train+score equals the model-grid plan") {
+    bothPaths("q127_nb_classify")
+  }
+
+  test("q134 source entropy: one-task pass equals the two-aggregate plan") {
+    bothPaths("q134_source_entropy")
+  }
+
+  test("q155 RFM segments: one-task pass equals the grouped prefix-sum plan") {
+    bothPaths("q155_rfm_segments")
+  }
+
+  test("q98 LM quality: one-task train+score equals the broadcast-model plan") {
+    bothPaths("q98_lm_quality")
+  }
+
+  test("q99 DSIR select: one-task pass equals the bucket-model plan") {
+    bothPaths("q99_dsir_select")
+  }
 }
