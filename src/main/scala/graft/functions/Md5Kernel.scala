@@ -29,6 +29,23 @@ private[graft] object Md5Kernel {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** UTF8-binary (= code point) string order — matches Spark
+    * StringType ordering (array_sort/orderBy/min/max). Java's
+    * String.compareTo ranks a BMP char above a supplementary one
+    * (surrogates 0xD800+ compare high); UTF-8 bytes do not. */
+  def utf8Lt(a: String, b: String): Boolean = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    a.length - i < b.length - j
+  }
+
   /** Spark-exact trim (0x20 only). */
   def sparkTrim(s0: String): String = {
     var b = 0; var e = s0.length

@@ -357,6 +357,59 @@ object CurationQueries {
     // no further shuffle. Output is AFFECTED docs only.
     Q("q153_keepfirst_scrub",
       (s, dir) => {
+        // LocalExact hybrid (the q98/q121 convention): window
+        // hashing, keeper election and span scrubbing in one
+        // sequential pass; only docs with ≥1 removed span surface
+        // (the inner-join semantics of the distributed plan)
+        val localOut = graft.operators.LocalExact(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", LongType),
+            org.apache.spark.sql.types.StructField("n_tokens", LongType),
+            org.apache.spark.sql.types.StructField("n_removed", LongType),
+            org.apache.spark.sql.types.StructField("scrub_bp", LongType))),
+          100000L) { it =>
+          import graft.functions.Md5Kernel
+          val docs = it.map(r => (r.getLong(0), Md5Kernel.tokenize(r.getString(1))))
+            .toArray
+          // per 8-token window: distinct-doc df and min-doc keeper
+          final case class G(var df: Long, var last: Long, var keeper: Long)
+          val gs = new java.util.HashMap[String, G]()
+          docs.foreach { case (id, toks) =>
+            var i = 0
+            while (i + 7 < toks.length) {
+              val g = toks.slice(i, i + 8).mkString(" ")
+              val e = gs.get(g)
+              if (e == null) gs.put(g, G(1L, id, id))
+              else {
+                if (e.last != id) { e.df += 1L; e.last = id }
+                if (id < e.keeper) e.keeper = id
+              }
+              i += 1
+            }
+          }
+          docs.iterator.flatMap { case (id, toks) =>
+            val spans = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var i = 0
+            while (i + 7 < toks.length) {
+              val e = gs.get(toks.slice(i, i + 8).mkString(" "))
+              if (e.df >= 2L && e.df <= 50L && e.keeper != id) spans += (i + 1)
+              i += 1
+            }
+            if (spans.isEmpty) None
+            else {
+              val removed = new Array[Boolean](toks.length + 1)
+              spans.foreach { x =>
+                var j = x
+                while (j <= math.min(x + 7, toks.length)) { removed(j) = true; j += 1 }
+              }
+              val nRem = (1 to toks.length).count(removed(_)).toLong
+              Some(org.apache.spark.sql.Row(id, toks.length.toLong, nRem,
+                (nRem * 10000L) / toks.length))
+            }
+          }
+        }
+        localOut.map(_.orderBy(col("doc_id"))).getOrElse {
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         val win = toks.filter(size(col("toks")) >= 8)
@@ -385,6 +438,7 @@ object CurationQueries {
             expr("((size(toks) - size(kept)) * 10000L) div size(toks)")
               .as("scrub_bp"))
           .orderBy(col("doc_id"))
+        }
       },
       Some("""WITH d AS (SELECT doc_id,
              |    list_filter(string_split_regex(trim(text), '\s+'),

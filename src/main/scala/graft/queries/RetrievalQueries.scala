@@ -307,15 +307,17 @@ object RetrievalQueries {
     // once; c_ab ≥ 5 keeps the output collocation-sized.
     Q("q128_term_cooccur",
       (s, dir) => {
-        val d0 = Tables.wide(s, dir, "documents")
-          .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("w"))
-          .distinct()
-        // materialized once: d feeds the df aggregate and both sides
-        // of the pair self-join — the explode + distinct + per-doc cap
-        // would otherwise recompute for each consumer
-        val d = TopKPerGroup(d0, Seq(col("doc_id")), Seq(col("w")), 64)
-          .select(col("doc_id"), col("w"))
-          .localCheckpoint()
+        // per-doc dedup + 64-smallest cap INSIDE the array (the q133
+        // lesson): array_sort(array_distinct(..)) then slice replaces
+        // the corpus-wide explode→DISTINCT shuffle AND the
+        // TopKPerGroup window — the capped stream is map-only.
+        // Materialized once (lazily): it feeds the df aggregate and
+        // both sides of the pair self-join.
+        val d = Tables.wide(s, dir, "documents")
+          .select(col("doc_id"), explode(slice(
+            array_sort(array_distinct(TextFns.tokens(col("text")))),
+            1, 64)).as("w"))
+          .localCheckpoint(eager = false)
         val dfw = d.groupBy(col("w"))
           .agg(count(lit(1)).cast(LongType).as("df"))
         val pairs = d.as("a")

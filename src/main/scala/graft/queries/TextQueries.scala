@@ -391,6 +391,49 @@ object TextQueries {
     Q("q76_tfidf_topterms",
       (s, dir) => {
         val docs = Tables(s, dir, "documents")
+        // LocalExact hybrid (the q98/q121 convention): tf, df and the
+        // per-doc top-3 in one sequential pass — same tie-break
+        // (tf desc, df asc, term in UTF8 order), same BigDecimal
+        // HALF_UP round-6 as Catalyst's round(x, 6)
+        val localOut = graft.operators.LocalExact(
+          docs.select(col("doc_id"), col("text")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", LongType),
+            org.apache.spark.sql.types.StructField("term", StringType),
+            org.apache.spark.sql.types.StructField("tf", LongType),
+            org.apache.spark.sql.types.StructField("df_docs", LongType),
+            org.apache.spark.sql.types.StructField("tfidf", DoubleType),
+            org.apache.spark.sql.types.StructField("rnk",
+              org.apache.spark.sql.types.IntegerType))),
+          200000L) { it =>
+          import graft.functions.Md5Kernel
+          val rows = it.map(r => (r.getLong(0), r.getString(1))).toArray
+          val perDoc = rows.map { case (id, t) =>
+            val tf = new java.util.HashMap[String, Long]()
+            Md5Kernel.tokenize(t).foreach(w => tf.merge(w, 1L, _ + _))
+            (id, tf)
+          }
+          val df = new java.util.HashMap[String, Long]()
+          perDoc.foreach(_._2.forEach((w, _) => df.merge(w, 1L, _ + _)))
+          val nDocs = rows.length.toLong
+          perDoc.iterator.flatMap { case (id, tf) =>
+            val terms = new Array[(String, Long, Long)](tf.size)
+            var i = 0
+            tf.forEach { (w, c) => terms(i) = (w, c, df.get(w)); i += 1 }
+            val top = terms.sortWith { case ((w1, t1, d1), (w2, t2, d2)) =>
+              if (t1 != t2) t1 > t2
+              else if (d1 != d2) d1 < d2
+              else Md5Kernel.utf8Lt(w1, w2)
+            }.take(3)
+            top.iterator.zipWithIndex.map { case ((w, t, d), r0) =>
+              val tfidf = java.math.BigDecimal.valueOf(
+                t * math.log(nDocs.toDouble / d.toDouble))
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+              org.apache.spark.sql.Row(id, w, t, d, tfidf, r0 + 1)
+            }
+          }
+        }
+        localOut.map(_.orderBy(col("doc_id"), col("rnk"))).getOrElse {
         val terms = docs
           .select(col("doc_id"), explode(TextFns.tokens(col("text"))).as("term"))
         val tf = terms.groupBy(col("doc_id"), col("term"))
@@ -410,6 +453,7 @@ object TextQueries {
               col("df_docs").cast(DoubleType)), 6).as("tfidf"),
             col("rnk"))
           .orderBy(col("doc_id"), col("rnk"))
+        }
       },
       Some("""WITH terms AS (SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS term
              |  FROM documents WHERE trim(text) <> ''),
@@ -1084,6 +1128,45 @@ object TextQueries {
     Q("q121_pmi_collocations",
       (s, dir) => {
         val dec = DecimalType(38, 0)
+        // LocalExact hybrid (the q98/q99 convention): below the doc
+        // threshold the unigram/bigram counting and the exact
+        // HUGEINT-wide PMI run in one sequential pass (BigInt; the
+        // Md5Kernel.tokenize twin of TextFns.tokens)
+        val localOut = graft.operators.LocalExact(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("w1", StringType),
+            org.apache.spark.sql.types.StructField("w2", StringType),
+            org.apache.spark.sql.types.StructField("c12", LongType),
+            org.apache.spark.sql.types.StructField("c1", LongType),
+            org.apache.spark.sql.types.StructField("c2", LongType),
+            org.apache.spark.sql.types.StructField("pmi_fl2", LongType))),
+          200000L) { it =>
+          import graft.functions.Md5Kernel
+          val uni = new java.util.HashMap[String, Long]()
+          val bg = new java.util.HashMap[(String, String), Long]()
+          var (n, m) = (BigInt(0), BigInt(0))
+          it.foreach { r =>
+            val t = Md5Kernel.tokenize(r.getString(1))
+            t.foreach(w => uni.merge(w, 1L, _ + _))
+            n += t.length
+            var i = 0
+            while (i + 1 < t.length) {
+              bg.merge((t(i), t(i + 1)), 1L, _ + _); m += 1; i += 1
+            }
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          bg.forEach { case ((w1, w2), c12) =>
+            if (c12 >= 5L) {
+              val (c1, c2) = (uni.get(w1), uni.get(w2))
+              val r0 = (BigInt(c12) * n * n * 1048576L / (m * c1 * c2)).toLong
+              out += org.apache.spark.sql.Row(w1, w2, c12, c1, c2,
+                (63 - java.lang.Long.numberOfLeadingZeros(math.max(r0, 1L))) - 20L)
+            }
+          }
+          out.iterator
+        }
+        localOut.map(_.orderBy(col("w1"), col("w2"))).getOrElse {
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         val uni = toks.select(explode(col("toks")).as("w"))
@@ -1108,6 +1191,7 @@ object TextQueries {
             ((length(bin(greatest(col("r"), lit(1L)))) - 1).cast(LongType) - 20)
               .as("pmi_fl2"))
           .orderBy(col("w1"), col("w2"))
+        }
       },
       Some("""WITH d AS (SELECT doc_id,
              |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks

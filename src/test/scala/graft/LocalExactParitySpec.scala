@@ -81,4 +81,24 @@ class LocalExactParitySpec extends SparkSpec {
   test("q99 DSIR select: one-task pass equals the bucket-model plan") {
     bothPaths("q99_dsir_select")
   }
+
+  test("q121 PMI collocations: one-task pass equals the count-join plan") {
+    bothPaths("q121_pmi_collocations")
+  }
+
+  test("q131 profile: one-task pass equals the 6-way countDistinct plan") {
+    bothPaths("q131_profile")
+  }
+
+  test("q137 quality bands: one-task pass equals the window-band plan") {
+    bothPaths("q137_quality_band_prune")
+  }
+
+  test("q76 tfidf top terms: one-task pass equals the TopKPhysical plan") {
+    bothPaths("q76_tfidf_topterms")
+  }
+
+  test("q153 keep-first scrub: one-task pass equals the span-join plan") {
+    bothPaths("q153_keepfirst_scrub")
+  }
 }
