@@ -94,18 +94,19 @@ object GraphQueries {
         // and wedge volume grows with degree² — the sample keeps the
         // registry run seconds-sized while the 10× trial still
         // exercises the full algorithm at growing scale
-        val li = Tables(s, dir, "lineitem")
+        // per-order part sets in ONE map-side-combined aggregate (the
+        // q133 in-array discipline): collect_set dedups (ok, pk)
+        // inside the aggregate, and the double explode generates each
+        // order's pairs map-only — 2 shuffles (groupBy ok + pair
+        // distinct) where the old distinct→self-join→distinct paid 3
+        val e = Tables(s, dir, "lineitem")
           .filter(col("l_orderkey") % 4 === 0)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-        // materialize the co-purchase edge derivation ONCE — e feeds
-        // deg, the orientation joins, AND the closing-edge broadcast
-        // probe, and each consumer joins on different keys so no
-        // exchange is reusable; without the checkpoint the self-join +
-        // distinct recomputes three times (the q106 convention)
-        val e = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
+          .groupBy(col("l_orderkey").as("ok"))
+          .agg(collect_set(col("l_partkey")).as("arr"))
+          .select(explode(col("arr")).as("u"), col("arr"))
+          .select(col("u"), explode(col("arr")).as("v"))
+          .filter(col("u") < col("v"))
+          .select(col("u"), col("v"))
           .distinct()
           // lazy: perNode's hybrid-switch count is the first consumer
           // and materializes it — one job instead of barrier + count

@@ -361,12 +361,18 @@ object StreamQueries {
           })
         def side(d: String) =
           s.readStream.schema(EventStreams.eventSchema)
-            .option("maxFilesPerTrigger", "2").parquet(d)
+            // 4 range files + heartbeat → a 2-batch drain + watermark
+            // flush: batch 2's heartbeat watermark still evicts state
+            // committed by batch 1, so cross-batch outer eviction
+            // stays exercised at half the per-batch commit floor
+            // (StreamingSpec pins the long 1-file-per-trigger drain)
+            .option("maxFilesPerTrigger", "4").parquet(d)
         val (viewDir, purchaseDir) = (orderedDir("view"), orderedDir("purchase"))
         val joined = EventStreams.intervalJoin(side(viewDir), side(purchaseDir),
           horizon = "6 hours", watermark = "60 seconds", joinType = "left_outer")
         withStatePartitions(s, Seq(viewDir, purchaseDir)) {
-          EventStreams.runAvailableNow(s, joined, uniq("q168"), outputMode = "append")
+          EventStreams.runAvailableNow(s, joined, uniq("q168"),
+            outputMode = "append", noDataFlush = true)
             .filter(col("user_id") =!= -1L) // drop the heartbeat sentinel
             .orderBy(col("l_id"), col("r_id"))
         }

@@ -161,10 +161,22 @@ object EventStreams {
   /** Run a streaming DataFrame to completion against a memory sink and
     * return the materialized result (AvailableNow = process whatever
     * is in the source, then stop — the reference's drain-the-queue
-    * batch loop ST1). */
+    * batch loop ST1).
+    *
+    * `noDataFlush` controls `noDataMicroBatches.enabled` for this run:
+    * the extra empty batch exists to EMIT state evicted by a watermark
+    * advance — required when eviction itself produces output (q168's
+    * outer-join null rows), pure per-batch overhead for aggregations/
+    * dedup/update sinks whose output is complete at the last data
+    * batch (one plan+commit round saved per drain). */
   def runAvailableNow(spark: SparkSession, streamed: DataFrame,
-                      queryName: String, outputMode: String = "complete"): DataFrame = {
+                      queryName: String, outputMode: String = "complete",
+                      noDataFlush: Boolean = false): DataFrame = {
     applyStateStoreChoice(spark)
+    val flushKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prevFlush = spark.conf.getOption(flushKey)
+    spark.conf.set(flushKey, noDataFlush.toString)
+    try {
     val q = streamed.writeStream
       .format("memory").queryName(queryName).outputMode(outputMode)
       // RAM-backed scratch checkpoint (graft.util.Scratch): offset log
@@ -175,5 +187,9 @@ object EventStreams {
       .start()
     q.awaitTermination()
     spark.table(queryName)
+    } finally prevFlush match {
+      case Some(v) => spark.conf.set(flushKey, v)
+      case None => spark.conf.unset(flushKey)
+    }
   }
 }

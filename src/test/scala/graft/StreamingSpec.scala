@@ -226,7 +226,7 @@ class StreamingSpec extends SparkSpec {
     val joined = EventStreams.intervalJoin(src(stage("view")), src(stage("purchase")),
       horizon = "6 hours", watermark = "60 seconds", joinType = "left_outer")
     val result = EventStreams.runAvailableNow(spark, joined, "ssoj_test",
-        outputMode = "append")
+        outputMode = "append", noDataFlush = true)
       .filter(col("user_id") =!= -1L)
       .orderBy("l_id", "r_id")
     val expected = EventStreams.intervalJoin(
