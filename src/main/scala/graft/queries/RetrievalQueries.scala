@@ -702,6 +702,131 @@ object RetrievalQueries {
     Q("q167_rrf_fusion",
       (s, dir) => {
         val docs = Tables.wide(s, dir, "documents")
+        // LocalExact hybrid (the q127 tagged-cells convention): docs
+        // and embeddings union into one relation; below the threshold
+        // both rankings and the fusion run in one sequential pass with
+        // the identical integer idf (BigInt div), the identical
+        // halfUpLong scaled-long cosine, and the same (score desc
+        // NULLS LAST, id) total orders as TopKPhysical
+        val embAll = Tables(s, dir, "embeddings")
+        val cells167 = docs.select(lit(0L).as("tag"), col("doc_id").as("id"),
+            col("text"), lit(null).cast(org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.FloatType)).as("vec"))
+          .unionAll(embAll.select(lit(1L).as("tag"), col("vec_id").as("id"),
+            lit(null).cast(StringType).as("text"), col("embedding").as("vec")))
+        val localOut = graft.operators.LocalExact(cells167,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("q_id", LongType),
+            org.apache.spark.sql.types.StructField("n_id", LongType),
+            org.apache.spark.sql.types.StructField("lex_rnk",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("vec_rnk",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("rrf", LongType),
+            org.apache.spark.sql.types.StructField("rnk",
+              org.apache.spark.sql.types.IntegerType))),
+          200000L) { it =>
+          import graft.functions.Md5Kernel
+          import graft.functions.VectorKernels.halfUpLong
+          val docToks = scala.collection.mutable.ArrayBuffer.empty[(Long, java.util.HashSet[String])]
+          val embs = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Float])]
+          it.foreach { r =>
+            if (r.getLong(0) == 0L) {
+              val set = new java.util.HashSet[String]()
+              Md5Kernel.tokenize(r.getString(2)).foreach(set.add)
+              docToks += ((r.getLong(1), set))
+            } else embs += ((r.getLong(1), r.getSeq[Float](3).toArray))
+          }
+          val n = docToks.length.toLong
+          // lexical: idf over the query vocabulary, postings walk
+          val qDocs = docToks.filter(_._1 < 10L)
+          val qVocab = new java.util.HashSet[String]()
+          qDocs.foreach(_._2.forEach(t => qVocab.add(t)))
+          val df = new java.util.HashMap[String, Long]()
+          val postings = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Long]]()
+          docToks.foreach { case (id, set) =>
+            set.forEach { t =>
+              if (qVocab.contains(t)) {
+                df.merge(t, 1L, _ + _)
+                postings.computeIfAbsent(t, _ =>
+                  scala.collection.mutable.ArrayBuffer.empty) += id
+              }
+            }
+          }
+          def idfFl2(t: String): Long = {
+            val r0 = ((BigInt(2L) * n + 2L) * 1048576L / (2L * df.get(t) + 1L)).toLong
+            (63 - java.lang.Long.numberOfLeadingZeros(math.max(r0, 1L))) - 20L
+          }
+          // rank by (score desc NULLS LAST, id asc), top k, 1-based
+          def rankTop[A](cand: Seq[(Long, A)], k: Int, lt: (A, A) => Boolean): Seq[(Long, Int)] =
+            cand.sortWith { case ((i1, s1), (i2, s2)) =>
+              if (lt(s1, s2)) true else if (lt(s2, s1)) false else i1 < i2
+            }.take(k).zipWithIndex.map { case ((id, _), r0) => (id, r0 + 1) }
+          val lexTop = qDocs.iterator.map { case (qid, qset) =>
+            val scores = new java.util.HashMap[Long, Long]()
+            qset.forEach { t =>
+              val idf = idfFl2(t)
+              postings.get(t).foreach { d =>
+                if (d != qid) scores.merge(d, idf, _ + _)
+              }
+            }
+            val cand = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+            scores.forEach((d, sc) => cand += ((d, sc)))
+            qid -> rankTop[Long](cand.toSeq, 20, _ > _).toMap
+          }.toMap
+          // vector: exact scaled-long cosine, nulls last
+          val norms = embs.map { case (_, v) =>
+            var s0 = 0L
+            var i = 0
+            while (i < v.length) {
+              s0 += halfUpLong(v(i).toDouble * v(i).toDouble * 1e10); i += 1
+            }
+            s0
+          }
+          def cosLt(a: Option[Double], b: Option[Double]): Boolean = (a, b) match {
+            case (Some(x), Some(y)) => x > y // desc
+            case (Some(_), None) => true // non-null before null (NULLS LAST)
+            case _ => false
+          }
+          val vecTop = embs.zipWithIndex.filter(_._1._1 < 10L).map {
+            case ((qid, qv), qi) =>
+              val cand = embs.zipWithIndex.collect {
+                case ((cid, cv), ci) if cid != qid =>
+                  val c = if (norms(qi) == 0L || norms(ci) == 0L) None
+                  else {
+                    var s0 = 0L
+                    var i = 0
+                    val m = math.min(qv.length, cv.length)
+                    while (i < m) {
+                      s0 += halfUpLong(qv(i).toDouble * cv(i).toDouble * 1e10); i += 1
+                    }
+                    Some(s0.toDouble / math.sqrt(norms(qi).toDouble * norms(ci).toDouble))
+                  }
+                  (cid, c)
+              }.toSeq
+              qid -> rankTop[Option[Double]](cand, 20, cosLt).toMap
+          }.toMap
+          // fusion: full outer over (q, n), rrf desc top-10
+          val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          (lexTop.keySet ++ vecTop.keySet).foreach { qid =>
+            val l = lexTop.getOrElse(qid, Map.empty)
+            val v = vecTop.getOrElse(qid, Map.empty)
+            val fused = (l.keySet ++ v.keySet).toSeq.map { nid =>
+              val rrf = l.get(nid).map(r => 1000000000L / (60L + r)).getOrElse(0L) +
+                v.get(nid).map(r => 1000000000L / (60L + r)).getOrElse(0L)
+              (nid, rrf)
+            }
+            rankTop[Long](fused, 10, _ > _).foreach { case (nid, rnk) =>
+              out += org.apache.spark.sql.Row(qid, nid,
+                l.get(nid).map(Int.box).orNull, v.get(nid).map(Int.box).orNull,
+                l.get(nid).map(r => 1000000000L / (60L + r)).getOrElse(0L) +
+                  v.get(nid).map(r => 1000000000L / (60L + r)).getOrElse(0L),
+                rnk)
+            }
+          }
+          out.iterator
+        }
+        localOut.map(_.orderBy(col("q_id"), col("rnk"))).getOrElse {
         val dt = docs.select(col("doc_id"),
             explode(TextFns.tokens(col("text"))).as("tok"))
           .distinct()
@@ -747,6 +872,7 @@ object RetrievalQueries {
           .select(col("q_id"), col("n_id"), col("lex_rnk"), col("vec_rnk"),
             col("rrf"), col("rnk"))
           .orderBy(col("q_id"), col("rnk"))
+        }
       },
       Some(s"""WITH dt AS (SELECT DISTINCT doc_id,
              |    unnest(list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')) AS tok

@@ -101,4 +101,8 @@ class LocalExactParitySpec extends SparkSpec {
   test("q153 keep-first scrub: one-task pass equals the span-join plan") {
     bothPaths("q153_keepfirst_scrub")
   }
+
+  test("q167 RRF fusion: one-task pass equals the two-ranking plan") {
+    bothPaths("q167_rrf_fusion")
+  }
 }
