@@ -106,12 +106,97 @@ object Dedup {
     // coalesce target — small shuffle stats collapse it to ONE task
     // and serialize the CPU-heavy shingle+md5 projection.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val exploded = df
+    // per-doc hash arrays, materialized once: the LocalExact count is
+    // the first consumer; on the over-threshold path the SAME blocks
+    // feed the exploded stream (no recompute of the md5 pass)
+    val docHv = df
       .select(col(idCol), col(textCol))
       .repartition(par, col(idCol))
       .select(col(idCol).as("id"),
-        explode(graft.functions.ShingleHashes(col(textCol), n)).as("hv"))
-    candidatesFromHashStream(exploded, bands, rowsPerBand, maxBucket)
+        graft.functions.ShingleHashes(col(textCol), n).as("_hv"))
+      .localCheckpoint(eager = false)
+    localCandidates(docHv, r => r.getSeq[Long](1).toArray,
+      bands, rowsPerBand, maxBucket).getOrElse {
+      val exploded = docHv.select(col("id"), explode(col("_hv")).as("hv"))
+      candidatesFromHashStream(exploded, bands, rowsPerBand, maxBucket)
+    }
+  }
+
+  /** One-task exact replay of [[candidatesFromHashStream]] (the
+    * LocalExact convention): identical (a·h+b) mod p signature family,
+    * identical "_"-joined band keys, identical star-cap (all pairs at
+    * or under `maxBucket`, hub star above it, hub = bucket min id).
+    * `hvOf` adapts the two entry points (pre-hashed arrays vs raw
+    * shingle strings hashed here via the same Md5Kernel). Gated on a
+    * LongType id — exotic id types fall through to the distributed
+    * plan. */
+  private def localCandidates(cells: DataFrame,
+                              hvOf: org.apache.spark.sql.Row => Array[Long],
+                              bands: Int, rowsPerBand: Int, maxBucket: Int,
+                              maxDocs: Long = 200000L): Option[DataFrame] = {
+    if (cells.schema.head.dataType != org.apache.spark.sql.types.LongType)
+      return None
+    LocalExact(cells, org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id_a",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("id_b",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("est_jaccard",
+        org.apache.spark.sql.types.DoubleType))), maxDocs) { it =>
+      val params = hashParams(bands * rowsPerBand)
+      val docs = it.flatMap { r =>
+        val hv = hvOf(r)
+        if (hv.isEmpty) None
+        else {
+          val sig = params.map { case (a, b) =>
+            var m = Long.MaxValue
+            hv.foreach { h => val v = (h * a + b) % HashPrime; if (v < m) m = v }
+            m
+          }.toArray
+          Some((r.getLong(0), sig))
+        }
+      }.toArray
+      val nH = (bands * rowsPerBand).toDouble
+      val buckets = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
+      docs.zipWithIndex.foreach { case ((_, sig), di) =>
+        var b = 0
+        while (b < bands) {
+          val key = b + ":" + sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand)
+            .mkString("_")
+          buckets.computeIfAbsent(key, _ =>
+            scala.collection.mutable.ArrayBuffer.empty) += di
+          b += 1
+        }
+      }
+      val seen = new java.util.HashSet[(Long, Long)]()
+      val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+      def est(s1: Array[Long], s2: Array[Long]): Double = {
+        var (c, i) = (0, 0)
+        while (i < s1.length) { if (s1(i) == s2(i)) c += 1; i += 1 }
+        c / nH
+      }
+      def emit(p: Int, q: Int): Unit = {
+        val (a, b) = if (docs(p)._1 < docs(q)._1) (p, q) else (q, p)
+        if (docs(a)._1 != docs(b)._1 && seen.add((docs(a)._1, docs(b)._1)))
+          out += org.apache.spark.sql.Row(docs(a)._1, docs(b)._1,
+            est(docs(a)._2, docs(b)._2))
+      }
+      buckets.values().forEach { bucket =>
+        if (bucket.length <= maxBucket) {
+          var x = 0
+          while (x < bucket.length) {
+            var y = x + 1
+            while (y < bucket.length) { emit(bucket(x), bucket(y)); y += 1 }
+            x += 1
+          }
+        } else {
+          var hub = bucket(0)
+          bucket.foreach(di => if (docs(di)._1 < docs(hub)._1) hub = di)
+          bucket.foreach(di => if (di != hub) emit(hub, di))
+        }
+      }
+      out.iterator
+    }
   }
 
   /** MinHash-LSH candidates from a PRE-SHINGLED corpus: `shingled` is
@@ -123,12 +208,21 @@ object Dedup {
     * text path. */
   def minhashCandidatesFromShingles(shingled: DataFrame,
                                     bands: Int = 4, rowsPerBand: Int = 4,
-                                    maxBucket: Int = 1000): DataFrame = {
-    val exploded = shingled
-      .select(col("id"), explode(col("_sh")).as("_s"))
-      .select(col("id"), md5Int32(col("_s")).as("hv"))
-    candidatesFromHashStream(exploded, bands, rowsPerBand, maxBucket)
-  }
+                                    maxBucket: Int = 1000): DataFrame =
+    localCandidates(shingled,
+      r => {
+        val sh = r.getSeq[String](1)
+        val hv = new Array[Long](sh.length)
+        var i = 0
+        sh.foreach { s0 => hv(i) = graft.functions.Md5Kernel.md5Int32(s0); i += 1 }
+        hv
+      },
+      bands, rowsPerBand, maxBucket).getOrElse {
+      val exploded = shingled
+        .select(col("id"), explode(col("_sh")).as("_s"))
+        .select(col("id"), md5Int32(col("_s")).as("hv"))
+      candidatesFromHashStream(exploded, bands, rowsPerBand, maxBucket)
+    }
 
   /** Shared LSH tail: hashed shingle stream → 16 min-aggregates →
     * banded bucket join → star-capped pairs with estimated Jaccard. */

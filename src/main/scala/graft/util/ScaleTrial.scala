@@ -74,6 +74,16 @@ object ScaleTrial {
       s"${stale.mkString(",")} from a previous run — use a fresh outDir")
     val spark = Tables.session("scaletrial")
     spark.sparkContext.setLogLevel("ERROR")
+    // conf A/B hook (the FloorProbe convention): SPARK_GRAFT_SETCONF=
+    // "k=v;k=v" — e.g. spark.graft.localExactMaxRows=0 to force every
+    // LocalExact hybrid onto its distributed fallback for a crossover
+    // probe OUTSIDE the parity tests
+    sys.env.get("SPARK_GRAFT_SETCONF").toSeq.flatMap(_.split(';'))
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+        println(s"[conf] $k=$v")
+      }
     // SPARK_GRAFT_STATESTORE=rocksdb runs the streaming family on the
     // disk-backed store — the 100-TB posture trial (state > heap)
     sys.env.get("SPARK_GRAFT_STATESTORE")
