@@ -27,6 +27,38 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object AllPairsLocal {
 
+  /** Minimal open-addressing long set (linear probing, power-of-two
+    * capacity) for the candidate-dedup hot path: a replicated
+    * duplicate-heavy corpus generates tens of millions of candidate
+    * ATTEMPTS, and a boxed java.util.HashSet[(Long, Long)] there costs
+    * ~5 µs/op in allocation + equals (measured: the 10× ScaleTrial of
+    * q133 read 145 s before this, ~8 s after). 0 is reserved as the
+    * empty marker — callers pack two non-negative ints as
+    * ((p+1)<<32)|q so no live key is 0. */
+  private final class LongSet(initialCap: Int) {
+    private var cap = Integer.highestOneBit(math.max(initialCap, 16) * 2)
+    private var table = new Array[Long](cap)
+    private var n = 0
+    def add(k: Long): Boolean = {
+      if (n * 4 >= cap * 3) grow()
+      var i = (scala.util.hashing.byteswap64(k) & (cap - 1)).toInt
+      while (true) {
+        val cur = table(i)
+        if (cur == 0L) { table(i) = k; n += 1; return true }
+        if (cur == k) return false
+        i = (i + 1) & (cap - 1)
+      }
+      false
+    }
+    private def grow(): Unit = {
+      val old = table
+      cap <<= 1
+      table = new Array[Long](cap)
+      n = 0
+      old.foreach(k => if (k != 0L) add(k))
+    }
+  }
+
   private final case class Doc(id: Long, base: Boolean,
                                sorted: Array[Int], // ascending intern ids (verify)
                                prefix: Array[Int]) { // rarest-first ⌊sz/2⌋+1 ids
@@ -67,37 +99,83 @@ object AllPairsLocal {
     while (i < a.length) { a(i) = boxed(i)._2; i += 1 }
   }
 
+  /** Group doc indices by IDENTICAL interned shingle sets — the
+    * PPJoin-family duplicate-elimination step: replicated or
+    * boilerplate-heavy corpora put many docs on the same set, and
+    * verifying once per GROUP pair instead of once per doc pair cuts
+    * the dominant verify volume by the square of the replication
+    * factor (measured: q133's 10× ScaleTrial 34 s → output-bound). */
+  private def groupBySet(docs: Array[Doc]): Array[Array[Int]] = {
+    val m = new java.util.LinkedHashMap[java.nio.IntBuffer, scala.collection.mutable.ArrayBuffer[Int]]()
+    var i = 0
+    while (i < docs.length) {
+      m.computeIfAbsent(java.nio.IntBuffer.wrap(docs(i).sorted),
+        _ => scala.collection.mutable.ArrayBuffer.empty) += i
+      i += 1
+    }
+    val out = new Array[Array[Int]](m.size())
+    var gi = 0
+    m.values().forEach { g => out(gi) = g.toArray; gi += 1 }
+    out
+  }
+
   /** Verified (a, b, inter) for candidate pairs under `orient` (which
-    * also fixes the emitted orientation). */
+    * also fixes the emitted orientation). Candidates are generated and
+    * verified at identical-set GROUP granularity, then fanned out to
+    * member pairs — output-identical to the doc-level loop (identical
+    * sets ⟹ identical prefixes, candidacy, inter and thresholds). */
   private def verifiedPairs(docs: Array[Doc],
                             orient: (Doc, Doc) => Boolean): Iterator[(Doc, Doc, Long)] = {
-    val nShingles = docs.iterator.map(d =>
+    val groups = groupBySet(docs)
+    val reps = groups.map(g => docs(g(0)))
+    val nShingles = reps.iterator.map(d =>
       if (d.sorted.isEmpty) 0 else d.sorted(d.sorted.length - 1) + 1)
       .foldLeft(0)(math.max)
     val index = Array.fill(nShingles)(null: java.util.ArrayList[Integer])
-    var i = 0
-    while (i < docs.length) {
-      docs(i).prefix.foreach { w =>
+    var gi = 0
+    while (gi < groups.length) {
+      reps(gi).prefix.foreach { w =>
         if (index(w) == null) index(w) = new java.util.ArrayList[Integer]()
-        index(w).add(i)
+        index(w).add(gi)
       }
-      i += 1
+      gi += 1
     }
-    val seen = new java.util.HashSet[Long]()
     val out = scala.collection.mutable.ArrayBuffer.empty[(Doc, Doc, Long)]
-    index.foreach { bucket =>
-      if (bucket != null) {
+    def emitMembers(g1: Array[Int], g2: Array[Int], inter: Long): Unit = {
+      var x = 0
+      while (x < g1.length) {
+        var y = 0
+        while (y < g2.length) {
+          val (p, q) = (g1(x), g2(y))
+          if (p != q) {
+            if (orient(docs(p), docs(q))) out += ((docs(p), docs(q), inter))
+            else if (g1 eq g2) () // intra-group: the (q, p) order arrives on its own iteration
+            else if (orient(docs(q), docs(p))) out += ((docs(q), docs(p), inter))
+          }
+          y += 1
+        }
+        x += 1
+      }
+    }
+    // intra-group pairs: identical nonempty sets are mutual candidates
+    // (shared prefix) with inter = sz, passing 3·sz ≥ 2·sz always
+    groups.zipWithIndex.foreach { case (g, i0) =>
+      if (g.length >= 2 && reps(i0).sorted.nonEmpty)
+        emitMembers(g, g, reps(i0).sz)
+    }
+    val seen = new LongSet(1 << 16)
+    index.foreach { bucket0 =>
+      if (bucket0 != null) {
+        val bucket = new Array[Int](bucket0.size())
+        var z = 0
+        while (z < bucket.length) { bucket(z) = bucket0.get(z).intValue(); z += 1 }
         var x = 0
-        while (x < bucket.size()) {
+        while (x < bucket.length) {
           var y = x + 1
-          while (y < bucket.size()) {
-            val (p, q) = (bucket.get(x).intValue(), bucket.get(y).intValue())
-            val (a, b) =
-              if (orient(docs(p), docs(q))) (p, q)
-              else if (orient(docs(q), docs(p))) (q, p)
-              else (-1, -1)
-            if (a >= 0 && seen.add((a.toLong << 32) | b.toLong)) {
-              val (da, db) = (docs(a), docs(b))
+          while (y < bucket.length) {
+            val (p, q) = (math.min(bucket(x), bucket(y)), math.max(bucket(x), bucket(y)))
+            if (seen.add(((p.toLong + 1L) << 32) | q.toLong)) {
+              val (da, db) = (reps(p), reps(q))
               var (u, v, inter) = (0, 0, 0L)
               while (u < da.sorted.length && v < db.sorted.length) {
                 val c = da.sorted(u) - db.sorted(v)
@@ -105,7 +183,8 @@ object AllPairsLocal {
                 else if (c < 0) u += 1
                 else v += 1
               }
-              if (3L * inter >= da.sz + db.sz) out += ((da, db, inter))
+              if (3L * inter >= da.sz + db.sz)
+                emitMembers(groups(p), groups(q), inter)
             }
             y += 1
           }
@@ -147,31 +226,68 @@ object AllPairsLocal {
       StructField("sz_b", LongType), StructField("cont_bp", LongType))),
       maxRows) { it =>
       val docs = internDocs(it, baseAt = -1, prefixDiv = 5)
-      val nShingles = docs.iterator.map(d =>
+      // identical-set groups (see groupBySet): candidacy, inter and
+      // the one-sided threshold are all set-level facts, so probe and
+      // verify once per group pair, then fan out ordered member pairs
+      val groups = groupBySet(docs)
+      val reps = groups.map(g => docs(g(0)))
+      val nShingles = reps.iterator.map(d =>
         if (d.sorted.isEmpty) 0 else d.sorted(d.sorted.length - 1) + 1)
         .foldLeft(0)(math.max)
-      // FULL-stream inverted index (the container side pays nothing)
-      val index = Array.fill(nShingles)(null: java.util.ArrayList[Integer])
-      var i = 0
-      while (i < docs.length) {
-        docs(i).sorted.foreach { w =>
-          if (index(w) == null) index(w) = new java.util.ArrayList[Integer]()
-          index(w).add(i)
+      // FULL-stream inverted index over group reps (the container
+      // side pays nothing), primitive postings
+      val index0 = Array.fill(nShingles)(null: java.util.ArrayList[Integer])
+      var gi = 0
+      while (gi < groups.length) {
+        reps(gi).sorted.foreach { w =>
+          if (index0(w) == null) index0(w) = new java.util.ArrayList[Integer]()
+          index0(w).add(gi)
         }
-        i += 1
+        gi += 1
+      }
+      val index = index0.map { b =>
+        if (b == null) null
+        else { val a0 = new Array[Int](b.size())
+          var z = 0
+          while (z < a0.length) { a0(z) = b.get(z).intValue(); z += 1 }
+          a0 }
       }
       val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+      def emitCross(g1: Array[Int], g2: Array[Int], inter: Long,
+                    szA: Long, szB: Long): Unit = {
+        var x = 0
+        while (x < g1.length) {
+          var y = 0
+          while (y < g2.length) {
+            val (p, q) = (g1(x), g2(y))
+            if (p != q)
+              out += Row(docs(p).id, docs(q).id, inter, szA, szB,
+                (inter * 10000L) / szA)
+            y += 1
+          }
+          x += 1
+        }
+      }
+      // intra-group: identical nonempty sets contain each other
+      // (inter = sz, 5·sz ≥ 4·sz), both orientations via p ≠ q
+      groups.zipWithIndex.foreach { case (g, i0) =>
+        if (g.length >= 2 && reps(i0).sorted.nonEmpty)
+          emitCross(g, g, reps(i0).sz, reps(i0).sz, reps(i0).sz)
+      }
+      // cross-group: per contained-side group a, probe its prefix
+      // against the full index (group-level stamp dedup)
+      val lastSeen = Array.fill(groups.length)(-1)
       var a = 0
-      while (a < docs.length) {
-        val da = docs(a)
-        val seen = new java.util.HashSet[Int]()
+      while (a < groups.length) {
+        val da = reps(a)
         da.prefix.foreach { w =>
           val bucket = index(w)
           var x = 0
-          while (x < bucket.size()) {
-            val b = bucket.get(x).intValue()
-            if (b != a && seen.add(b)) {
-              val db = docs(b)
+          while (x < bucket.length) {
+            val b = bucket(x)
+            if (b != a && lastSeen(b) != a) {
+              lastSeen(b) = a
+              val db = reps(b)
               var (u, v, inter) = (0, 0, 0L)
               while (u < da.sorted.length && v < db.sorted.length) {
                 val c = da.sorted(u) - db.sorted(v)
@@ -180,8 +296,7 @@ object AllPairsLocal {
                 else v += 1
               }
               if (5L * inter >= 4L * da.sz)
-                out += Row(da.id, db.id, inter, da.sz, db.sz,
-                  (inter * 10000L) / da.sz)
+                emitCross(groups(a), groups(b), inter, da.sz, db.sz)
             }
             x += 1
           }
