@@ -61,15 +61,39 @@ object BloomFilter {
 
   /** Probe: distinct keys of `df.keyCol` → (k, pass) where pass=1
     * iff every one of the k hash bits is set. `words`/`k` must match
-    * the build call. The bloom side broadcasts (≤ `words` rows). */
+    * the build call.
+    *
+    * Small sketches (≤ 64k words = 512 KB) fold into a LITERAL array
+    * and all k bit tests evaluate on ONE row inside whole-stage
+    * codegen — no k-fold explode, no join, no per-key re-aggregation
+    * (the collect is `words`-bounded, the same class as the CMS/KMV
+    * sketch reads). Past 64k words the broadcast-join form takes over
+    * (a 100-TB-sized filter is built AND consumed distributed). An
+    * absent word reads as bits=0, which fails every test — identical
+    * to the join form's NULL handling. */
   def probe(df: DataFrame, keyCol: String, bloom: DataFrame,
             words: Int = 1024, k: Int = 3): DataFrame =
-    hashed(df.select(col(keyCol)).distinct(), keyCol, k)
-      .select(col("k"), expr(s"(h DIV 32) % $words").as("word"),
-        expr("CAST(h % 32 AS INT)").as("bit"))
-      .join(broadcast(bloom), Seq("word"), "left")
-      .select(col("k"), expr(
-        "CASE WHEN bits IS NOT NULL AND (shiftright(bits, bit) & 1) = 1 " +
-          "THEN 1 ELSE 0 END").as("hit"))
-      .groupBy(col("k")).agg(min(col("hit")).as("pass"))
+    if (words <= 65536) {
+      require(k <= 4, s"md5 has 4 disjoint 32-bit slices, got k=$k")
+      val bits = new Array[Long](words)
+      bloom.collect().foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+      val tests = (0 until k).map { i =>
+        val h = s"CAST(conv(substring(_m, ${i * 8 + 1}, 8), 16, 10) AS BIGINT)"
+        s"(shiftright(element_at(_bits, CAST(($h DIV 32) % $words AS INT) + 1), " +
+          s"CAST($h % 32 AS INT)) & 1) = 1"
+      }.mkString(" AND ")
+      df.select(col(keyCol)).distinct()
+        .select(col(keyCol).as("k"), md5(col(keyCol).cast("string")).as("_m"),
+          lit(bits).as("_bits"))
+        .select(col("k"), expr(s"CASE WHEN $tests THEN 1 ELSE 0 END").as("pass"))
+    } else {
+      hashed(df.select(col(keyCol)).distinct(), keyCol, k)
+        .select(col("k"), expr(s"(h DIV 32) % $words").as("word"),
+          expr("CAST(h % 32 AS INT)").as("bit"))
+        .join(broadcast(bloom), Seq("word"), "left")
+        .select(col("k"), expr(
+          "CASE WHEN bits IS NOT NULL AND (shiftright(bits, bit) & 1) = 1 " +
+            "THEN 1 ELSE 0 END").as("hit"))
+        .groupBy(col("k")).agg(min(col("hit")).as("pass"))
+    }
 }

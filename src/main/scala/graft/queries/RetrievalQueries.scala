@@ -55,6 +55,47 @@ object RetrievalQueries {
     // query term, never materialize the full corpus ranking.
     Q("q126_bm25_topk",
       (s, dir) => {
+        // LocalExact hybrid (the q98/q127 convention): corpus stats,
+        // query-term tf/df and the exact integer BM25 in one
+        // sequential pass (BigInt = the DECIMAL(38) discipline)
+        val localOut = graft.operators.LocalExact(
+          Tables.wide(s, dir, "documents").select(col("doc_id"), col("text")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", LongType),
+            org.apache.spark.sql.types.StructField("n_terms", LongType),
+            org.apache.spark.sql.types.StructField("bm25_s", LongType))),
+          200000L) { it =>
+          import graft.functions.Md5Kernel
+          val bm = BmTerms.toSet
+          val docs = it.map(r =>
+            (r.getLong(0), Md5Kernel.tokenize(r.getString(1)))).toArray
+          val n = BigInt(docs.length)
+          val sTot = BigInt(docs.iterator.map(_._2.length.toLong).sum)
+          val tf = new java.util.HashMap[(Long, String), Long]()
+          docs.foreach { case (id, t) =>
+            t.foreach(w => if (bm.contains(w)) tf.merge((id, w), 1L, _ + _))
+          }
+          val df = new java.util.HashMap[String, Long]()
+          tf.forEach { case ((_, w), _) => df.merge(w, 1L, _ + _) }
+          val dl = docs.map { case (id, t) => id -> t.length.toLong }.toMap
+          val perDoc = new java.util.HashMap[Long, (Long, Long)]() // doc → (n_terms, sum)
+          tf.forEach { case ((id, w), f) =>
+            val rIdf = ((BigInt(2) * n + 2) * 1048576 /
+              (BigInt(2) * df.get(w) + 1)).toLong
+            val idfFl2 = (63 - java.lang.Long.numberOfLeadingZeros(
+              math.max(rIdf, 1L))) - 20L
+            val sTf = (BigInt(22) * f * sTot * 1024 /
+              (BigInt(10) * f * sTot + BigInt(3) * sTot +
+                BigInt(9) * dl(id) * n)).toLong
+            val cur = perDoc.getOrDefault(id, (0L, 0L))
+            perDoc.put(id, (cur._1 + 1L, cur._2 + idfFl2 * sTf))
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          perDoc.forEach((id, v) => out += org.apache.spark.sql.Row(id, v._1, v._2))
+          out.iterator
+        }
+        localOut.map(_.orderBy(col("bm25_s").desc, col("doc_id")).limit(50))
+          .getOrElse {
         val toks = Tables.wide(s, dir, "documents")
           .select(col("doc_id"), TextFns.tokens(col("text")).as("toks"))
         val dl = toks.select(col("doc_id"),
@@ -89,6 +130,7 @@ object RetrievalQueries {
             sum(col("contrib")).cast(LongType).as("bm25_s"))
           .orderBy(col("bm25_s").desc, col("doc_id"))
           .limit(50)
+        }
       },
       Some(s"""WITH d AS (SELECT doc_id,
              |    list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS toks

@@ -499,6 +499,31 @@ object TextQueries {
             array_distinct(graft.functions.ShingleHashes(col("text"), n))
               .as("arr"))
           .localCheckpoint(eager = false) // feeds both splits below
+        // LocalExact hybrid: train-set build + per-test-doc membership
+        // count in one sequential pass over the checkpointed arrays
+        val localOut = graft.operators.LocalExact(docGrams,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", LongType),
+            org.apache.spark.sql.types.StructField("n_grams", LongType),
+            org.apache.spark.sql.types.StructField("n_contaminated", LongType),
+            org.apache.spark.sql.types.StructField("contamination", DoubleType))),
+          200000L) { it =>
+          val ho = holdout.toSet
+          val train = new java.util.HashSet[Long]()
+          val test = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Long])]
+          it.foreach { r =>
+            val arr = r.getSeq[Long](2).toArray
+            if (ho.contains(r.getString(1))) test += ((r.getLong(0), arr))
+            else arr.foreach(h => train.add(h))
+          }
+          test.iterator.filter(_._2.nonEmpty).map { case (id, arr) =>
+            val hit = arr.count(train.contains).toLong
+            org.apache.spark.sql.Row(id, arr.length.toLong, hit,
+              java.math.BigDecimal.valueOf(hit.toDouble / arr.length)
+                .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+          }
+        }
+        localOut.map(_.orderBy(col("doc_id"))).getOrElse {
         val train = docGrams.filter(!col("source").isin(holdout: _*))
           .select(explode(col("arr")).as("hv")).distinct()
         val test = docGrams.filter(col("source").isin(holdout: _*))
@@ -511,6 +536,7 @@ object TextQueries {
             round(col("n_contaminated").cast(DoubleType) /
               col("n_grams").cast(DoubleType), 6).as("contamination"))
           .orderBy(col("doc_id"))
+        }
       },
       Some("""WITH toks AS (SELECT doc_id, source,
              |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS t FROM documents),
@@ -998,6 +1024,42 @@ object TextQueries {
     // shuffle on the same term key (exchange-reusable).
     Q("q113_inverted_index",
       (s, dir) => {
+        // LocalExact hybrid (the q76 convention): postings, stats and
+        // the per-term top-50 in one sequential pass — same tie-break
+        // (tf desc, doc asc), same "doc:tf" rank-ordered join
+        val localOut = graft.operators.LocalExact(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("term", StringType),
+            org.apache.spark.sql.types.StructField("df", LongType),
+            org.apache.spark.sql.types.StructField("cf", LongType),
+            org.apache.spark.sql.types.StructField("postings", StringType))),
+          200000L) { it =>
+          import graft.functions.Md5Kernel
+          val byTerm = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[(Long, Long)]]()
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val tf = new java.util.HashMap[String, Long]()
+            Md5Kernel.tokenize(r.getString(1)).foreach(w => tf.merge(w, 1L, _ + _))
+            tf.forEach { (w, c) =>
+              byTerm.computeIfAbsent(w, _ =>
+                scala.collection.mutable.ArrayBuffer.empty) += ((id, c))
+            }
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          byTerm.forEach { (term, ps) =>
+            if (ps.length >= 2) {
+              val top = ps.sortWith { case ((d1, t1), (d2, t2)) =>
+                if (t1 != t2) t1 > t2 else d1 < d2
+              }.take(50)
+              out += org.apache.spark.sql.Row(term, ps.length.toLong,
+                ps.map(_._2).sum,
+                top.map { case (d, t) => s"$d:$t" }.mkString(","))
+            }
+          }
+          out.iterator
+        }
+        localOut.map(_.orderBy(col("term"))).getOrElse {
         val posting = Tables(s, dir, "documents")
           .select(col("doc_id"),
             explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
@@ -1017,6 +1079,7 @@ object TextQueries {
         stats.join(tops, "term").filter(col("df") >= 2)
           .select(col("term"), col("df"), col("cf"), col("postings"))
           .orderBy(col("term"))
+        }
       },
       Some("""WITH t AS (SELECT doc_id,
              |    unnest(list_filter(string_split_regex(trim(text), '\s+'),
@@ -1057,6 +1120,47 @@ object TextQueries {
     // (CCNet, arXiv:1911.00359) §3.
     Q("q114_boilerplate_scrub",
       (s, dir) => {
+        // LocalExact hybrid (the q153 convention, without the keeper
+        // exemption): window df, boilerplate set and span scrub in
+        // one sequential pass; EVERY doc surfaces (left-join shape)
+        val localOut = graft.operators.LocalExact(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", LongType),
+            org.apache.spark.sql.types.StructField("n_tokens", LongType),
+            org.apache.spark.sql.types.StructField("n_removed", LongType),
+            org.apache.spark.sql.types.StructField("scrubbed", StringType))),
+          100000L) { it =>
+          import graft.functions.Md5Kernel
+          val docs = it.map(r => (r.getLong(0), Md5Kernel.tokenize(r.getString(1))))
+            .toArray
+          final case class G(var df: Long, var last: Long)
+          val gs = new java.util.HashMap[String, G]()
+          docs.foreach { case (id, toks) =>
+            var i = 0
+            while (i + 2 < toks.length) {
+              val g = toks.slice(i, i + 3).mkString(" ")
+              val e = gs.get(g)
+              if (e == null) gs.put(g, G(1L, id))
+              else if (e.last != id) { e.df += 1L; e.last = id }
+              i += 1
+            }
+          }
+          docs.iterator.map { case (id, toks) =>
+            val removed = new Array[Boolean](toks.length)
+            var i = 0
+            while (i + 2 < toks.length) {
+              if (gs.get(toks.slice(i, i + 3).mkString(" ")).df >= 5L) {
+                removed(i) = true; removed(i + 1) = true; removed(i + 2) = true
+              }
+              i += 1
+            }
+            val kept = toks.indices.filterNot(removed).map(toks)
+            org.apache.spark.sql.Row(id, toks.length.toLong,
+              (toks.length - kept.length).toLong, kept.mkString(" "))
+          }
+        }
+        localOut.map(_.orderBy(col("doc_id"))).getOrElse {
         val toks = Tables(s, dir, "documents")
           .select(col("doc_id"), graft.functions.TextFns.tokens(col("text")).as("toks"))
         // positional windows via the codegen shingle kernel (pos is
@@ -1089,6 +1193,7 @@ object TextQueries {
             array_join(expr("transform(kept, j -> element_at(toks, j))"), " ")
               .as("scrubbed"))
           .orderBy(col("doc_id"))
+        }
       },
       Some("""WITH d AS (SELECT doc_id,
              |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks

@@ -105,4 +105,20 @@ class LocalExactParitySpec extends SparkSpec {
   test("q167 RRF fusion: one-task pass equals the two-ranking plan") {
     bothPaths("q167_rrf_fusion")
   }
+
+  test("q113 inverted index: one-task pass equals the TopKPerGroup plan") {
+    bothPaths("q113_inverted_index")
+  }
+
+  test("q126 BM25 top-k: one-task pass equals the broadcast-stats plan") {
+    bothPaths("q126_bm25_topk")
+  }
+
+  test("q81 contamination: one-task pass equals the hash semi-join plan") {
+    bothPaths("q81_contamination")
+  }
+
+  test("q114 boilerplate scrub: one-task pass equals the span-join plan") {
+    bothPaths("q114_boilerplate_scrub")
+  }
 }
