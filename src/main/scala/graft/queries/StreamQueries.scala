@@ -53,12 +53,13 @@ object StreamQueries {
 
   private def source(s: SparkSession, dir: String): DataFrame =
     s.readStream.schema(EventStreams.eventSchema)
-      // 8 files → 2 micro-batch polls: still a real cross-batch drain
-      // (state persists between the polls), at half the per-batch
-      // state-store commit floor of the earlier 4-poll setting.
-      // StreamingSpec pins the N-batch state semantics separately
-      // with 1-file triggers.
-      .option("maxFilesPerTrigger", "4")
+      // 8 files → ONE admission poll: the bench-path drain pays a
+      // single plan + state-commit round (plus the final no-data
+      // round where a query opts in). Cross-batch state semantics are
+      // NOT exercised here by design — StreamingSpec pins them with
+      // 1-file triggers, and the 10× ScaleTrial streaming probe runs
+      // the multi-batch catch-up shape.
+      .option("maxFilesPerTrigger", "8")
       .parquet(staged(s, dir))
 
   // q93's source: the events staged TWICE (append of a second full
@@ -74,7 +75,10 @@ object StreamQueries {
       d
     })
     s.readStream.schema(EventStreams.eventSchema)
-      .option("maxFilesPerTrigger", "8") // 16 files → 2 polls
+      // 16 files → 2 polls: q93 IS the cross-micro-batch dedupe demo
+      // (ST3) — its duplicates must arrive in a LATER batch than the
+      // originals, so this source keeps a genuine 2-batch drain
+      .option("maxFilesPerTrigger", "8")
       .parquet(out)
   }
 
@@ -636,7 +640,13 @@ object StreamQueries {
               .write.mode("overwrite").parquet(s"$root/$rel")
             TxnLog.commit(root, bid, adds = Seq(rel))
           }
-        val q = source(s, dir).writeStream
+        // q177's WHOLE POINT is one log version per micro-batch with
+        // monotone snapshot growth — it keeps a genuine multi-batch
+        // drain (4 files/poll) regardless of the bench-path source()
+        val q = s.readStream.schema(EventStreams.eventSchema)
+          .option("maxFilesPerTrigger", "4")
+          .parquet(staged(s, dir))
+          .writeStream
           .option("checkpointLocation", graft.util.Scratch.tempDir("graft_q177_ckpt"))
           .foreachBatch { (batch: DataFrame, bid: Long) =>
             publish(batch, bid)
