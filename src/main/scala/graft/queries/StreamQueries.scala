@@ -273,12 +273,13 @@ object StreamQueries {
     // the late-drop semantics of a short horizon.
     Q("q95_streaming_join",
       (s, dir) => {
-        // Each side streams a pre-staged SUBSET dir (4 files → a
-        // 2-batch drain at 2 files/trigger: still a real
-        // cross-micro-batch join, state persists between batches on
-        // both sides; q92–q94 pin the longer 4-batch drain). Staging
-        // the type subsets once per JVM beats filtering the full
-        // event stream inside every micro-batch of every bench sweep.
+        // Each side streams a pre-staged SUBSET dir in ONE admission
+        // poll (the round-12 bench-drain convention — see source()):
+        // cross-micro-batch stream-stream join state is demonstrated
+        // by q168's 2-batch + watermark-flush drain and pinned by
+        // StreamingSpec's 1-file triggers. Staging the type subsets
+        // once per JVM beats filtering the full event stream inside
+        // every micro-batch of every bench sweep.
         def sideDir(tpe: String): String = stagedDirs.computeIfAbsent(
           s"$tpe:$dir@${sourceFingerprint(dir)}", { _ =>
             val out = newStagingDir(s"graft_stream_$tpe")
@@ -289,7 +290,7 @@ object StreamQueries {
           })
         def side(d: String) =
           s.readStream.schema(EventStreams.eventSchema)
-            .option("maxFilesPerTrigger", "2").parquet(d)
+            .option("maxFilesPerTrigger", "4").parquet(d)
         val (viewDir, purchaseDir) = (sideDir("view"), sideDir("purchase"))
         val joined = EventStreams.intervalJoin(side(viewDir), side(purchaseDir),
           horizon = "6 hours", watermark = "3650 days")
