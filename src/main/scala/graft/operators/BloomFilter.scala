@@ -76,7 +76,17 @@ object BloomFilter {
     if (words <= 65536) {
       require(k <= 4, s"md5 has 4 disjoint 32-bit slices, got k=$k")
       val bits = new Array[Long](words)
-      bloom.collect().foreach(r => bits(r.getLong(0).toInt) = r.getLong(1))
+      bloom.collect().foreach { r =>
+        val idx = r.getLong(0)
+        // a build/probe `words` mismatch maps hashes to different word
+        // slots on the two sides — semantically broken either way, so
+        // fail loudly here instead of an opaque AIOOBE (or, worse, a
+        // silently-wrong pass column when probe words > build words)
+        require(idx >= 0 && idx < words,
+          s"bloom word index $idx outside probe words=$words — " +
+            "probe() must be called with the same `words` as build()")
+        bits(idx.toInt) = r.getLong(1)
+      }
       val tests = (0 until k).map { i =>
         val h = s"CAST(conv(substring(_m, ${i * 8 + 1}, 8), 16, 10) AS BIGINT)"
         s"(shiftright(element_at(_bits, CAST(($h DIV 32) % $words AS INT) + 1), " +

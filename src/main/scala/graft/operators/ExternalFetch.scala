@@ -59,22 +59,27 @@ object ExternalFetch {
       call: () => String): (Option[String], Option[String], Int) = {
     var attempt = 0
     var out: (Option[String], Option[String], Int) = null
-    while (out == null) {
-      attempt += 1
-      limiter.acquire()
-      currentAttempt.set(attempt)
-      try out = (Some(call()), None, attempt)
-      catch {
-        case scala.util.control.NonFatal(ex) =>
-          if (attempt > maxRetries)
-            // getMessage may be null (e.g. bare NPE) — an error row
-            // with a null error column would masquerade as a success
-            out = (None, Some(Option(ex.getMessage).getOrElse(ex.getClass.getName)),
-              attempt)
-          else sleeper(backoffMs << (attempt - 1))
+    // executor task threads are pooled: clear the ordinal once the
+    // in-flight call completes, so a later transport call on a reused
+    // thread never observes this task's stale attempt number
+    try {
+      while (out == null) {
+        attempt += 1
+        limiter.acquire()
+        currentAttempt.set(attempt)
+        try out = (Some(call()), None, attempt)
+        catch {
+          case scala.util.control.NonFatal(ex) =>
+            if (attempt > maxRetries)
+              // getMessage may be null (e.g. bare NPE) — an error row
+              // with a null error column would masquerade as a success
+              out = (None, Some(Option(ex.getMessage).getOrElse(ex.getClass.getName)),
+                attempt)
+            else sleeper(backoffMs << (attempt - 1))
+        }
       }
-    }
-    out
+      out
+    } finally currentAttempt.remove()
   }
 
   /** S3 per-record detail fetch.

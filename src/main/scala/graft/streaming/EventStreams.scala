@@ -168,10 +168,39 @@ object EventStreams {
     * advance — required when eviction itself produces output (q168's
     * outer-join null rows), pure per-batch overhead for aggregations/
     * dedup/update sinks whose output is complete at the last data
-    * batch (one plan+commit round saved per drain). */
+    * batch (one plan+commit round saved per drain).
+    *
+    * The default (false) flips Spark's own default
+    * (noDataMicroBatches.enabled=true) off, which is output-safe for
+    * every current caller (complete/update aggregations, dedupe,
+    * inner joins) but would silently drop the final watermark-flushed
+    * rows of an APPEND-mode windowed aggregation or outer join. The
+    * guard below makes that misuse a loud error instead of missing
+    * rows: plans whose output is produced BY watermark eviction must
+    * pass noDataFlush=true. */
   def runAvailableNow(spark: SparkSession, streamed: DataFrame,
                       queryName: String, outputMode: String = "complete",
                       noDataFlush: Boolean = false): DataFrame = {
+    if (!noDataFlush && outputMode == "append") {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, EventTimeWatermark, Join}
+      import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
+      val plan = streamed.queryExecution.analyzed
+      val watermarked = plan.exists(_.isInstanceOf[EventTimeWatermark])
+      val evictionEmits = watermarked && plan.exists {
+        case _: Aggregate => true // append agg emits windows on watermark close
+        case j: Join => j.joinType match { // outer null rows emit on eviction
+          case LeftOuter | RightOuter | FullOuter => true
+          case _ => false
+        }
+        case _ => false
+      }
+      require(!evictionEmits,
+        s"runAvailableNow($queryName): append-mode plan contains a " +
+          "watermarked aggregation or outer join — its final rows are " +
+          "emitted by the watermark-advance flush batch. Pass " +
+          "noDataFlush=true (Spark's noDataMicroBatches default) or the " +
+          "last windows/null rows are silently dropped.")
+    }
     applyStateStoreChoice(spark)
     val flushKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prevFlush = spark.conf.getOption(flushKey)
