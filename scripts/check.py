@@ -30,7 +30,12 @@ if not skip_verify:
 
 con = duckdb.connect()
 for t in TABLES:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    # the driver's testdata is one parquet FILE per table; Spark-written
+    # replicas (ScaleTrial 10x dirs) are DIRECTORIES of part files
+    p = f"{SF}/{t}.parquet"
+    if os.path.isdir(p):
+        p += "/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 outdirs = sorted(d for d in os.listdir(OUT) if os.path.isdir(f"{OUT}/{d}"))

@@ -21,11 +21,15 @@ OUT = sys.argv[3] if len(sys.argv) > 3 else "duck_bench.json"
 TIMEOUT = 300
 
 WORKER = r"""
-import duckdb, json, sys, time
+import duckdb, json, os, sys, time
 sf, sql = sys.argv[1], sys.stdin.read()
 con = duckdb.connect()
 for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    # single-file testdata or a Spark-written directory of part files
+    p = f"{sf}/{t}.parquet"
+    if os.path.isdir(p):
+        p += "/*.parquet"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 # force every output column server-side: the Spark bench times a
 # per-column count(col) aggregate (Bench.force) so Catalyst can't
 # prune dead columns or eliminate joins; COUNT(COLUMNS(*)) is the

@@ -414,7 +414,27 @@ object Dedup {
 
   /** Band-pigeonhole Hamming join on a fingerprint frame
     * (`id`, `simhash`): every pair within `maxHamming` agrees exactly
-    * on one of the `maxHamming + 1` bands. */
+    * on one of the `maxHamming + 1` bands.
+    *
+    * IDENTICAL-FINGERPRINT GROUP COLLAPSE (the r12 AllPairsLocal
+    * insight, applied to the distributed plan): when the frame holds
+    * duplicate fingerprints — the dominant 100-TB case is exact-dup
+    * documents — banding MEMBERS inflates every bucket by the
+    * duplication factor and pushes it past the star cap, truncating
+    * recall exactly where dedup matters most. Instead band one
+    * REPRESENTATIVE per distinct fingerprint (min id), compute
+    * rep-level pairs (buckets are duplication-invariant), then fan
+    * rep pairs out to member pairs and add the within-group pairs
+    * (hamming 0) directly. The star cap re-applies at the GROUP
+    * level: a duplicate group of m ≤ maxBucket members expands
+    * exactly (m·(m−1)/2 internal pairs — the true answer), while an
+    * over-cap group keeps the linear hub-star shape both internally
+    * and in cross-group fan-out, so one viral exact-dup can never
+    * emit O(m²) rows. Output is exact under any replication factor
+    * up to the cap; work is candidate volume at the DISTINCT level
+    * + output size. The collapse is data-adaptive: one aggregate on
+    * the checkpointed fingerprints decides, so a duplicate-free
+    * corpus pays nothing but that count. */
   private[operators] def hammingPairs(sims0: DataFrame, bits: Int,
                                       maxHamming: Int,
                                       maxBucket: Int): DataFrame = {
@@ -424,6 +444,14 @@ object Dedup {
     // re-runs on every branch (same shape as minhashCandidates'
     // checkpoint; blocks release with the plan, unlike persist)
     val sims = sims0.localCheckpoint()
+    val st = sims.agg(count(lit(1)), countDistinct(col("simhash"))).head()
+    val collapse = st.getLong(1) < st.getLong(0)
+    val reps =
+      if (collapse) sims.groupBy(col("simhash"))
+        .agg(min(col("id")).as("id"), count(lit(1)).as("_m"))
+        .select(col("id"), col("simhash"), col("_m"))
+        .localCheckpoint()
+      else sims
     val nBands = maxHamming + 1
     val base = bits / nBands
     val extra = bits % nBands // first `extra` bands get one more bit
@@ -431,7 +459,7 @@ object Dedup {
     val layout = (0 until nBands).scanLeft((0, 0)) { case ((off, w), b) =>
       (off + w, base + (if (b < extra) 1 else 0))
     }.tail
-    val banded = sims.select(
+    val banded = reps.select(
       col("id"), col("simhash"),
       explode(array(layout.zipWithIndex.map { case ((off, w), b) =>
         struct(lit(b).as("band"),
@@ -439,12 +467,42 @@ object Dedup {
             .as("bval"))
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.bval"))
-    starCappedPairs(banded, Seq("band", "bval"), Seq("simhash"), maxBucket)
+    val repPairs = starCappedPairs(banded, Seq("band", "bval"),
+        Seq("simhash"), maxBucket)
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    if (!collapse)
+      repPairs.select(col("id_a"), col("id_b"), col("hamming"))
+    else {
+      // the fan-out member relation: full membership for groups under
+      // the cap, hub-only for over-cap groups (keeps every rep pair's
+      // expansion ≤ cap², and a viral group's cross edges linear)
+      val mem = sims.join(reps.select(col("simhash"),
+          col("id").as("_hub"), col("_m")), "simhash")
+      val xm = mem.filter(col("_m") <= maxBucket || col("id") === col("_hub"))
+        .select(col("simhash"), col("id"))
+      val cross = repPairs
+        .join(xm.select(col("simhash").as("simhash_a"), col("id").as("_xa")),
+          "simhash_a")
+        .join(xm.select(col("simhash").as("simhash_b"), col("id").as("_xb")),
+          "simhash_b")
+        .select(least(col("_xa"), col("_xb")).as("id_a"),
+          greatest(col("_xa"), col("_xb")).as("id_b"), col("hamming"))
+      // internal pairs of each duplicate group, hamming 0: full m²/2
+      // under the cap, hub star above it
+      val small = mem.filter(col("_m") <= maxBucket && col("_m") > 1)
+      val within = small.select(col("simhash"), col("id").as("id_a"))
+        .join(small.select(col("simhash"), col("id").as("id_b")), "simhash")
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), lit(0).cast("int").as("hamming"))
+      val withinStar = mem
+        .filter(col("_m") > maxBucket && col("id") =!= col("_hub"))
+        .select(col("_hub").as("id_a"), col("id").as("id_b"),
+          lit(0).cast("int").as("hamming"))
+      cross.unionByName(within).unionByName(withinStar)
+    }
   }
 
   /** The shared candidate-pair shape of [[minhashCandidates]],

@@ -177,22 +177,28 @@ object RetrievalQueries {
           .select(col("doc_id"), col("source"),
             TextFns.tokens(col("text")).as("toks"))
         val train = docs.filter(pmod(col("doc_id"), lit(5)) =!= 0)
-        val test = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
         // ALL the bounded state of train+apply in one tagged cell
         // relation (vocab×classes counts, per-test-doc tf, class doc
         // counts), materialized once: the LocalExact pass below (and
         // the distributed fallback) read these blocks — no consumer
-        // re-runs a corpus-sized explode
-        val cells = train.select(col("source"), explode(col("toks")).as("w"))
-          .groupBy(col("source"), col("w"))
-          .agg(count(lit(1)).cast(LongType).as("c"))
-          .select(lit(0L).as("tag"), col("source"), col("w"),
-            lit(null).cast(LongType).as("did"), col("c").as("v"))
-          .unionAll(test.select(col("doc_id"), explode(col("toks")).as("w"))
-            .groupBy(col("doc_id"), col("w"))
-            .agg(count(lit(1)).cast(LongType).as("tf"))
-            .select(lit(1L).as("tag"), lit(null).cast(StringType).as("source"),
-              col("w"), col("doc_id").as("did"), col("tf").as("v")))
+        // re-runs a corpus-sized explode. The token cells for BOTH
+        // splits come from ONE explode + ONE map-side-combined
+        // aggregate over the whole corpus (tag/source/did derived per
+        // row), not one explode per split — the r12 form scanned and
+        // shuffled the token stream twice for the same cell rows. Only
+        // the 5-row class-count aggregate needs a second (explode-free)
+        // pass, because a zero-token train doc still counts in the
+        // prior.
+        val cells = docs.select(col("doc_id"), col("source"),
+            (pmod(col("doc_id"), lit(5)) === 0).as("is_test"),
+            explode(col("toks")).as("w"))
+          .groupBy(
+            when(col("is_test"), 1L).otherwise(0L).as("tag"),
+            when(col("is_test"), lit(null).cast(StringType))
+              .otherwise(col("source")).as("source"),
+            col("w"),
+            when(col("is_test"), col("doc_id")).as("did"))
+          .agg(count(lit(1)).cast(LongType).as("v"))
           .unionAll(train.groupBy(col("source"))
             .agg(count(lit(1)).cast(LongType).as("docs_c"))
             .select(lit(2L).as("tag"), col("source"),
