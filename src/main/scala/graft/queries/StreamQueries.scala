@@ -94,9 +94,12 @@ object StreamQueries {
     * 8 MB, clamped to [2, session setting] — small drains get cheap
     * commits (the floor engages only under 16 MB staged, where state
     * is KBs and per-partition commit cost dominates; floor 2 keeps
-    * the state genuinely partitioned), and a corpus-scale stream
-    * ramps back to the session's full parallelism (a 50× dedup drain
-    * with ~5M keys already lands near the cap under this divisor).
+    * the state genuinely partitioned — a floor-1 A/B was measured
+    * round 13 and is window noise: per-partition store commits
+    * overlap in wall-clock, so sum-of-commitTimeMs shrinks but the
+    * drain doesn't), and a corpus-scale stream ramps back to the
+    * session's full parallelism (a 50× dedup drain with ~5M keys
+    * already lands near the cap under this divisor).
     * Identical results either way (fresh
     * checkpoint per run, so the lifetime property can't leak); the
     * previous value is always restored.

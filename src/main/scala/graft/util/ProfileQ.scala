@@ -13,6 +13,13 @@ object ProfileQ {
     val name = args(0)
     val dir = if (args.length > 1) args(1)
       else sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // conf A/B hook (the FloorProbe convention): SPARK_GRAFT_SETCONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_SETCONF").toSeq.flatMap(_.split(';'))
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+        println(s"[conf] $k=$v")
+      }
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
