@@ -106,6 +106,78 @@ class DedupSkewSpec extends SparkSpec {
     assert(pairs(0).getInt(2) == 0)
   }
 
+  test("wide-simhash group collapse: duplicate groups under the cap expand EXACTLY") {
+    // 3 near-dup text variants × 3 exact copies each + 1 unrelated doc:
+    // the replicated-corpus shape where the r12 member-level banding
+    // pushed buckets toward the cap. Expected = brute force over the
+    // per-doc fingerprints (every pair within hamming 3 — the band
+    // pigeonhole has perfect recall at the rep level, and groups of 3
+    // are far under the cap, so the collapse must reproduce the full
+    // exact answer including all duplicate-internal pairs).
+    val variants = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda",
+      "alpha beta gamma delta epsilon zeta EXTRA theta iota kappa")
+    val docs = (for {
+      (t, vi) <- variants.zipWithIndex
+      copy <- 0 until 3
+    } yield ((vi * 10 + copy).toLong, t))
+      .:+((900L, "completely unrelated prose concerning distributed shuffle exchanges"))
+      .toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"),
+        graft.functions.SimHashWide(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val expected = (for {
+      (a, sa) <- fps; (b, sb) <- fps
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    // duplicate-internal pairs must be present; cross-group distances
+    // depend on token votes, so the controlled cross-group fan-out
+    // cases live in DedupCollapseSpec's direct fingerprint tests
+    assert(expected.exists(_._3 == 0),
+      "fixture must exercise duplicate-internal pairs")
+    val got = Dedup.simhashPairsWide(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected,
+      s"collapsed expansion diverged from brute force: missing=" +
+        s"${expected -- got} extra=${got -- expected}")
+  }
+
+  test("embedding group collapse: duplicate vectors under the cap expand EXACTLY") {
+    // all vectors project positive on every plane (one bucket), so the
+    // expected answer is plain brute-force cosine over all pairs —
+    // duplicates included. 3 copies × 3 distinct vectors; threshold
+    // set so cross-group pairs both pass and fail.
+    val vs = Seq(
+      Array(1.0f, 0.8f, 0.6f, 0.4f),
+      Array(0.9f, 0.9f, 0.5f, 0.5f),
+      Array(0.2f, 0.3f, 0.9f, 1.0f))
+    val rows = for {
+      (v, vi) <- vs.zipWithIndex
+      copy <- 0 until 3
+    } yield ((vi * 10 + copy).toLong, v)
+    val vecs = rows.toDF("vec_id", "embedding")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      def dot(x: Array[Float], y: Array[Float]) =
+        x.zip(y).map { case (p, q) => p.toDouble * q.toDouble }.sum
+      dot(a, b) / math.sqrt(dot(a, a) * dot(b, b))
+    }
+    val thr = 0.9
+    val expected = (for {
+      (a, va) <- rows; (b, vb) <- rows
+      if a < b && cos(va, vb) >= thr + 1e-9 // scaled-long quantization margin
+    } yield (a, b)).toSet
+    assert(expected.exists { case (a, b) => a / 10 == b / 10 } &&
+      expected.exists { case (a, b) => a / 10 != b / 10 } &&
+      !expected.exists { case (a, b) => a / 10 == 0 && b / 10 == 2 },
+      "fixture must have internal pairs, a passing cross pair, and a failing cross pair")
+    val got = EmbeddingDedup(vecs, "vec_id", "embedding",
+      nPlanes = 2, threshold = thr, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"collapsed expansion diverged: missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("wide-simhash hot bucket emits linear star pairs, not quadratic") {
     val nDup = 3000
     val docs = ((0 until nDup).map(i => (i.toLong, "the same exact duplicated text body repeated verbatim")) ++
