@@ -39,11 +39,20 @@ object ScaleTrial {
       })
     tables.foreach { t =>
       val base = spark.read.parquet(s"$srcDir/$t.parquet")
-      val copies = (0 until replicas).map { i =>
-        keyCols(t).foldLeft(base) { case (df, (c, dom)) =>
-          df.withColumn(c, col(c) + lit(i * offsetOf(t, c, dom)))
+      // keyless tables (region, nation) are FIXED DIMENSION DOMAINS —
+      // like TPC-H, where nation/region are constant across scale
+      // factors. Replicating them produces k identical copies of every
+      // dim key, which turns each dim join into a k-fold fan-out (q03
+      // at 30x measured a 900x row explosion through nation×region —
+      // 100 s for a join whose honest 30x form runs in ~2 s). One copy
+      // preserves FK semantics; fact tables still scale by `replicas`.
+      val copies =
+        if (keyCols(t).isEmpty) Seq(base)
+        else (0 until replicas).map { i =>
+          keyCols(t).foldLeft(base) { case (df, (c, dom)) =>
+            df.withColumn(c, col(c) + lit(i * offsetOf(t, c, dom)))
+          }
         }
-      }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
     }
