@@ -36,7 +36,12 @@ print(f"spark batch total  : {s_tot:8.1f} s   "
       f"(full spark total {spark.get('value', 0):.1f} s, "
       f"streaming {spark.get('streaming_total', 0):.1f} s)")
 print(f"duckdb total       : {d_tot:8.1f} s")
-print(f"ratio              : {s_tot / d_tot:8.2f}x")
+if not comparable:
+    print("ratio              : n/a (no comparable queries — "
+          "mismatched artifact pair?)")
+else:
+    ratio = s_tot / d_tot if d_tot else float('nan')
+    print(f"ratio              : {ratio:8.2f}x")
 for why, names in excluded.items():
     if names:
         print(f"excluded [{why}]: {' '.join(names)}")

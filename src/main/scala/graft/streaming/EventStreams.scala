@@ -186,12 +186,17 @@ object EventStreams {
       import org.apache.spark.sql.catalyst.plans.{FullOuter, LeftOuter, RightOuter}
       val plan = streamed.queryExecution.analyzed
       val watermarked = plan.exists(_.isInstanceOf[EventTimeWatermark])
+      // Only STREAMING aggregates/outer joins emit on watermark
+      // eviction; a batch-side aggregate joined into the stream (its
+      // subtree has isStreaming=false) produces output eagerly and
+      // must not trip the guard.
       val evictionEmits = watermarked && plan.exists {
-        case _: Aggregate => true // append agg emits windows on watermark close
-        case j: Join => j.joinType match { // outer null rows emit on eviction
-          case LeftOuter | RightOuter | FullOuter => true
-          case _ => false
-        }
+        case a: Aggregate => a.isStreaming // emits windows on watermark close
+        case j: Join if j.isStreaming =>
+          j.joinType match { // outer null rows emit on eviction
+            case LeftOuter | RightOuter | FullOuter => true
+            case _ => false
+          }
         case _ => false
       }
       require(!evictionEmits,
