@@ -117,7 +117,17 @@ object StreamQueries {
       if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(du).sum else f.length()
     val sessionN = s.conf.get("spark.sql.shuffle.partitions").toInt
     val staged = dirs.map(d => du(new java.io.File(d))).sum
-    val n = math.min(math.max(2L, staged / (8L << 20)), sessionN.toLong).toInt
+    // A/B override (spark.graft.statePartitions=N): pin the state
+    // partition count instead of deriving it from staged bytes.
+    // Divisor: 2 MiB of staged parquet per state partition — stateful
+    // ops are compute-dense per compressed byte (the 10× A/B read
+    // 9.6 s → 3.7 s on q117 going 3 → 8 partitions), while each extra
+    // partition costs a fixed per-batch commit (~50 ms), which is why
+    // 32 partitions LOSES on multi-batch drains (q168 3 batches:
+    // 4.6 s @ 8 vs 11.8 s @ 32). At sf0.1 the floor n=2 is unchanged.
+    val n = s.conf.getOption("spark.graft.statePartitions")
+      .map(_.toInt).getOrElse(
+        math.min(math.max(2L, staged / (2L << 20)), sessionN.toLong).toInt)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)

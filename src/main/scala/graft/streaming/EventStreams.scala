@@ -148,9 +148,18 @@ object EventStreams {
     * both providers); only state residency changes. */
   private def applyStateStoreChoice(spark: SparkSession): Unit =
     spark.conf.getOption("spark.graft.stateStore").foreach {
-      case "rocksdb" => spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      case "rocksdb" =>
+        spark.conf.set(
+          "spark.sql.streaming.stateStore.providerClass",
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        // Changelog checkpointing: commit uploads the per-batch delta
+        // instead of a full SST snapshot — the 10× pair read q117
+        // 5.6→3.5 s (parity with the in-memory store) and q168
+        // 16.2→10.1 s with it on. Honor an explicit user setting.
+        val clKey =
+          "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        if (spark.conf.getOption(clKey).isEmpty)
+          spark.conf.set(clKey, "true")
       case "hdfs" => spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")

@@ -26,6 +26,17 @@ object BenchSome {
         })
     Tables.enableSessionCache()
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // conf A/B hook (the FloorProbe convention): SPARK_GRAFT_SETCONF=
+    // "k=v;k=v" — runtime-settable SQL confs only
+    sys.env.get("SPARK_GRAFT_SETCONF").toSeq.flatMap(_.split(';'))
+      .filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k, v)
+      }
+    // SPARK_GRAFT_STATESTORE=rocksdb times the streaming family on
+    // the disk-backed store (same mapping as Bench/Verify/ScaleTrial)
+    sys.env.get("SPARK_GRAFT_STATESTORE")
+      .foreach(v => spark.conf.set("spark.graft.stateStore", v))
     // A/B hook: AQE's coalesce floor (default 1m) vs compute-dense
     // small-byte shuffles
     sys.env.get("GRAFT_AQE_MINPART").foreach(v =>
