@@ -93,11 +93,21 @@ object PageRank {
     // join), PRE-PARTITIONED on the source key — localCheckpoint
     // preserves the partitioning, so each iteration's join shuffles
     // only the node-sized state
+    // CACHE here, not localCheckpoint: a checkpointed DataFrame's
+    // LogicalRDD reports UnknownPartitioning (under AQE the plan isn't
+    // finalized at capture time, eager or lazy), so all `iters` join
+    // consumers re-exchange the full EDGE-sized relation — measured at
+    // 10× (11.7M edges): five 11.7M-row exchanges, zero
+    // ReusedExchange. InMemoryRelation preserves the cached plan's
+    // hashpartitioning(st, sk) (AQE keeps it stable —
+    // canChangeCachedPlanOutputPartitioning=false), so each iteration
+    // shuffles only the node-sized state, as designed. The cache is
+    // query-scoped scratch; Bench's release() unpersists it.
     val eAug = e
       .join(deg.select(col("st").as("dt"), col("sk").as("dk"),
         col("outdeg").as("dst_outdeg")), Seq("dt", "dk"))
       .repartition(col("st"), col("sk"))
-      .localCheckpoint(eager = false)
+      .cache()
     var state = deg.selectExpr("st AS nt", "sk AS nk", "outdeg",
       s"CAST($scale AS BIGINT) DIV CAST($n AS BIGINT) AS score")
     for (_ <- 0 until iters) {

@@ -45,6 +45,12 @@ object ProfileQ {
         .head().getLong(0)
       println(f"$name[$label]: forced in ${(System.nanoTime() - t0) / 1e9}%.2fs " +
         s"(count-sum $n)")
+      // PROFILEQ_FINALPLAN=1: dump the post-execution adaptive plan —
+      // the only way to see what AQE actually did (ReusedExchange,
+      // coalesced partitions, runtime join strategy switches); the
+      // initial `explain` shows none of it
+      if (label == "warm" && sys.env.contains("PROFILEQ_FINALPLAN"))
+        println(df.queryExecution.executedPlan.toString)
     }
     spark.stop()
   }
