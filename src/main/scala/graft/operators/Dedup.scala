@@ -106,55 +106,65 @@ object Dedup {
     // coalesce target — small shuffle stats collapse it to ONE task
     // and serialize the CPU-heavy shingle+md5 projection.
     val par = df.sparkSession.sparkContext.defaultParallelism
-    // per-doc hash arrays, materialized once: the LocalExact count is
-    // the first consumer; on the over-threshold path the SAME blocks
-    // feed the exploded stream (no recompute of the md5 pass)
+    // per-doc hash arrays flow straight into the shared signature
+    // aggregate (their only consumer since the r14 refactor — the
+    // local kernel now reads signatures, not raw hash arrays)
     val docHv = df
       .select(col(idCol), col(textCol))
       .repartition(par, col(idCol))
       .select(col(idCol).as("id"),
         graft.functions.ShingleHashes(col(textCol), n).as("_hv"))
-      .localCheckpoint(eager = false)
-    localCandidates(docHv, r => r.getSeq[Long](1).toArray,
-      bands, rowsPerBand, maxBucket).getOrElse {
-      val exploded = docHv.select(col("id"), explode(col("_hv")).as("hv"))
-      candidatesFromHashStream(exploded, bands, rowsPerBand, maxBucket)
+    val withSig = signatures(
+      docHv.select(col("id"), explode(col("_hv")).as("hv")),
+      bands * rowsPerBand)
+    localCandidates(withSig, bands, rowsPerBand, maxBucket).getOrElse {
+      candidatesFromSignatures(withSig, bands, rowsPerBand, maxBucket)
     }
   }
 
-  /** One-task exact replay of [[candidatesFromHashStream]] (the
-    * LocalExact convention): identical (a·h+b) mod p signature family,
-    * identical "_"-joined band keys, identical star-cap (all pairs at
-    * or under `maxBucket`, hub star above it, hub = bucket min id).
-    * `hvOf` adapts the two entry points (pre-hashed arrays vs raw
-    * shingle strings hashed here via the same Md5Kernel). Gated on a
-    * LongType id — exotic id types fall through to the distributed
+  /** Distributed signature prefix shared by BOTH dispatch paths:
+    * hashed shingle stream → 16 flat min-aggregates (whole-stage
+    * codegen; the array-lambda form evaluates interpreted) → one
+    * (id, sig) row per document with a non-empty shingle set. EAGER
+    * checkpoint: the distributed tail's bucket self-join schedules
+    * both sides concurrently and would race past a lazy cache; the
+    * local path's gating count is equally happy reading the blocks.
+    * Before round 14 the LOCAL kernel recomputed every signature
+    * single-threaded from the per-doc hash arrays — O(corpus ×
+    * shingles × numHashes) in ONE task, 7.9 s of q23's 10× time. */
+  private def signatures(exploded: DataFrame, numHashes: Int): DataFrame = {
+    val sigCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("hv") * a + b) % HashPrime).as(s"_s$i")
+    }
+    exploded.groupBy(col("id"))
+      .agg(sigCols.head, sigCols.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"_s$i")): _*).as("sig"))
+      .localCheckpoint()
+  }
+
+  /** One-task exact replay of [[candidatesFromSignatures]] (the
+    * LocalExact convention): identical "_"-joined band keys, identical
+    * star-cap (all pairs at or under `maxBucket`, hub star above it,
+    * hub = bucket min id). Consumes the SAME distributed signature
+    * relation as the distributed tail, so the paths cannot diverge on
+    * arithmetic — the kernel is banding + pair emission only. Gated on
+    * a LongType id — exotic id types fall through to the distributed
     * plan. */
-  private def localCandidates(cells: DataFrame,
-                              hvOf: org.apache.spark.sql.Row => Array[Long],
+  private def localCandidates(withSig: DataFrame,
                               bands: Int, rowsPerBand: Int, maxBucket: Int,
                               maxDocs: Long = 200000L): Option[DataFrame] = {
-    if (cells.schema.head.dataType != org.apache.spark.sql.types.LongType)
+    if (withSig.schema.head.dataType != org.apache.spark.sql.types.LongType)
       return None
-    LocalExact(cells, org.apache.spark.sql.types.StructType(Seq(
+    LocalExact(withSig, org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id_a",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("id_b",
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("est_jaccard",
         org.apache.spark.sql.types.DoubleType))), maxDocs) { it =>
-      val params = hashParams(bands * rowsPerBand)
-      val docs = it.flatMap { r =>
-        val hv = hvOf(r)
-        if (hv.isEmpty) None
-        else {
-          val sig = params.map { case (a, b) =>
-            var m = Long.MaxValue
-            hv.foreach { h => val v = (h * a + b) % HashPrime; if (v < m) m = v }
-            m
-          }.toArray
-          Some((r.getLong(0), sig))
-        }
+      val docs = it.map { r =>
+        (r.getLong(0), r.getSeq[Long](1).toArray)
       }.toArray
       val nH = (bands * rowsPerBand).toDouble
       val buckets = new java.util.HashMap[String, scala.collection.mutable.ArrayBuffer[Int]]()
@@ -208,35 +218,22 @@ object Dedup {
     * text path. */
   def minhashCandidatesFromShingles(shingled: DataFrame,
                                     bands: Int = 4, rowsPerBand: Int = 4,
-                                    maxBucket: Int = 1000): DataFrame =
-    localCandidates(shingled,
-      r => {
-        val sh = r.getSeq[String](1)
-        val hv = new Array[Long](sh.length)
-        var i = 0
-        sh.foreach { s0 => hv(i) = graft.functions.Md5Kernel.md5Int32(s0); i += 1 }
-        hv
-      },
-      bands, rowsPerBand, maxBucket).getOrElse {
-      val exploded = shingled
+                                    maxBucket: Int = 1000): DataFrame = {
+    val withSig = signatures(
+      shingled
         .select(col("id"), explode(col("_sh")).as("_s"))
-        .select(col("id"), md5Int32(col("_s")).as("hv"))
-      candidatesFromHashStream(exploded, bands, rowsPerBand, maxBucket)
+        .select(col("id"), md5Int32(col("_s")).as("hv")),
+      bands * rowsPerBand)
+    localCandidates(withSig, bands, rowsPerBand, maxBucket).getOrElse {
+      candidatesFromSignatures(withSig, bands, rowsPerBand, maxBucket)
     }
+  }
 
-  /** Shared LSH tail: hashed shingle stream → 16 min-aggregates →
-    * banded bucket join → star-capped pairs with estimated Jaccard. */
-  private def candidatesFromHashStream(exploded: DataFrame, bands: Int,
+  /** Shared LSH tail over the [[signatures]] relation: banded bucket
+    * join → star-capped pairs with estimated Jaccard. */
+  private def candidatesFromSignatures(withSig: DataFrame, bands: Int,
                                        rowsPerBand: Int,
                                        maxBucket: Int): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    val sigCols = hashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
-      min((col("hv") * a + b) % HashPrime).as(s"_s$i")
-    }
-    val withSig = exploded.groupBy(col("id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-      .select(col("id"), array((0 until numHashes).map(i => col(s"_s$i")): _*).as("sig"))
-      .localCheckpoint()
     val banded = withSig.select(
       col("id"), col("sig"),
       explode(array((0 until bands).map { b =>
@@ -267,7 +264,14 @@ object Dedup {
     * AQE broadcasts the small side at bench scale. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, n: Int): DataFrame = {
-    val p = pairs.localCheckpoint()
+    // spread before the barrier: a one-partition candidate relation
+    // (the local kernel's output shape) would serialize the
+    // array_intersect verify onto one core (same hazard fixed in
+    // lshVerified, r14)
+    val p = pairs
+      .repartition(pairs.sparkSession.sparkContext.defaultParallelism,
+        col("id_a"))
+      .localCheckpoint()
     val ids = p.select(col("id_a").as("_jid"))
       .unionByName(p.select(col("id_b").as("_jid")))
       .distinct()
@@ -311,8 +315,13 @@ object Dedup {
       maxBucket)
     // pairs feed ONE linear plan (two joins against the checkpointed
     // arrays), so no pairs-side checkpoint is needed here — unlike
-    // jaccardVerify, whose id-extraction leg reads pairs a second time
+    // jaccardVerify, whose id-extraction leg reads pairs a second time.
+    // repartition first: when the local kernel produced `cand` it is
+    // ONE partition, and with the doc side broadcast the whole
+    // array_intersect verify would run as one task (measured 5.5 s of
+    // q23's 10× time); explicit count so AQE can't coalesce it back.
     cand
+      .repartition(par, col("id_a"))
       .join(shingled.select(col("id").as("id_a"), col("_sh").as("sh_a")), "id_a")
       .join(shingled.select(col("id").as("id_b"), col("_sh").as("sh_b")), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
