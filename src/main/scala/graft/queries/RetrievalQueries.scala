@@ -3,6 +3,7 @@ package graft.queries
 import graft.functions.TextFns
 import graft.operators.{SimilaritySearch, TopKPerGroup}
 import graft.util.Tables
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -433,34 +434,74 @@ object RetrievalQueries {
         // the whole df-rank → prefix → candidate → verify chain is ONE
         // executor task; the Bayardo equi-join below stays the 100-TB
         // path (parity pinned by LocalExactParitySpec).
+        def pairsOver(docs: DataFrame): DataFrame = {
+          val sh = docs.select(col("doc_id"), col("sz"),
+            explode(col("arr")).as("w"))
+          val dfw = sh.groupBy(col("w"))
+            .agg(count(lit(1)).cast(LongType).as("df"))
+          val arrs = docs
+          val prefix = sh.join(dfw, "w")
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+            .filter(col("rn") <= expr("sz div 2 + 1"))
+            .select(col("doc_id"), col("w"))
+          val cand = prefix.as("a").join(prefix.as("b"), Seq("w"))
+            .filter(col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+            .distinct()
+          cand
+            .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"),
+              col("sz").as("sz1")), "d1")
+            .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"),
+              col("sz").as("sz2")), "d2")
+            .withColumn("inter", graft.functions.SortedIntersect
+              .intersectCount(col("arr1"), col("arr2")))
+            .filter(expr("3 * inter >= sz1 + sz2"))
+            .withColumn("jac_bp", expr("(inter * 10000) div (sz1 + sz2 - inter)"))
+            .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
+              col("jac_bp"))
+        }
         graft.operators.AllPairsLocal.allPairs(docArr, 100000L)
           .getOrElse {
-            val sh = docArr.select(col("doc_id"), col("sz"),
-              explode(col("arr")).as("w"))
-            val dfw = sh.groupBy(col("w"))
-              .agg(count(lit(1)).cast(LongType).as("df"))
-            val arrs = docArr
-            val prefix = sh.join(dfw, "w")
-              .withColumn("rn", row_number().over(
-                org.apache.spark.sql.expressions.Window
-                  .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-              .filter(col("rn") <= expr("sz div 2 + 1"))
-              .select(col("doc_id"), col("w"))
-            val cand = prefix.as("a").join(prefix.as("b"), Seq("w"))
-              .filter(col("a.doc_id") < col("b.doc_id"))
-              .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-              .distinct()
-            cand
-              .join(arrs.select(col("doc_id").as("d1"), col("arr").as("arr1"),
-                col("sz").as("sz1")), "d1")
-              .join(arrs.select(col("doc_id").as("d2"), col("arr").as("arr2"),
-                col("sz").as("sz2")), "d2")
-              .withColumn("inter", graft.functions.SortedIntersect
-                .intersectCount(col("arr1"), col("arr2")))
-              .filter(expr("3 * inter >= sz1 + sz2"))
-              .withColumn("jac_bp", expr("(inter * 10000) div (sz1 + sz2 - inter)"))
-              .select(col("d1"), col("d2"), col("inter"), col("sz1"), col("sz2"),
-                col("jac_bp"))
+            // identical-set group collapse (SetGroups): the candidate
+            // join over a mass-duplicate corpus is dup²-quadratic; run
+            // the pipeline over one rep per distinct set and fan
+            // PASSING pairs out to members — pure output, bit-equal
+            graft.operators.SetGroups
+              .collapse(docArr, "doc_id", Seq("arr", "sz")) match {
+              case None => pairsOver(docArr)
+              case Some((reps, mem)) =>
+                val rp = pairsOver(reps)
+                val cross = rp
+                  .join(mem.select(col("rep").as("d1"), col("id").as("_m1")),
+                    "d1")
+                  .join(mem.select(col("rep").as("d2"), col("id").as("_m2")),
+                    "d2")
+                  .select(
+                    when(col("_m1") < col("_m2"),
+                      struct(col("_m1").as("a"), col("_m2").as("b"),
+                        col("sz1").as("s1"), col("sz2").as("s2")))
+                      .otherwise(struct(col("_m2").as("a"), col("_m1").as("b"),
+                        col("sz2").as("s1"), col("sz1").as("s2"))).as("o"),
+                    col("inter"), col("jac_bp"))
+                  .select(col("o.a").as("d1"), col("o.b").as("d2"),
+                    col("inter"), col("o.s1").as("sz1"), col("o.s2").as("sz2"),
+                    col("jac_bp"))
+                // members of one non-empty group: J = 1 exactly (the
+                // uncollapsed plan emits them via their shared prefix)
+                val gm = mem.join(
+                  reps.select(col("doc_id").as("rep"), col("sz")), "rep")
+                  .filter(col("sz") > 0)
+                val within = gm.select(col("rep"), col("sz"),
+                    col("id").as("_m1"))
+                  .join(gm.select(col("rep"), col("id").as("_m2")), Seq("rep"))
+                  .filter(col("_m1") < col("_m2"))
+                  .select(col("_m1").as("d1"), col("_m2").as("d2"),
+                    col("sz").as("inter"), col("sz").as("sz1"),
+                    col("sz").as("sz2"), lit(10000L).as("jac_bp"))
+                cross.unionByName(within)
+            }
           }
           .orderBy(col("d1"), col("d2"))
       },
@@ -522,13 +563,12 @@ object RetrievalQueries {
         // LocalExact hybrid (AllPairsLocal, q133 convention): one-task
         // exact pass below the doc threshold, the orientation-
         // restricted Bayardo join below as the 100-TB path.
-        graft.operators.AllPairsLocal.incremental(docArr, 100000L)
-          .getOrElse {
-            val sh = docArr.select(col("doc_id"), col("sz"), col("base"),
+        def incOver(docs: DataFrame): DataFrame = {
+            val sh = docs.select(col("doc_id"), col("sz"), col("base"),
               explode(col("arr")).as("w"))
             val dfw = sh.groupBy(col("w"))
               .agg(count(lit(1)).cast(LongType).as("df"))
-            val arrs = docArr
+            val arrs = docs
             val prefix = sh.join(dfw, "w")
               .withColumn("rn", row_number().over(
                 Window.partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
@@ -551,6 +591,25 @@ object RetrievalQueries {
               .agg(min(struct((-col("jac_bp")).as("nj"), col("bs").as("bs"))).as("m"))
               .select(col("inc"), col("m.bs").as("base_id"),
                 (-col("m.nj")).cast(LongType).as("jac_bp"))
+        }
+        graft.operators.AllPairsLocal.incremental(docArr, 100000L)
+          .getOrElse {
+            // identical-set group collapse, keyed (arr, base): every
+            // pair is cross-group by construction (inc vs base differ
+            // on the key), so the rep pipeline — including the argmin
+            // tail — runs unchanged, and only the inc side fans out.
+            // Rep-level argmin is exact: on a jac_bp tie the true min
+            // base id is the min of the tied groups' reps (each rep is
+            // its group's min member).
+            graft.operators.SetGroups
+              .collapse(docArr, "doc_id", Seq("arr", "sz", "base")) match {
+              case None => incOver(docArr)
+              case Some((reps, mem)) =>
+                incOver(reps)
+                  .join(mem.select(col("rep").as("inc"), col("id").as("_m")),
+                    "inc")
+                  .select(col("_m").as("inc"), col("base_id"), col("jac_bp"))
+            }
           }
           .orderBy(col("inc"))
       },
@@ -674,34 +733,64 @@ object RetrievalQueries {
         // LocalExact hybrid (AllPairsLocal, q133 convention): one-task
         // exact pass below the doc threshold; the one-sided prefix
         // join below stays the 100-TB path.
+        def contOver(docs: DataFrame): DataFrame = {
+          val sh = docs.select(col("doc_id"), col("sz"),
+            explode(col("arr")).as("w"))
+          val dfw = sh.groupBy(col("w"))
+            .agg(count(lit(1)).cast(LongType).as("df"))
+          val arrs = docs
+          val prefix = sh.join(dfw, "w")
+            .withColumn("rn", row_number().over(
+              org.apache.spark.sql.expressions.Window
+                .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
+            .filter(col("rn") <= expr("sz div 5 + 1"))
+            .select(col("doc_id"), col("w"))
+          val cand = prefix.as("a").join(sh.as("b"), Seq("w"))
+            .filter(col("a.doc_id") =!= col("b.doc_id"))
+            .select(col("a.doc_id").as("d_a"), col("b.doc_id").as("d_b"))
+            .distinct()
+          cand
+            .join(arrs.select(col("doc_id").as("d_a"), col("arr").as("arr_a"),
+              col("sz").as("sz_a")), "d_a")
+            .join(arrs.select(col("doc_id").as("d_b"), col("arr").as("arr_b"),
+              col("sz").as("sz_b")), "d_b")
+            .withColumn("inter", graft.functions.SortedIntersect
+              .intersectCount(col("arr_a"), col("arr_b")))
+            .filter(expr("5 * inter >= 4 * sz_a"))
+            .withColumn("cont_bp", expr("(inter * 10000) div sz_a"))
+            .select(col("d_a"), col("d_b"), col("inter"), col("sz_a"),
+              col("sz_b"), col("cont_bp"))
+        }
         graft.operators.AllPairsLocal.containment(docArr, 100000L)
           .getOrElse {
-            val sh = docArr.select(col("doc_id"), col("sz"),
-              explode(col("arr")).as("w"))
-            val dfw = sh.groupBy(col("w"))
-              .agg(count(lit(1)).cast(LongType).as("df"))
-            val arrs = docArr
-            val prefix = sh.join(dfw, "w")
-              .withColumn("rn", row_number().over(
-                org.apache.spark.sql.expressions.Window
-                  .partitionBy(col("doc_id")).orderBy(col("df"), col("w"))))
-              .filter(col("rn") <= expr("sz div 5 + 1"))
-              .select(col("doc_id"), col("w"))
-            val cand = prefix.as("a").join(sh.as("b"), Seq("w"))
-              .filter(col("a.doc_id") =!= col("b.doc_id"))
-              .select(col("a.doc_id").as("d_a"), col("b.doc_id").as("d_b"))
-              .distinct()
-            cand
-              .join(arrs.select(col("doc_id").as("d_a"), col("arr").as("arr_a"),
-                col("sz").as("sz_a")), "d_a")
-              .join(arrs.select(col("doc_id").as("d_b"), col("arr").as("arr_b"),
-                col("sz").as("sz_b")), "d_b")
-              .withColumn("inter", graft.functions.SortedIntersect
-                .intersectCount(col("arr_a"), col("arr_b")))
-              .filter(expr("5 * inter >= 4 * sz_a"))
-              .withColumn("cont_bp", expr("(inter * 10000) div sz_a"))
-              .select(col("d_a"), col("d_b"), col("inter"), col("sz_a"),
-                col("sz_b"), col("cont_bp"))
+            // identical-set group collapse (SetGroups, the q133 shape —
+            // DIRECTED fan-out: rep pairs expand member_a × member_b
+            // keeping direction; within-group pairs are containment
+            // 10000 in BOTH directions)
+            graft.operators.SetGroups
+              .collapse(docArr, "doc_id", Seq("arr", "sz")) match {
+              case None => contOver(docArr)
+              case Some((reps, mem)) =>
+                val rp = contOver(reps)
+                val cross = rp
+                  .join(mem.select(col("rep").as("d_a"), col("id").as("_ma")),
+                    "d_a")
+                  .join(mem.select(col("rep").as("d_b"), col("id").as("_mb")),
+                    "d_b")
+                  .select(col("_ma").as("d_a"), col("_mb").as("d_b"),
+                    col("inter"), col("sz_a"), col("sz_b"), col("cont_bp"))
+                val gm = mem.join(
+                  reps.select(col("doc_id").as("rep"), col("sz")), "rep")
+                  .filter(col("sz") > 0)
+                val within = gm.select(col("rep"), col("sz"),
+                    col("id").as("_ma"))
+                  .join(gm.select(col("rep"), col("id").as("_mb")), Seq("rep"))
+                  .filter(col("_ma") =!= col("_mb"))
+                  .select(col("_ma").as("d_a"), col("_mb").as("d_b"),
+                    col("sz").as("inter"), col("sz").as("sz_a"),
+                    col("sz").as("sz_b"), lit(10000L).as("cont_bp"))
+                cross.unionByName(within)
+            }
           }
           .orderBy(col("d_a"), col("d_b"))
       },

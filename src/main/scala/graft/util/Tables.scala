@@ -107,6 +107,14 @@ object Tables {
       // long-lived multi-query cluster session this is the same knob.
       .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.adaptive.enabled", "true")
+      // long multi-query sessions accumulate shuffle files until a GC
+      // lets ContextCleaner remove them (default periodic GC: 30 min).
+      // The 30× full-suite sweep filled the disk (~78 GB of spill +
+      // shuffle) and crashed at query 46 before any GC fired; a 2-min
+      // interval bounds the accumulation at a once-per-sweep cost in
+      // the 90 s driver window. Same knob a long-lived cluster driver
+      // needs for exactly the same reason.
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
