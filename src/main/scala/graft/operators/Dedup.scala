@@ -109,16 +109,32 @@ object Dedup {
     // per-doc hash arrays flow straight into the shared signature
     // aggregate (their only consumer since the r14 refactor — the
     // local kernel now reads signatures, not raw hash arrays)
-    val docHv = df
-      .select(col(idCol), col(textCol))
-      .repartition(par, col(idCol))
-      .select(col(idCol).as("id"),
-        graft.functions.ShingleHashes(col(textCol), n).as("_hv"))
-    val withSig = signatures(
-      docHv.select(col("id"), explode(col("_hv")).as("hv")),
-      bands * rowsPerBand)
-    localCandidates(withSig, bands, rowsPerBand, maxBucket).getOrElse {
-      candidatesFromSignatures(withSig, bands, rowsPerBand, maxBucket)
+    def cands(d: DataFrame): DataFrame = { // d = (id, _txt)
+      val docHv = d
+        .repartition(par, col("id"))
+        .select(col("id"),
+          graft.functions.ShingleHashes(col("_txt"), n).as("_hv"))
+      val withSig = signatures(
+        docHv.select(col("id"), explode(col("_hv")).as("hv")),
+        bands * rowsPerBand)
+      localCandidates(withSig, bands, rowsPerBand, maxBucket).getOrElse {
+        candidatesFromSignatures(withSig, bands, rowsPerBand, maxBucket)
+      }
+    }
+    // identical-TEXT group collapse (dupGroups): on a duplicated
+    // corpus, run signatures + banding + pairing over one rep per
+    // distinct text and fan passing pairs out to members — candidate
+    // volume becomes duplication-independent. Gate cost when
+    // duplicate-free: one count aggregate over the text column.
+    val base = df.select(col(idCol).as("id"), col(textCol).as("_txt"))
+    dupGroups(base, "_txt") match {
+      case None => cands(base)
+      case Some(g) =>
+        fanOutPairs(cands(g.select(col("id"), col("_txt"))), g, maxBucket,
+          Seq("est_jaccard"))
+          .unionByName(withinGroupPairs(g,
+            size(graft.functions.ShingleHashes(col("_txt"), n)) > 0,
+            maxBucket, Seq("est_jaccard" -> lit(1.0))))
     }
   }
 
@@ -219,13 +235,26 @@ object Dedup {
   def minhashCandidatesFromShingles(shingled: DataFrame,
                                     bands: Int = 4, rowsPerBand: Int = 4,
                                     maxBucket: Int = 1000): DataFrame = {
-    val withSig = signatures(
-      shingled
-        .select(col("id"), explode(col("_sh")).as("_s"))
-        .select(col("id"), md5Int32(col("_s")).as("hv")),
-      bands * rowsPerBand)
-    localCandidates(withSig, bands, rowsPerBand, maxBucket).getOrElse {
-      candidatesFromSignatures(withSig, bands, rowsPerBand, maxBucket)
+    def cands(docs: DataFrame): DataFrame = {
+      val withSig = signatures(
+        docs
+          .select(col("id"), explode(col("_sh")).as("_s"))
+          .select(col("id"), md5Int32(col("_s")).as("hv")),
+        bands * rowsPerBand)
+      localCandidates(withSig, bands, rowsPerBand, maxBucket).getOrElse {
+        candidatesFromSignatures(withSig, bands, rowsPerBand, maxBucket)
+      }
+    }
+    // identical-set group collapse (dupGroups) — the callers that
+    // collapse upstream ([[lshVerified]]) pass distinct reps, so the
+    // gate is a cheap no-op there
+    dupGroups(shingled.select(col("id"), col("_sh")), "_sh") match {
+      case None => cands(shingled)
+      case Some(g) =>
+        fanOutPairs(cands(g.select(col("id"), col("_sh"))), g, maxBucket,
+          Seq("est_jaccard"))
+          .unionByName(withinGroupPairs(g, size(col("_sh")) > 0, maxBucket,
+            Seq("est_jaccard" -> lit(1.0))))
     }
   }
 
@@ -311,24 +340,44 @@ object Dedup {
       .select(col(idCol).as("id"),
         array_distinct(TextFns.shingles(col(textCol), n)).as("_sh"))
       .localCheckpoint()
-    val cand = minhashCandidatesFromShingles(shingled, bands, rowsPerBand,
-      maxBucket)
-    // pairs feed ONE linear plan (two joins against the checkpointed
-    // arrays), so no pairs-side checkpoint is needed here — unlike
-    // jaccardVerify, whose id-extraction leg reads pairs a second time.
-    // repartition first: when the local kernel produced `cand` it is
-    // ONE partition, and with the doc side broadcast the whole
-    // array_intersect verify would run as one task (measured 5.5 s of
-    // q23's 10× time); explicit count so AQE can't coalesce it back.
-    cand
-      .repartition(par, col("id_a"))
-      .join(shingled.select(col("id").as("id_a"), col("_sh").as("sh_a")), "id_a")
-      .join(shingled.select(col("id").as("id_b"), col("_sh").as("sh_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
-      .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
-      .withColumn("jaccard",
-        when(col("uni") === 0, 0d).otherwise(col("inter").cast("double") / col("uni")))
-      .drop("sh_a", "sh_b")
+    def verified(sh: DataFrame): DataFrame = {
+      val cand = minhashCandidatesFromShingles(sh, bands, rowsPerBand,
+        maxBucket)
+      // pairs feed ONE linear plan (two joins against the checkpointed
+      // arrays), so no pairs-side checkpoint is needed here — unlike
+      // jaccardVerify, whose id-extraction leg reads pairs a second time.
+      // repartition first: when the local kernel produced `cand` it is
+      // ONE partition, and with the doc side broadcast the whole
+      // array_intersect verify would run as one task (measured 5.5 s of
+      // q23's 10× time); explicit count so AQE can't coalesce it back.
+      cand
+        .repartition(par, col("id_a"))
+        .join(sh.select(col("id").as("id_a"), col("_sh").as("sh_a")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("_sh").as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+        .withColumn("uni", size(array_union(col("sh_a"), col("sh_b"))))
+        .withColumn("jaccard",
+          when(col("uni") === 0, 0d).otherwise(col("inter").cast("double") / col("uni")))
+        .drop("sh_a", "sh_b")
+    }
+    // identical-set group collapse BEFORE both legs: the exact-Jaccard
+    // verify (two array joins + array_intersect per candidate pair) is
+    // the expensive half, and candidate volume on a duplicated corpus
+    // grows dup² — collapsing first runs signatures, banding, AND the
+    // verify once per distinct shingle set, with member fan-out as
+    // pure output (inter/uni/jaccard are set functions: identical
+    // sets ⇒ identical values). Members of one non-empty group pair at
+    // jaccard 1 exactly, as the uncollapsed plan emits them through
+    // their shared buckets.
+    dupGroups(shingled, "_sh") match {
+      case None => verified(shingled)
+      case Some(g) =>
+        fanOutPairs(verified(g.select(col("id"), col("_sh"))), g, maxBucket,
+          Seq("est_jaccard", "inter", "uni", "jaccard"))
+          .unionByName(withinGroupPairs(g, size(col("_sh")) > 0, maxBucket,
+            Seq("est_jaccard" -> lit(1.0), "inter" -> size(col("_sh")),
+              "uni" -> size(col("_sh")), "jaccard" -> lit(1.0))))
+    }
   }
 
   /** SimHash bucket dedup: documents sharing a simhash value are
@@ -512,6 +561,79 @@ object Dedup {
           lit(0).cast("int").as("hamming"))
       cross.unionByName(within).unionByName(withinStar)
     }
+  }
+
+  /** Identical-key duplicate-group gate + grouping for the minhash
+    * family — the r14 SetGroups pattern (see
+    * `operators/SetGroups.scala`) applied where the key is the doc
+    * text or its shingle array. On a mass-duplicate corpus every
+    * member of a group lands in the same LSH buckets, so candidate
+    * volume grows dup²; collapsing to one min-id representative per
+    * distinct key makes the candidate AND verify legs independent of
+    * the duplication factor (identical keys ⇒ identical signatures ⇒
+    * identical pair results — expansion is pure output).
+    *
+    * Gate: one aggregate; `countDistinct(xxhash64(key))` never
+    * exceeds the true distinct count, so a real duplicate always
+    * trips it — a 64-bit collision can only turn the collapse on
+    * spuriously (exact either way; the GROUPING key is the actual
+    * value). Caveat shared with SetGroups: `collect_list` puts a
+    * group's member ids on one row — fine for any real duplication
+    * factor; the hub-only fan-out below bounds pair EXPANSION for
+    * viral groups, but a ~10⁸-member group would need
+    * [[hammingPairs]]' join-based membership instead. */
+  private def dupGroups(docs: DataFrame, keyCol: String): Option[DataFrame] = {
+    val st = docs.agg(count(lit(1)),
+      countDistinct(xxhash64(col(keyCol)))).head()
+    if (st.getLong(1) >= st.getLong(0)) None
+    else Some(docs.groupBy(col(keyCol))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("_m"),
+        collect_list(col("id")).as("_mm"))
+      .localCheckpoint())
+  }
+
+  /** Expand rep-level pairs to member pairs: full membership for
+    * groups at/under `maxBucket`, hub-only above it (the
+    * [[hammingPairs]] contract — a viral group's cross edges stay
+    * linear). `payload` columns must be symmetric in a/b (est/inter/
+    * uni/jaccard all are), since members are reordered by id. */
+  private def fanOutPairs(repPairs: DataFrame, g: DataFrame,
+                          maxBucket: Int, payload: Seq[String]): DataFrame = {
+    val xm = g.select(col("id").as("_rep"), col("_m"),
+        explode(col("_mm")).as("_mid"))
+      .filter(col("_m") <= maxBucket || col("_mid") === col("_rep"))
+      .select(col("_rep"), col("_mid"))
+    repPairs
+      .join(xm.select(col("_rep").as("id_a"), col("_mid").as("_xa")), "id_a")
+      .join(xm.select(col("_rep").as("id_b"), col("_mid").as("_xb")), "id_b")
+      .select(least(col("_xa"), col("_xb")).as("id_a") +:
+        greatest(col("_xa"), col("_xb")).as("id_b") +:
+        payload.map(col): _*)
+  }
+
+  /** Internal pairs of each duplicate group (the uncollapsed plan
+    * emits them through their shared buckets): full m²/2 under the
+    * cap, hub star above it. `nonEmpty` gates out groups whose
+    * shingle set is empty — those produce no signature rows in the
+    * uncollapsed plan and so must produce no pairs here. `carry`
+    * columns are evaluated on the GROUP row (e.g. est 1.0, inter =
+    * set size). */
+  private def withinGroupPairs(g: DataFrame, nonEmpty: Column,
+                               maxBucket: Int,
+                               carry: Seq[(String, Column)]): DataFrame = {
+    val cs = carry.map { case (n, _) => col(n) }
+    val ne = g.filter(col("_m") > 1 && nonEmpty)
+      .select(col("id") +: col("_m") +: col("_mm") +:
+        carry.map { case (n, c) => c.as(n) }: _*)
+    val small = ne.filter(col("_m") <= maxBucket)
+      .select(cs :+ explode(col("_mm")).as("_a") :+ col("_mm"): _*)
+      .select(cs :+ col("_a") :+ explode(col("_mm")).as("_b"): _*)
+      .filter(col("_a") < col("_b"))
+    val star = ne.filter(col("_m") > maxBucket)
+      .select(cs :+ col("id").as("_a") :+ explode(col("_mm")).as("_b"): _*)
+      .filter(col("_a") < col("_b")) // hub IS the group min id
+    small.unionByName(star)
+      .select(col("_a").as("id_a") +: col("_b").as("id_b") +: cs: _*)
   }
 
   /** The shared candidate-pair shape of [[minhashCandidates]],

@@ -81,4 +81,72 @@ class SetGroupsSpec extends SparkSpec {
   test("q165 incremental: collapsed oriented join equals exact kernel at 5× dup") {
     bothPaths("q165_incremental_dedup")
   }
+
+  // ---- minhash-family collapse (round-14 extension of the same
+  // pattern into Dedup.minhashCandidates/lshVerified): analytic
+  // oracle computed from the pinned signature primitives only —
+  // banding, collapse, fan-out, and within-group emission are all
+  // independently re-derived here ----
+
+  test("minhash collapse: duplicated corpus equals the analytic banded-pair set") {
+    import graft.operators.Dedup
+    val s = spark; import s.implicits._
+    // long texts differing only in the LAST word: 3 of ~38 shingles
+    // change, so most of the 16 min-hashes — and with high probability
+    // at least one 4-row band — survive intact (the sanity assert
+    // below pins that the fixture actually exercises cross-group
+    // fan-out; if a hash-param change ever breaks the collision,
+    // lengthen the shared prefix)
+    val stem = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen " +
+      "nineteen twenty alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu nu xi omicron pi rho sigma tau "
+    val a = stem + "dog"
+    val b = stem + "cat"
+    val c = "a completely unrelated document about catalyst physical planning"
+    val docs = Seq(
+      1L -> a, 2L -> a, 3L -> a,      // group A ×3
+      10L -> b, 11L -> b,             // group B ×2 (near-dup of A)
+      30L -> c,                       // singleton
+      40L -> "", 41L -> " ")          // empty-shingle group ×2
+      .toDF("doc_id", "text")
+    // independent expectation: per-doc 16-slot signature from the
+    // public primitives, then all pairs sharing >= 1 of 4 bands
+    val sigCols = Dedup.hashParams(16).zipWithIndex.map { case ((p, q), i) =>
+      org.apache.spark.sql.functions.min(
+        (col("hv") * p + q) % Dedup.HashPrime).as(s"_s$i")
+    }
+    val sigs = docs
+      .select(col("doc_id"), explode(graft.functions.TextFns
+        .shingles(col("text"), 3)).as("_sh"))
+      .select(col("doc_id"), Dedup.md5Int32(col("_sh")).as("hv"))
+      .groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 16).map(r.getLong).toArray).toMap
+    val expected = (for {
+      x <- sigs.keys; y <- sigs.keys if x < y
+      if (0 until 4).exists(bd => sigs(x).slice(bd * 4, bd * 4 + 4)
+        .sameElements(sigs(y).slice(bd * 4, bd * 4 + 4)))
+    } yield (x, y,
+      sigs(x).zip(sigs(y)).count { case (u, v) => u == v } / 16.0)).toSet
+    // fixture sanity: within-group pairs present, empty docs absent,
+    // and the A×B cross-group fan-out actually collides in a band
+    assert(expected((1L, 2L, 1.0)) && expected((10L, 11L, 1.0)))
+    assert(expected.exists(p => p._1 <= 3L && p._2 >= 10L && p._2 <= 11L),
+      "fixture lost its A-B band collision — adjust texts")
+    assert(!expected.exists(p => p._1 >= 40L || p._2 >= 40L))
+    val got = Dedup.minhashCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected,
+      s"missing=${expected -- got} extra=${got -- expected}")
+    // and the verified composition agrees on the same pair set with
+    // exact within-group jaccard 1.0
+    val ver = Dedup.lshVerified(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ver == expected.map(p => (p._1, p._2)))
+    val j = Dedup.lshVerified(docs, "doc_id", "text")
+      .filter(col("id_a") === 1L && col("id_b") === 2L)
+      .select(col("jaccard")).head().getDouble(0)
+    assert(j == 1.0)
+  }
 }
