@@ -127,7 +127,7 @@ object Dedup {
     // volume becomes duplication-independent. Gate cost when
     // duplicate-free: one count aggregate over the text column.
     val base = df.select(col(idCol).as("id"), col(textCol).as("_txt"))
-    dupGroups(base, "_txt") match {
+    dupGroups(base, "_txt", maxBucket) match {
       case None => cands(base)
       case Some(g) =>
         fanOutPairs(cands(g.select(col("id"), col("_txt"))), g, maxBucket,
@@ -234,7 +234,8 @@ object Dedup {
     * text path. */
   def minhashCandidatesFromShingles(shingled: DataFrame,
                                     bands: Int = 4, rowsPerBand: Int = 4,
-                                    maxBucket: Int = 1000): DataFrame = {
+                                    maxBucket: Int = 1000,
+                                    collapseDups: Boolean = true): DataFrame = {
     def cands(docs: DataFrame): DataFrame = {
       val withSig = signatures(
         docs
@@ -245,10 +246,15 @@ object Dedup {
         candidatesFromSignatures(withSig, bands, rowsPerBand, maxBucket)
       }
     }
-    // identical-set group collapse (dupGroups) — the callers that
-    // collapse upstream ([[lshVerified]]) pass distinct reps, so the
-    // gate is a cheap no-op there
-    dupGroups(shingled.select(col("id"), col("_sh")), "_sh") match {
+    // identical-set group collapse (dupGroups) — callers that collapse
+    // (or gate) upstream ([[lshVerified]]) skip the duplicate-count
+    // aggregate outright via collapseDups = false: one driver job
+    // round saved per call (the family is job-round-bound at bench
+    // scale, FloorProbe r14)
+    val gated = if (collapseDups)
+      dupGroups(shingled.select(col("id"), col("_sh")), "_sh", maxBucket)
+    else None
+    gated match {
       case None => cands(shingled)
       case Some(g) =>
         fanOutPairs(cands(g.select(col("id"), col("_sh"))), g, maxBucket,
@@ -341,8 +347,12 @@ object Dedup {
         array_distinct(TextFns.shingles(col(textCol), n)).as("_sh"))
       .localCheckpoint()
     def verified(sh: DataFrame): DataFrame = {
+      // collapseDups = false: sh is either the whole corpus that the
+      // gate below already judged (None branch) or the collapsed
+      // distinct reps — re-gating inside would only repeat the same
+      // aggregate
       val cand = minhashCandidatesFromShingles(sh, bands, rowsPerBand,
-        maxBucket)
+        maxBucket, collapseDups = false)
       // pairs feed ONE linear plan (two joins against the checkpointed
       // arrays), so no pairs-side checkpoint is needed here — unlike
       // jaccardVerify, whose id-extraction leg reads pairs a second time.
@@ -369,7 +379,7 @@ object Dedup {
     // sets ⇒ identical values). Members of one non-empty group pair at
     // jaccard 1 exactly, as the uncollapsed plan emits them through
     // their shared buckets.
-    dupGroups(shingled, "_sh") match {
+    dupGroups(shingled, "_sh", maxBucket) match {
       case None => verified(shingled)
       case Some(g) =>
         fanOutPairs(verified(g.select(col("id"), col("_sh"))), g, maxBucket,
@@ -502,8 +512,14 @@ object Dedup {
     // re-runs on every branch (same shape as minhashCandidates'
     // checkpoint; blocks release with the plan, unlike persist)
     val sims = sims0.localCheckpoint()
+    // threshold gate (see [[dupGroups]] / [[dupCollapseThreshold]]):
+    // below maxBucket/2 duplicate extras the member-level banding
+    // cannot overflow a half-empty bucket, both plans equal the
+    // unguarded oracle, and the collapse's membership/fan-out joins
+    // (~4 extra AQE job rounds at bench scale) are pure overhead
     val st = sims.agg(count(lit(1)), countDistinct(col("simhash"))).head()
-    val collapse = st.getLong(1) < st.getLong(0)
+    val collapse =
+      st.getLong(0) - st.getLong(1) >= dupCollapseThreshold(sims, maxBucket)
     val reps =
       if (collapse) sims.groupBy(col("simhash"))
         .agg(min(col("id")).as("id"), count(lit(1)).as("_m"))
@@ -574,23 +590,54 @@ object Dedup {
     * identical pair results — expansion is pure output).
     *
     * Gate: one aggregate; `countDistinct(xxhash64(key))` never
-    * exceeds the true distinct count, so a real duplicate always
-    * trips it — a 64-bit collision can only turn the collapse on
+    * exceeds the true distinct count, so real duplication always
+    * registers — a 64-bit collision can only turn the collapse on
     * spuriously (exact either way; the GROUPING key is the actual
-    * value). Caveat shared with SetGroups: `collect_list` puts a
-    * group's member ids on one row — fine for any real duplication
-    * factor; the hub-only fan-out below bounds pair EXPANSION for
-    * viral groups, but a ~10⁸-member group would need
-    * [[hammingPairs]]' join-based membership instead. */
-  private def dupGroups(docs: DataFrame, keyCol: String): Option[DataFrame] = {
+    * value).
+    *
+    * THRESHOLD (r14 optimization round): collapse only when the
+    * duplicate EXTRAS (rows − distinct keys) reach `maxBucket / 2` —
+    * [[dupCollapseThreshold]]. Exactness rationale: both plans equal
+    * the unguarded oracle whenever no bucket overflows `maxBucket`,
+    * and duplication can add at most `extras` members to any one
+    * bucket, so below the threshold duplication alone cannot push a
+    * half-empty bucket over the cap — the residual risk (a NATURALLY
+    * near-cap bucket tipped over by a few duplicates) is the same
+    * documented recall trade the cap already makes on duplicate-free
+    * corpora ([[minhashCandidates]] scaladoc). Below threshold the
+    * whole collapse machinery (wide-key groupBy + checkpoint +
+    * fan-out joins ≈ 6 extra AQE job rounds, +0.7–0.8 s per query at
+    * sf0.1 for 8 duplicate rows in 5,000 — measured this round)
+    * disappears; at any real replication factor (ScaleTrial 10×/30×,
+    * the DedupSkewSpec 5× fixtures) extras ≫ threshold and the
+    * collapse engages exactly as before.
+    *
+    * Caveat shared with SetGroups: `collect_list` puts a group's
+    * member ids on one row — fine for any real duplication factor;
+    * the hub-only fan-out below bounds pair EXPANSION for viral
+    * groups, but a ~10⁸-member group would need [[hammingPairs]]'
+    * join-based membership instead. */
+  private def dupGroups(docs: DataFrame, keyCol: String,
+                        maxBucket: Int): Option[DataFrame] = {
     val st = docs.agg(count(lit(1)),
       countDistinct(xxhash64(col(keyCol)))).head()
-    if (st.getLong(1) >= st.getLong(0)) None
+    if (st.getLong(0) - st.getLong(1) <
+        dupCollapseThreshold(docs, maxBucket)) None
     else Some(docs.groupBy(col(keyCol))
       .agg(min(col("id")).as("id"), count(lit(1)).as("_m"),
         collect_list(col("id")).as("_mm"))
       .localCheckpoint())
   }
+
+  /** Duplicate-extras threshold that engages the group collapse:
+    * `spark.graft.dupCollapseMinExtras` when set (the spec/A-B hook —
+    * 1 restores the round-13 "any duplicate" gate), else
+    * `max(1, maxBucket / 2)` — see [[dupGroups]] for the exactness
+    * argument. */
+  private[operators] def dupCollapseThreshold(df: DataFrame,
+                                              maxBucket: Int): Long =
+    df.sparkSession.conf.getOption("spark.graft.dupCollapseMinExtras")
+      .map(_.toLong).getOrElse(math.max(1L, maxBucket / 2L))
 
   /** Expand rep-level pairs to member pairs: full membership for
     * groups at/under `maxBucket`, hub-only above it (the

@@ -62,8 +62,13 @@ object EmbeddingDedup {
     val signs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
         VectorFns.normSqScaled(col(vecCol)).as("_n"), bucket.as("bucket"))
       .localCheckpoint()
+    // threshold gate (Dedup.dupCollapseThreshold): below maxBucket/2
+    // duplicate extras the member-level bucketing cannot overflow a
+    // half-empty sign bucket, both plans equal the unguarded oracle,
+    // and the collapse's membership/fan-out joins are pure overhead
     val st = signs.agg(count(lit(1)), countDistinct(col("vec"))).head()
-    val collapse = st.getLong(1) < st.getLong(0)
+    val collapse = st.getLong(0) - st.getLong(1) >=
+      Dedup.dupCollapseThreshold(signs, maxBucket)
     val reps =
       if (collapse) signs.groupBy(col("vec"))
         .agg(min(col("id")).as("id"), first(col("_n")).as("_n"),

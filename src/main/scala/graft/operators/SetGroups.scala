@@ -41,7 +41,17 @@ object SetGroups {
     val key = keyCols.map(col)
     val st = docArr
       .agg(count(lit(1)), countDistinct(xxhash64(key: _*))).head()
-    if (st.getLong(1) >= st.getLong(0)) return None
+    // threshold gate (r14 optimization round, shared rule with
+    // Dedup.dupCollapseThreshold): this family's uncollapsed plan is
+    // EXACT at any duplication (no caps — all-pairs semantics), so the
+    // collapse is purely a work trade: dup² candidate/verify savings
+    // vs ~6 extra AQE job rounds of group machinery. Below a few
+    // hundred duplicate extras the savings are negligible and the
+    // overhead dominates (measured +0.7 s/query at sf0.1 for 8
+    // duplicate rows); at ScaleTrial replication factors extras ≫
+    // threshold and the collapse engages as before.
+    if (st.getLong(0) - st.getLong(1) <
+        Dedup.dupCollapseThreshold(docArr, 1000)) return None
     // eager: reps feeds the whole candidate pipeline while mem feeds
     // the fan-out joins — concurrent consumers would race a lazy cache
     val g = docArr.groupBy(key: _*)

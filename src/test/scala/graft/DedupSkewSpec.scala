@@ -136,11 +136,21 @@ class DedupSkewSpec extends SparkSpec {
     // cases live in DedupCollapseSpec's direct fingerprint tests
     assert(expected.exists(_._3 == 0),
       "fixture must exercise duplicate-internal pairs")
-    val got = Dedup.simhashPairsWide(docs, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // force the collapse on (6 duplicate extras sit below the r14
+    // maxBucket/2 default threshold, where the uncollapsed plan is
+    // equally exact — this pin targets the collapse machinery)
+    spark.conf.set("spark.graft.dupCollapseMinExtras", "1")
+    val got =
+      try Dedup.simhashPairsWide(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      finally spark.conf.unset("spark.graft.dupCollapseMinExtras")
     assert(got == expected,
       s"collapsed expansion diverged from brute force: missing=" +
         s"${expected -- got} extra=${got -- expected}")
+    // default threshold path (collapse off at 6 extras) must agree
+    val gotDefault = Dedup.simhashPairsWide(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotDefault == expected)
   }
 
   test("embedding group collapse: duplicate vectors under the cap expand EXACTLY") {
@@ -171,11 +181,20 @@ class DedupSkewSpec extends SparkSpec {
       expected.exists { case (a, b) => a / 10 != b / 10 } &&
       !expected.exists { case (a, b) => a / 10 == 0 && b / 10 == 2 },
       "fixture must have internal pairs, a passing cross pair, and a failing cross pair")
-    val got = EmbeddingDedup(vecs, "vec_id", "embedding",
-      nPlanes = 2, threshold = thr, maxBucket = 100)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // force the collapse on (6 extras < the maxBucket/2 default)
+    spark.conf.set("spark.graft.dupCollapseMinExtras", "1")
+    val got =
+      try EmbeddingDedup(vecs, "vec_id", "embedding",
+        nPlanes = 2, threshold = thr, maxBucket = 100)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.unset("spark.graft.dupCollapseMinExtras")
     assert(got == expected,
       s"collapsed expansion diverged: missing=${expected -- got} extra=${got -- expected}")
+    // default threshold path (collapse off at 6 extras) must agree
+    val gotDefault = EmbeddingDedup(vecs, "vec_id", "embedding",
+      nPlanes = 2, threshold = thr, maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotDefault == expected)
   }
 
   test("wide-simhash hot bucket emits linear star pairs, not quadratic") {

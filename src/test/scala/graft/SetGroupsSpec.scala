@@ -31,8 +31,12 @@ class SetGroupsSpec extends SparkSpec {
       (7L, Array(10L, 30L), 2L),                       // singleton
       (2L, Array.empty[Long], 0L), (8L, Array.empty[Long], 0L)) // empty g
       .toDF("doc_id", "arr", "sz")
+    // 3 duplicate extras sit below the r14 default threshold
+    // (Dedup.dupCollapseThreshold) — force the machinery on for the pin
+    spark.conf.set("spark.graft.dupCollapseMinExtras", "1")
     val Some((reps, mem)) =
-      SetGroups.collapse(docs, "doc_id", Seq("arr", "sz"))
+      try SetGroups.collapse(docs, "doc_id", Seq("arr", "sz"))
+      finally spark.conf.unset("spark.graft.dupCollapseMinExtras")
     val repRows = reps.collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq, r.getLong(2))).toSet
     assert(repRows == Set((3L, Seq(10L, 20L), 2L), (7L, Seq(10L, 30L), 2L),
@@ -135,18 +139,29 @@ class SetGroupsSpec extends SparkSpec {
     assert(expected.exists(p => p._1 <= 3L && p._2 >= 10L && p._2 <= 11L),
       "fixture lost its A-B band collision — adjust texts")
     assert(!expected.exists(p => p._1 >= 40L || p._2 >= 40L))
-    val got = Dedup.minhashCandidates(docs, "doc_id", "text")
+    // default threshold: 4 duplicate extras < maxBucket/2, so the
+    // collapse stays OFF and the uncollapsed plan must already equal
+    // the analytic set (both plans are exact below the cap)
+    val gotDefault = Dedup.minhashCandidates(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-    assert(got == expected,
-      s"missing=${expected -- got} extra=${got -- expected}")
-    // and the verified composition agrees on the same pair set with
-    // exact within-group jaccard 1.0
-    val ver = Dedup.lshVerified(docs, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(ver == expected.map(p => (p._1, p._2)))
-    val j = Dedup.lshVerified(docs, "doc_id", "text")
-      .filter(col("id_a") === 1L && col("id_b") === 2L)
-      .select(col("jaccard")).head().getDouble(0)
-    assert(j == 1.0)
+    assert(gotDefault == expected,
+      s"missing=${expected -- gotDefault} extra=${gotDefault -- expected}")
+    // forced collapse (the machinery pin): identical output
+    spark.conf.set("spark.graft.dupCollapseMinExtras", "1")
+    try {
+      val got = Dedup.minhashCandidates(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expected,
+        s"missing=${expected -- got} extra=${got -- expected}")
+      // and the verified composition agrees on the same pair set with
+      // exact within-group jaccard 1.0
+      val ver = Dedup.lshVerified(docs, "doc_id", "text")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(ver == expected.map(p => (p._1, p._2)))
+      val j = Dedup.lshVerified(docs, "doc_id", "text")
+        .filter(col("id_a") === 1L && col("id_b") === 2L)
+        .select(col("jaccard")).head().getDouble(0)
+      assert(j == 1.0)
+    } finally spark.conf.unset("spark.graft.dupCollapseMinExtras")
   }
 }
