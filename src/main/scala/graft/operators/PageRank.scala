@@ -150,21 +150,59 @@ object PageRank {
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("node_key", LongType),
       org.apache.spark.sql.types.StructField("score", LongType)))
-    val rows = e.coalesce(1).rdd.mapPartitions { it =>
+    // Read the kernel's input as INTERNAL rows (r14 optimization
+    // round, guide §1.2 per-task work): the public .rdd path converts
+    // every InternalRow to a GenericRowWithSchema with two fresh
+    // String allocations — measured 0.7 s of the 0.8 s single-task
+    // read at 1.17M edges, vs 0.07 s for all five score iterations.
+    // Type strings compare against a ≤|types| UTF8String dictionary
+    // (cloned on store — UnsafeRow buffers are reused), keys intern
+    // through a specialized LongMap, and member arrays are primitive —
+    // no per-edge allocation anywhere.
+    val rows = e.coalesce(1).queryExecution.toRdd.mapPartitions { it =>
       import scala.collection.mutable
-      val idx = mutable.HashMap.empty[(String, Long), Int]
-      val keys = mutable.ArrayBuffer.empty[(String, Long)]
-      def id(k: (String, Long)): Int =
-        idx.getOrElseUpdate(k, { keys += k; keys.size - 1 })
-      val srcs = mutable.ArrayBuffer.empty[Int]
-      val dsts = mutable.ArrayBuffer.empty[Int]
-      it.foreach { r =>
-        srcs += id((r.getString(0), r.getLong(1)))
-        dsts += id((r.getString(2), r.getLong(3)))
+      import org.apache.spark.unsafe.types.UTF8String
+      val typeNames = mutable.ArrayBuffer.empty[UTF8String]
+      val typeMaps = mutable.ArrayBuffer.empty[mutable.LongMap[Int]]
+      val keyType = mutable.ArrayBuffer.empty[Int] // node -> type idx
+      val keyVal = mutable.ArrayBuffer.empty[Long] // node -> key
+      def typeId(t: UTF8String): Int = {
+        var i = 0
+        while (i < typeNames.length) {
+          if (typeNames(i) == t) return i
+          i += 1
+        }
+        typeNames += t.clone()
+        typeMaps += mutable.LongMap.empty[Int]
+        typeNames.length - 1
       }
-      val nN = keys.size
+      def id(t: UTF8String, k: Long): Int = {
+        val ti = typeId(t)
+        val got = typeMaps(ti).getOrElse(k, -1) // node ids are >= 0
+        if (got >= 0) got
+        else {
+          val nid = keyType.length
+          typeMaps(ti).update(k, nid)
+          keyType += ti; keyVal += k
+          nid
+        }
+      }
+      var srcs = new Array[Int](1 << 16)
+      var dsts = new Array[Int](1 << 16)
+      var nE = 0
+      it.foreach { r =>
+        if (nE == srcs.length) {
+          srcs = java.util.Arrays.copyOf(srcs, nE * 2)
+          dsts = java.util.Arrays.copyOf(dsts, nE * 2)
+        }
+        srcs(nE) = id(r.getUTF8String(0), r.getLong(1))
+        dsts(nE) = id(r.getUTF8String(2), r.getLong(3))
+        nE += 1
+      }
+      val nN = keyType.length
       val outdeg = new Array[Long](nN)
-      srcs.foreach(s => outdeg(s) += 1)
+      var ei = 0
+      while (ei < nE) { outdeg(srcs(ei)) += 1; ei += 1 }
       val n = outdeg.count(_ > 0L) // deg.count(): distinct sources
       if (n == 0) Iterator.empty
       else {
@@ -175,7 +213,7 @@ object PageRank {
           val inc = new Array[Long](nN)
           val nextActive = new Array[Boolean](nN)
           var i = 0
-          while (i < srcs.length) {
+          while (i < nE) {
             val s = srcs(i)
             if (active(s)) {
               val d = dsts(i)
@@ -197,9 +235,10 @@ object PageRank {
           }
           System.arraycopy(nextActive, 0, active, 0, nN)
         }
-        keys.iterator.zipWithIndex.collect {
-          case ((t, k), i) if active(i) =>
-            org.apache.spark.sql.Row(t, k, score(i))
+        (0 until nN).iterator.collect {
+          case i if active(i) =>
+            org.apache.spark.sql.Row(
+              typeNames(keyType(i)).toString, keyVal(i), score(i))
         }
       }
     }
