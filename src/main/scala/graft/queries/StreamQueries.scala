@@ -125,9 +125,19 @@ object StreamQueries {
     // partition costs a fixed per-batch commit (~50 ms), which is why
     // 32 partitions LOSES on multi-batch drains (q168 3 batches:
     // 4.6 s @ 8 vs 11.8 s @ 32). At sf0.1 the floor n=2 is unchanged.
+    // Floor 4 (r14 optimization round): the r13 floor-1 A/B showed
+    // floor 2 vs 1 is noise, but a same-window A/B at sf0.1 (quiet,
+    // min-of-2) read n=4 faster than the n=2 floor on every
+    // compute-dense drain — q93 1.64→1.37, q117 1.78→1.60, q92
+    // 1.14→1.09, q162 1.10→1.02 — and neutral on the interval joins
+    // (q95 ±0, q168 +0.07, inside noise); n=8 LOST family-wide (q168
+    // 2.9→4.3: per-partition/per-batch commit ~50 ms dominates on
+    // multi-batch drains). The 2 MiB divisor itself is pinned by the
+    // 10× A/B (n≈10 best; 32 loses), so only the small-drain floor
+    // moves.
     val n = s.conf.getOption("spark.graft.statePartitions")
       .map(_.toInt).getOrElse(
-        math.min(math.max(2L, staged / (2L << 20)), sessionN.toLong).toInt)
+        math.min(math.max(4L, staged / (2L << 20)), sessionN.toLong).toInt)
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", n.toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
