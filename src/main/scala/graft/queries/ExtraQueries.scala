@@ -500,14 +500,21 @@ object ExtraQueries {
           .localCheckpoint(eager = false)
         // LocalExact hybrid: the cell table is bounded by the price
         // domain — one sorted sequential pass bins exactly, same
-        // rows_strictly_below rule
+        // rows_strictly_below rule. Threshold 200k (r14 optimization
+        // round): cents-quantized prices are nearly UNIQUE per row
+        // (sf0.1: ~500k cells from 600k rows), so this cell table is
+        // row-scaled, not domain-bounded — a same-window A/B read the
+        // distributed PrefixSum path 1.31 s vs 1.51 s through the
+        // one-task kernel at 500k cells. Genuinely bounded domains
+        // (q130's quantized grid, q146's buckets) keep their 5M
+        // thresholds — forced-distributed loses 0.8→2.4 s there.
         val localOut = graft.operators.LocalExact(g,
           org.apache.spark.sql.types.StructType(Seq(
             org.apache.spark.sql.types.StructField("decile", LongType),
             org.apache.spark.sql.types.StructField("n_rows", LongType),
             org.apache.spark.sql.types.StructField("min_cents", LongType),
             org.apache.spark.sql.types.StructField("max_cents", LongType))),
-          5000000L) { it =>
+          200000L) { it =>
           val cells = it.map(r => (r.getLong(0), r.getLong(1))).toArray.sortBy(_._1)
           val n = cells.map(_._2).sum
           if (n == 0) Iterator.empty
