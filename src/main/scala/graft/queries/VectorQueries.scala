@@ -510,7 +510,14 @@ object VectorQueries {
     // (the NgramLm.scala:116 overflow discipline).
     Q("q156_centroid_classify",
       (s, dir) => {
-        val q = Tables(s, dir, "embeddings")
+        // wide copy (r14 optimization round): the classify pass runs
+        // |rows|·|classes|·dim interpreted zip_with/aggregate lambdas
+        // (~1.3M at sf0.1) — on the raw single-partition cache that is
+        // ONE task (FloorProbe: 7 jobs / 7 tasks, exec ~1.0 s); the
+        // widened copy spreads it across session parallelism like
+        // q157's Gram pass
+        import graft.functions.VectorFns
+        val q = Tables.wide(s, dir, "embeddings")
           .select(col("vec_id"), col("label"), expr(
             "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
             .as("qv"))
@@ -522,10 +529,19 @@ object VectorQueries {
           .groupBy(col("clabel"))
           .agg(expr("transform(array_sort(collect_list(struct(i, cv))), p -> p.cv)")
             .as("carr"))
-        q.join(broadcast(cent))
-          .withColumn("dist", expr(
-            "aggregate(zip_with(qv, carr, (a, b) -> (a - b) * (a - b)), " +
-              "CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        // dist via the codegen'd integer dot kernel (r14 optimization
+        // round, guide §4-analog — HOFs evaluate interpreted):
+        // Σ(a−b)² = Σa² − 2Σab + Σb², exact in int64 (micro-unit
+        // elements ≤ ~2e6 ⇒ each term ≤ dim·4e12 ≪ 2⁶³). Per-row and
+        // per-centroid norms are computed once BEFORE the broadcast
+        // cross join, so the per-pair work is one dot_long — the
+        // zip_with+aggregate form ran ~7 µs/element interpreted and
+        // was re-evaluated in two stages (partial agg + project).
+        q.withColumn("qq", VectorFns.dotLong(col("qv"), col("qv")))
+          .join(broadcast(cent.withColumn("cc",
+            VectorFns.dotLong(col("carr"), col("carr")))))
+          .withColumn("dist", col("qq") -
+            lit(2L) * VectorFns.dotLong(col("qv"), col("carr")) + col("cc"))
           .groupBy(col("vec_id"), col("label"))
           .agg(min(struct(col("dist"), col("clabel"))).as("m"))
           .select(col("label"), col("m.clabel").as("pred"))
