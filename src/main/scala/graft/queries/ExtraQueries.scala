@@ -535,9 +535,12 @@ object ExtraQueries {
           }
         }
         localOut.getOrElse {
-          val cum = graft.operators.PrefixSum(g, "p", "c", "cum")
-          val n = g.agg(sum(col("c")).as("n"))
-          cum.crossJoin(broadcast(n))
+          // totalCol folds the corpus count into PrefixSum's offsets
+          // window (r15: drops the separate SUM(c) aggregate branch
+          // and its BroadcastNestedLoopJoin cross join)
+          val cum = graft.operators.PrefixSum(g, "p", "c", "cum",
+            totalCol = Some("n"))
+          cum
             .withColumn("decile", expr("((cum - c) * 10) div n"))
             .groupBy(col("decile"))
             .agg(sum(col("c")).cast(LongType).as("n_rows"),

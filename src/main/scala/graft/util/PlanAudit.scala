@@ -80,6 +80,11 @@ object PlanAudit {
     "q167_rrf_fusion",        // inherits q26's |Q|=10 broadcast ×
                               // corpus exact-cosine leg + a 1-row
                               // corpus-stats broadcast on the idf path
+    "q84_compaction_plan",    // 1-row quantile-bounds array broadcast
+                              // into PrefixSum's bucket assignment —
+                              // bounded by the bucket count (the other
+                              // PrefixSum callers carry their own
+                              // bounded-cross entries already)
     "q161_polygon_join")      // 8-row polygon dim broadcast into the
                               // bbox-range prefilter (non-equi ⇒ BNL by
                               // construction; at many-polygon scale the
