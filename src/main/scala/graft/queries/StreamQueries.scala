@@ -389,12 +389,21 @@ object StreamQueries {
           })
         def side(d: String) =
           s.readStream.schema(EventStreams.eventSchema)
-            // 4 range files + heartbeat → a 2-batch drain + watermark
-            // flush: batch 2's heartbeat watermark still evicts state
-            // committed by batch 1, so cross-batch outer eviction
-            // stays exercised at half the per-batch commit floor
-            // (StreamingSpec pins the long 1-file-per-trigger drain)
-            .option("maxFilesPerTrigger", "4").parquet(d)
+            // 4 range files + heartbeat → ONE data batch + the
+            // watermark-flush batch (r15; was 2 data batches + flush):
+            // the heartbeat's watermark takes effect only in the NEXT
+            // batch, so the flush batch still evicts outer-join state
+            // COMMITTED BY AN EARLIER BATCH and emits the unmatched
+            // views — the cross-batch eviction demonstration — while
+            // the drain sheds one full plan+addBatch+state-commit
+            // round (~0.9 s: the state commit floor is ~0.7 s/batch
+            // regardless of rows, streamprofile r15). The long
+            // 1-file-per-trigger drain with PROGRESSIVE mid-drain
+            // eviction stays pinned by StreamingSpec. A/B override:
+            // spark.graft.q168FilesPerTrigger.
+            .option("maxFilesPerTrigger", s.conf.getOption(
+              "spark.graft.q168FilesPerTrigger").getOrElse("5"))
+            .parquet(d)
         val (viewDir, purchaseDir) = (orderedDir("view"), orderedDir("purchase"))
         val joined = EventStreams.intervalJoin(side(viewDir), side(purchaseDir),
           horizon = "6 hours", watermark = "60 seconds", joinType = "left_outer")
