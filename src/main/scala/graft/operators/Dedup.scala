@@ -28,14 +28,22 @@ object Dedup {
   }
 
   /** First 15 md5 hex chars as a non-negative long (60 bits) —
-    * reproducible in DuckDB via the same md5/substr/from-hex steps. */
+    * reproducible in DuckDB via the same md5/substr/from-hex steps.
+    * Codegen'd kernel (r15): bit-identical to the previous
+    * conv(substring(md5(c),1,15),16,10) composition without the
+    * per-value 32-char hex allocation + re-parse. */
   def md5Long(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Md5PrefixExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), 60))
 
   /** 32-bit md5-derived hash for universal-hash families (fits a*h+b
-    * in exact int64 arithmetic). */
+    * in exact int64 arithmetic). Codegen'd kernel (r15), bit-identical
+    * to conv(substring(md5(c),1,8),16,10). */
   def md5Int32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+    org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.Md5PrefixExpr(
+        org.apache.spark.sql.graftbridge.ColumnBridge.expression(c), 32))
 
   /** Prime just above 2^32 for the (a*h+b) mod p family. */
   val HashPrime = 4294967311L

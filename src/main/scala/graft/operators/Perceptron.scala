@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Batch-gradient perceptron TRAINING over hashed bag-of-words
   * features — the in-engine trainer for the linear text filters a
@@ -48,46 +48,78 @@ object Perceptron {
     * `feats(doc_id, y, b, x)` — y ∈ {+1,−1}, b ∈ [0, nBuckets]
     * (bucket `nBuckets` is the caller's bias feature), x an integer
     * count. Returns `(b, w)`, one row per bucket, zero-initialized
-    * buckets included even when no document touches them. */
+    * buckets included even when no document touches them.
+    *
+    * `localSolveMaxRows` gates on FEATURE ROWS (≥ docs, ≤ docs ×
+    * (nBuckets+1)); r14's gate counted the per-doc array table, which
+    * cost a corpus-wide collect_list aggregate + eager checkpoint just
+    * to decide the dispatch (FloorProbe: the whole q180 build phase).
+    * Sub-threshold, the kernel consumes the RAW feature rows in flat
+    * primitive arrays — no per-doc array build at all. */
   def train(feats: DataFrame, nBuckets: Int, iters: Int,
-            localSolveMaxDocs: Long = 2000000L): DataFrame = {
+            localSolveMaxRows: Long = 2000000L): DataFrame = {
     val spark = feats.sparkSession
     import spark.implicits._
-    // one array-pair row per doc, materialized once: every round
-    // re-reads this, never the raw feature stream. array_sort on the
-    // (b, x) struct pins the collect_list order (b is unique per doc).
-    val fa = feats.groupBy(col("doc_id"), col("y"))
-      .agg(array_sort(collect_list(struct(col("b"), col("x")))).as("fx"))
-      .select(col("y"),
-        transform(col("fx"), s => s.getField("b")).as("bs"),
-        transform(col("fx"), s => s.getField("x")).as("xs"))
-      .localCheckpoint()
-    // Hybrid switch (the ClusterUnify/PageRank convention): the
-    // per-doc feature table is already materialized, so its count is
-    // one cheap job; below the threshold ALL rounds run in one
-    // executor task with the identical integer update — above it,
-    // the per-round corpus aggregate below is unchanged.
-    if (fa.count() <= localSolveMaxDocs) {
+    // slim projection materialized once: the dispatch count and the
+    // chosen path both read it
+    val fm = feats.select(col("doc_id").cast(LongType).as("doc_id"),
+        col("y").cast(LongType).as("y"), col("b").cast(LongType).as("b"),
+        col("x").cast(LongType).as("x"))
+      .localCheckpoint(eager = false)
+    val limit = spark.conf
+      .getOption("spark.graft.localExactMaxRows").map(_.toLong)
+      .getOrElse(localSolveMaxRows)
+    if (fm.count() <= limit) {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("b",
           org.apache.spark.sql.types.LongType, nullable = false),
         org.apache.spark.sql.types.StructField("w",
           org.apache.spark.sql.types.LongType, nullable = false)))
-      val rows = fa.coalesce(1).rdd.mapPartitions { it =>
-        val docs = it.map { r =>
-          (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Long](2).toArray)
-        }.toArray
+      // InternalRow reader + flat row-major arrays (the PageRank r14
+      // kernel idiom): margins and updates are both single passes over
+      // the row arrays — per-doc feature lists never materialize. The
+      // batch update is a sum of longs, so row order cannot affect the
+      // weights (OperatorSpec pins partition invariance).
+      val rows = fm.coalesce(1).queryExecution.toRdd.mapPartitions { it =>
+        import scala.collection.mutable
+        val docIdx = mutable.LongMap.empty[Int]
+        val ys = new mutable.ArrayBuffer[Long]()
+        var rd = new Array[Int](1 << 12)
+        var rb = new Array[Int](1 << 12)
+        var rx = new Array[Long](1 << 12)
+        var nR = 0
+        it.foreach { r =>
+          if (nR == rd.length) {
+            rd = java.util.Arrays.copyOf(rd, nR * 2)
+            rb = java.util.Arrays.copyOf(rb, nR * 2)
+            rx = java.util.Arrays.copyOf(rx, nR * 2)
+          }
+          val d = r.getLong(0)
+          val di = docIdx.getOrElse(d, -1)
+          rd(nR) =
+            if (di >= 0) di
+            else {
+              val nd = ys.length
+              docIdx.update(d, nd)
+              ys += r.getLong(1)
+              nd
+            }
+          rb(nR) = r.getLong(2).toInt
+          rx(nR) = r.getLong(3)
+          nR += 1
+        }
+        val nD = ys.length
         val w = Array.fill(nBuckets + 1)(0L)
         for (_ <- 1 to iters) {
+          val m = new Array[Long](nD)
+          var i = 0
+          while (i < nR) { m(rd(i)) += w(rb(i)) * rx(i); i += 1 }
           val upd = Array.fill(nBuckets + 1)(0L)
-          docs.foreach { case (y, bs, xs) =>
-            var m = 0L
-            var i = 0
-            while (i < bs.length) { m += w(bs(i).toInt) * xs(i); i += 1 }
-            if (y * m <= 0L) {
-              i = 0
-              while (i < bs.length) { upd(bs(i).toInt) += y * xs(i); i += 1 }
-            }
+          i = 0
+          while (i < nR) {
+            val d = rd(i)
+            if (ys(d) * m(d) <= 0L) upd(rb(i)) += ys(d) * rx(i)
+            i += 1
           }
           var b = 0
           while (b <= nBuckets) { w(b) += upd(b); b += 1 }
@@ -101,6 +133,16 @@ object Perceptron {
       return spark.createDataFrame(rows, schema)
         .localCheckpoint(eager = false)
     }
+    // over-threshold: one array-pair row per doc, materialized once —
+    // every round re-reads this, never the raw feature stream.
+    // array_sort on the (b, x) struct pins the collect_list order
+    // (b is unique per doc).
+    val fa = fm.groupBy(col("doc_id"), col("y"))
+      .agg(array_sort(collect_list(struct(col("b"), col("x")))).as("fx"))
+      .select(col("y"),
+        transform(col("fx"), s => s.getField("b")).as("bs"),
+        transform(col("fx"), s => s.getField("x")).as("xs"))
+      .localCheckpoint()
     val w = Array.fill(nBuckets + 1)(0L)
     for (_ <- 1 to iters) {
       val wlit = array(w.toSeq.map(lit): _*)

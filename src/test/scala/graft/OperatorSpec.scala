@@ -381,7 +381,7 @@ class OperatorSpec extends SparkSpec {
     // the distributed per-round aggregate (forced via threshold 0)
     // must agree with the local single-task path and the reference
     val dist = graft.operators.Perceptron
-      .train(feats, nBuckets = 2, iters = 3, localSolveMaxDocs = 0L)
+      .train(feats, nBuckets = 2, iters = 3, localSolveMaxRows = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(dist == reference(3), "distributed path")
   }
