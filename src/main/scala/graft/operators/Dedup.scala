@@ -464,23 +464,31 @@ object Dedup {
                      minShared: Int = 3): DataFrame = {
     val par = df.sparkSession.sparkContext.defaultParallelism
     // fingerprint values are per-doc DISTINCT (the expression winnows
-    // and dedupes in one pass), so this frame is the inverted index;
-    // checkpoint: it feeds the df-count aggregate and both join sides
+    // and dedupes in one pass), so this frame is the inverted index.
+    // ONE fp-keyed exchange serves everything downstream (r15; the
+    // previous shape paid three fingerprint-scale exchanges — a
+    // groupBy(fp) for the df counts, the fps side of the df-filter
+    // join, and a re-repartition — plus an eager checkpoint barrier):
+    // the df count becomes a WINDOW over the fp partitioning, the
+    // filter runs in the same stage, and both self-join sides reuse
+    // the exchange. The explicit user repartition is exempt from AQE
+    // coalescing, which would otherwise size the pair-exploding join
+    // from its (small) input stats (observed: 4 post-shuffle tasks).
     val fps = df.select(col(idCol), col(textCol))
       .repartition(par, col(idCol))
       .select(col(idCol).as("id"),
         explode(graft.functions.WinnowFingerprint(col(textCol), k, w)).as("fp"))
-      .localCheckpoint()
-    val keep = fps.groupBy(col("fp"))
-      .agg(count(lit(1)).as("_df"))
+      .repartition(par, col("fp"))
+    val wDf = Window.partitionBy(col("fp"))
+    val kept = fps
+      .withColumn("_df", count(lit(1)).over(wDf))
       .filter(col("_df") <= maxDf)
-      .select(col("fp"))
-    // pin the self-join parallelism: AQE sizes the post-shuffle reads
-    // from the (small) INPUT stats, but the join's cost is its pair
-    // OUTPUT — a user repartition is exempt from AQE coalescing
-    val kept = fps.join(keep, "fp").repartition(par, col("fp"))
+    // the df guard needs to hold on ONE side only: a pair forms at fp
+    // iff fp survives on the a side, and the b side then contributes
+    // exactly the kept rows — so b skips the sort+window entirely and
+    // probes the shared exchange raw
     val a = kept.select(col("fp"), col("id").as("id_a"))
-    val b = kept.select(col("fp"), col("id").as("id_b"))
+    val b = fps.select(col("fp"), col("id").as("id_b"))
     a.join(b, "fp")
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))

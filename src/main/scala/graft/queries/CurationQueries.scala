@@ -242,15 +242,27 @@ object CurationQueries {
           .select(col("doc_id"),
             array_distinct(TextFns.shingles(col("text"), 8)).as("arr"))
           .localCheckpoint(eager = false)
+        // ONE g-keyed exchange (r15, the winnowingPairs shape): the
+        // window df count replaces the groupBy+semi-join round trip,
+        // and both self-join sides reuse the pinned exchange — the
+        // explicit repartition also stops AQE sizing the
+        // pair-exploding join from its input stats (observed: the
+        // pair stage coalesced to 4 tasks).
+        val par = s.sparkContext.defaultParallelism
         val w = docArr.select(col("doc_id"), explode(col("arr")).as("g"))
+          .repartition(par, col("g"))
         val nw = docArr.select(col("doc_id"),
           size(col("arr")).cast(LongType).as("nw"))
-        val shared = w.groupBy(col("g"))
-          .agg(count(lit(1)).cast(LongType).as("df"))
+        val ww = w
+          .withColumn("df", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
           .filter(col("df").between(2L, 50L))
-          .select(col("g"))
-        val ww = w.join(shared, "g")
-        val p = ww.as("a").join(ww.as("b"), Seq("g"))
+          .drop("df")
+        // df guard on ONE side only (the winnowingPairs argument): a
+        // pair forms at g iff g survives on the a side, and the raw b
+        // side then contributes exactly the kept rows — b probes the
+        // shared exchange without the sort+window
+        val p = ww.as("a").join(w.as("b"), Seq("g"))
           .filter(col("a.doc_id") < col("b.doc_id"))
           .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
           .agg(count(lit(1)).cast(LongType).as("n_shared"))
