@@ -79,4 +79,44 @@ class DedupCollapseSpec extends graft.SparkSpec {
     } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
     assert(got == expected)
   }
+
+  test("threshold boundary: a naturally near-cap bucket tipped over by " +
+       "sub-threshold duplicates takes the documented hub-star trade; " +
+       "forcing the collapse restores exactness") {
+    // maxBucket = 8 → default gate threshold = extras ≥ 4. Seven
+    // DISTINCT fingerprints 0..6 differ only inside the low band, so
+    // each of the three high bands holds ALL members in one bucket —
+    // a natural bucket at maxBucket − 1. Three duplicates of fp 0
+    // (extras = 3 < 4) keep the gate OFF while pushing the member-
+    // level bucket to 10 > 8: this is exactly the residual the gate
+    // scaladoc documents ([[Dedup.dupGroups]]).
+    val s = spark; import s.implicits._
+    val fps = (1L to 4L).map(_ -> 0L) ++ // 1 natural member + 3 dups
+      (5L to 10L).map(i => i -> (i - 4L)) // distinct fps 1..6
+    def run(): Set[(Long, Long, Int)] =
+      Dedup.hammingPairs(fps.toDF("id", "simhash"),
+          bits = 60, maxHamming = 3, maxBucket = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val exact = (for {
+      (a, sa) <- fps; (b, sb) <- fps
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(sa ^ sb))).toSet
+    assert(exact.size == 45) // every pair of 0..6 is within hamming 3
+    // gate OFF (default): the overflowing high-band buckets emit the
+    // hub star around min id 1; the under-cap low-band bucket of the
+    // duplicate ids {1,2,3,4} still emits its full pairs — the
+    // DOCUMENTED shape, a strict subset of exact
+    val starred = run()
+    val expectedStar =
+      (2L to 10L).map(j => (1L, j, java.lang.Long.bitCount(
+        fps.head._2 ^ fps(j.toInt - 1)._2))).toSet ++
+      Set((2L, 3L, 0), (2L, 4L, 0), (3L, 4L, 0))
+    assert(starred == expectedStar,
+      s"missing=${expectedStar -- starred} extra=${starred -- expectedStar}")
+    // gate ON (forced): rep-level buckets hold 7 distinct fps ≤ 8, so
+    // the collapse recovers the full exact pair set
+    spark.conf.set("spark.graft.dupCollapseMinExtras", "1")
+    try assert(run() == exact)
+    finally spark.conf.unset("spark.graft.dupCollapseMinExtras")
+  }
 }
