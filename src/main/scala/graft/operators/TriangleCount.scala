@@ -56,53 +56,110 @@ object TriangleCount {
   }
 
   /** One-task exact replay: same degree orientation (lower degree
-    * first, id tie-break), same once-per-triangle counting. */
+    * first, id tie-break), same once-per-triangle counting.
+    * InternalRow reader + CSR primitive adjacency (the PageRank r14
+    * kernel idiom — the Row/HashMap/ArrayBuffer form boxed every edge
+    * twice); wedge pairs are enumerated in storage order because the
+    * triangle COUNT is independent of the pair enumeration order (the
+    * distributed plan's e1.dst < e2.dst cut exists only to pick each
+    * unordered pair once). */
   private def localSolve(e: DataFrame): DataFrame = {
     val schema = StructType(Seq(StructField("node", LongType),
       StructField("triangles", LongType)))
-    val rows = e.coalesce(1).rdd.mapPartitions { it =>
+    val rows = e.coalesce(1).queryExecution.toRdd.mapPartitions { it =>
       import scala.collection.mutable
-      val idx = mutable.HashMap.empty[Long, Int]
-      val ids = mutable.ArrayBuffer.empty[Long]
-      def id(k: Long): Int =
-        idx.getOrElseUpdate(k, { ids += k; ids.size - 1 })
-      val us = mutable.ArrayBuffer.empty[Int]
-      val vs = mutable.ArrayBuffer.empty[Int]
-      it.foreach { r => us += id(r.getLong(0)); vs += id(r.getLong(1)) }
-      val nN = ids.size
-      val degA = new Array[Int](nN)
-      us.foreach(degA(_) += 1)
-      vs.foreach(degA(_) += 1)
-      // full adjacency, sorted by neighbor NODE ID for binary search
-      val adjFull = Array.fill(nN)(mutable.ArrayBuffer.empty[Int])
-      var i = 0
-      while (i < us.length) {
-        adjFull(us(i)) += vs(i); adjFull(vs(i)) += us(i); i += 1
+      val idx = mutable.LongMap.empty[Int]
+      var ids = new Array[Long](1 << 12)
+      var nN = 0
+      def id(k: Long): Int = {
+        val got = idx.getOrElse(k, -1)
+        if (got >= 0) got
+        else {
+          if (nN == ids.length) ids = java.util.Arrays.copyOf(ids, nN * 2)
+          ids(nN) = k
+          idx.update(k, nN)
+          nN += 1
+          nN - 1
+        }
       }
-      val adjSorted = adjFull.map(_.toArray.map(ids(_)).sorted)
-      def hasEdge(a: Int, bId: Long): Boolean =
-        java.util.Arrays.binarySearch(adjSorted(a), bId) >= 0
-      // oriented out-adjacency: src = lower degree, id tie-break
-      val out = Array.fill(nN)(mutable.ArrayBuffer.empty[Int])
+      var us = new Array[Int](1 << 12)
+      var vs = new Array[Int](1 << 12)
+      var nE = 0
+      it.foreach { r =>
+        if (nE == us.length) {
+          us = java.util.Arrays.copyOf(us, nE * 2)
+          vs = java.util.Arrays.copyOf(vs, nE * 2)
+        }
+        us(nE) = id(r.getLong(0))
+        vs(nE) = id(r.getLong(1))
+        nE += 1
+      }
+      val degA = new Array[Int](nN)
+      var i = 0
+      while (i < nE) { degA(us(i)) += 1; degA(vs(i)) += 1; i += 1 }
+      // CSR full adjacency holding neighbor NODE IDS, sorted per node
+      // for the binary-search closure probe
+      val off = new Array[Int](nN + 1)
       i = 0
-      while (i < us.length) {
-        val (a, b) = (us(i), vs(i))
-        val aFirst = degA(a) < degA(b) ||
-          (degA(a) == degA(b) && ids(a) < ids(b))
-        if (aFirst) out(a) += b else out(b) += a
+      while (i < nN) { off(i + 1) = off(i) + degA(i); i += 1 }
+      val fill = java.util.Arrays.copyOf(off, nN)
+      val adj = new Array[Long](2 * nE)
+      i = 0
+      while (i < nE) {
+        val a = us(i); val b = vs(i)
+        adj(fill(a)) = ids(b); fill(a) += 1
+        adj(fill(b)) = ids(a); fill(b) += 1
+        i += 1
+      }
+      i = 0
+      while (i < nN) { java.util.Arrays.sort(adj, off(i), off(i + 1)); i += 1 }
+      def hasEdge(a: Int, bId: Long): Boolean = {
+        var lo = off(a)
+        var hi = off(a + 1) - 1
+        while (lo <= hi) {
+          val m = (lo + hi) >>> 1
+          if (adj(m) < bId) lo = m + 1
+          else if (adj(m) > bId) hi = m - 1
+          else return true
+        }
+        false
+      }
+      // oriented out-adjacency (src = lower degree, id tie-break) as a
+      // second CSR
+      def aFirst(i0: Int): Boolean = {
+        val a = us(i0); val b = vs(i0)
+        degA(a) < degA(b) || (degA(a) == degA(b) && ids(a) < ids(b))
+      }
+      val odeg = new Array[Int](nN)
+      i = 0
+      while (i < nE) {
+        if (aFirst(i)) odeg(us(i)) += 1 else odeg(vs(i)) += 1
+        i += 1
+      }
+      val ooff = new Array[Int](nN + 1)
+      i = 0
+      while (i < nN) { ooff(i + 1) = ooff(i) + odeg(i); i += 1 }
+      val ofill = java.util.Arrays.copyOf(ooff, nN)
+      val out = new Array[Int](nE)
+      i = 0
+      while (i < nE) {
+        val t = if (aFirst(i)) us(i) else vs(i)
+        val h = if (aFirst(i)) vs(i) else us(i)
+        out(ofill(t)) = h
+        ofill(t) += 1
         i += 1
       }
       val cnt = new Array[Long](nN)
       var p = 0
       while (p < nN) {
-        // wedge pairs ordered by dst NODE ID (the e1.dst < e2.dst cut)
-        val o = out(p).toArray.sortBy(ids(_))
-        var a = 0
-        while (a < o.length) {
+        val s0 = ooff(p)
+        val e0 = ooff(p + 1)
+        var a = s0
+        while (a < e0) {
           var b = a + 1
-          while (b < o.length) {
-            if (hasEdge(o(a), ids(o(b)))) {
-              cnt(p) += 1; cnt(o(a)) += 1; cnt(o(b)) += 1
+          while (b < e0) {
+            if (hasEdge(out(a), ids(out(b)))) {
+              cnt(p) += 1; cnt(out(a)) += 1; cnt(out(b)) += 1
             }
             b += 1
           }
