@@ -29,14 +29,17 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
   def apply(points: DataFrame, idCol: String, latCol: String, lonCol: String,
             radiusKm: Double, maxIters: Int = 25): DataFrame = {
     // Coincident-point pre-collapse: exactly co-located points (the
-    // dominant duplicate mode in POI data) reduce to one graph node
-    // via a cheap groupBy, so the edge set stays linear instead of
-    // quadratic in stack depth and propagation starts pre-converged
-    // within each stack. `reps` maps every point to its stack min-id.
-    val reps = points
-      .groupBy(col(latCol), col(lonCol))
-      .agg(min(col(idCol)).as("_rep"))
-    val withRep = points.join(reps, Seq(latCol, lonCol))
+    // dominant duplicate mode in POI data) reduce to one graph node,
+    // so the edge set stays linear instead of quadratic in stack depth
+    // and propagation starts pre-converged within each stack. `_rep`
+    // maps every point to its stack min-id — as a WINDOW over the
+    // (lat, lon) partitioning (r15): the groupBy+join-back form paid
+    // two extra exchanges of the full point set for the same mapping,
+    // and the distinct below reuses the window's partitioning
+    // (HashPartitioning(lat, lon) satisfies the wider clustering).
+    val withRep = points.withColumn("_rep",
+      min(col(idCol)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col(latCol), col(lonCol))))
     val ids = withRep.select(col("_rep"), col(latCol), col(lonCol)).distinct()
 
     val right = ids.select(col("_rep").as("_dst"),
@@ -68,11 +71,15 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
   def components(nodes: DataFrame, edges0: DataFrame,
                  maxIters: Int = 25,
                  localSolveMaxEdges: Long = 500000L): DataFrame = {
-    // the edge set is re-joined every round: materialize it once
-    val edges = edges0.persist()
+    // the edge set is re-joined every round (and read again by the
+    // local kernel): materialize it once. Lazy checkpoint instead of
+    // persist (r15) — persist keeps lineage and was unpersisted before
+    // the lazily-checkpointed kernel ran, so the kernel re-ran the
+    // edge pipeline's final stage; checkpoint blocks survive until the
+    // bench releases them, so the kernel reads blocks.
+    val edges = edges0.localCheckpoint(eager = false)
     val edgeCount = edges.count()
     if (edgeCount == 0) {
-      edges.unpersist()
       return nodes.select(col("_id"), col("_id").as("_lbl"))
     }
 
@@ -127,7 +134,6 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
       // at sf0.1 (extra job barrier > the saved final-stage re-read)
       val labels = edges.sparkSession.createDataFrame(lblRdd, schema)
         .localCheckpoint(eager = false)
-      edges.unpersist()
       return nodes.join(labels, Seq("_id"), "left")
         .select(col("_id"), coalesce(col("_lbl"), col("_id")).as("_lbl"))
     }
@@ -178,7 +184,6 @@ object ClusterUnify extends org.apache.spark.internal.Logging {
       logInfo(s"cluster-unify round $iter: changed=$changed " +
         f"(${(System.nanoTime() - t0) / 1e9}%.2fs)")
     }
-    edges.unpersist()
     nodes.join(labels, Seq("_id"), "left")
       .select(col("_id"), coalesce(col("_lbl"), col("_id")).as("_lbl"))
   }
