@@ -164,7 +164,15 @@ object Dedup {
       .agg(sigCols.head, sigCols.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"_s$i")): _*).as("sig"))
-      .localCheckpoint()
+      // LAZY (r15): every consumer path runs [[localCandidates]]'s
+      // gating count as its first action (LocalExact counts before it
+      // dispatches, and the distributed fall-through only executes
+      // AFTER that count returned None) — so the count materializes
+      // the blocks and the dedicated eager-checkpoint job round is
+      // pure overhead. A hypothetical non-Long-id caller that skips
+      // the count would at worst double-compute (block-store races
+      // keep one winner), never diverge.
+      .localCheckpoint(eager = false)
   }
 
   /** One-task exact replay of [[candidatesFromSignatures]] (the
@@ -285,11 +293,20 @@ object Dedup {
             .as("bsig"))
       }: _*)).as("bk"))
       .select(col("id"), col("sig"), col("bk.band"), col("bk.bsig"))
+    // est_jaccard as numHashes flat codegen terms (r15, §4-analog):
+    // the zip_with/filter HOF form evaluates INTERPRETED per pair —
+    // the same lambda-vs-flat trade the signature aggregate already
+    // documents — and this projection runs on every candidate pair on
+    // the at-scale distributed path. element_at is 1-based; arrays
+    // are always exactly numHashes long, so the flat sum counts the
+    // identical positions bit-for-bit like the HOF did.
+    val nH = bands * rowsPerBand
+    val eqCount = (1 to nH).map(i =>
+      when(element_at(col("sig_a"), i) === element_at(col("sig_b"), i), 1)
+        .otherwise(0)).reduce(_ + _)
     starCappedPairs(banded, Seq("band", "bsig"), Seq("sig"), maxBucket)
       .select(col("id_a"), col("id_b"),
-        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) =>
-          when(x === y, 1).otherwise(0)), v => v === 1)).cast("double") /
-          lit((bands * rowsPerBand).toDouble)).as("est_jaccard"))
+        (eqCount.cast("double") / lit(nH.toDouble)).as("est_jaccard"))
       .dropDuplicates("id_a", "id_b")
   }
 
@@ -526,8 +543,15 @@ object Dedup {
     // bucket-size aggregate, BOTH sides of the candidate self-join,
     // and the star fallback — without this the md5 fingerprint scan
     // re-runs on every branch (same shape as minhashCandidates'
-    // checkpoint; blocks release with the plan, unlike persist)
-    val sims = sims0.localCheckpoint()
+    // checkpoint; blocks release with the plan, unlike persist).
+    // LAZY (r15): the gate aggregate below is a synchronous action
+    // that runs before any concurrent consumer, so it materializes
+    // the blocks itself — one job round instead of two (the eager
+    // form paid a dedicated checkpoint job, then the gate re-read
+    // the blocks; the concurrent-self-join race that mandates eager
+    // in `signatures` cannot happen here because `st` always runs
+    // first)
+    val sims = sims0.localCheckpoint(eager = false)
     // threshold gate (see [[dupGroups]] / [[dupCollapseThreshold]]):
     // below maxBucket/2 duplicate extras the member-level banding
     // cannot overflow a half-empty bucket, both plans equal the
@@ -557,12 +581,18 @@ object Dedup {
             .as("bval"))
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.bval"))
+    // verify BEFORE the (id_a, id_b) dedup exchange (r15, guide §2.3
+    // — shuffle fewer bytes): the hamming check is a codegen bitwise
+    // filter on columns already in hand, and duplicate instances of a
+    // pair carry identical fingerprints, so filtering first cannot
+    // change which pairs survive the dedup — only how many rows cross
+    // the network to reach it
     val repPairs = starCappedPairs(banded, Seq("band", "bval"),
         Seq("simhash"), maxBucket)
-      .dropDuplicates("id_a", "id_b")
       .withColumn("hamming",
         bit_count(col("simhash_a").bitwiseXOR(col("simhash_b"))))
       .filter(col("hamming") <= maxHamming)
+      .dropDuplicates("id_a", "id_b")
     if (!collapse)
       repPairs.select(col("id_a"), col("id_b"), col("hamming"))
     else {

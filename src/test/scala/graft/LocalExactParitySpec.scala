@@ -121,4 +121,13 @@ class LocalExactParitySpec extends SparkSpec {
   test("q114 boilerplate scrub: one-task pass equals the span-join plan") {
     bothPaths("q114_boilerplate_scrub")
   }
+
+  // pins the distributed LSH tail (banded bucket join + star cap +
+  // the r15 flat-term est_jaccard projection) against the one-task
+  // banding kernel — the registry default at test scale never runs
+  // the tail, so without this force the candidatesFromSignatures
+  // expression path would be spec-dark
+  test("q22 minhash LSH: one-task banding kernel equals the distributed tail") {
+    bothPaths("q22_minhash_lsh")
+  }
 }
