@@ -370,7 +370,11 @@ object Dedup {
       .repartition(par, col(idCol))
       .select(col(idCol).as("id"),
         array_distinct(TextFns.shingles(col(textCol), n)).as("_sh"))
-      .localCheckpoint()
+      // LAZY (r15): the dupGroups gate below is the first consumer
+      // and is a synchronous aggregate — it materializes the blocks,
+      // saving the dedicated eager-checkpoint job round (the
+      // concurrent legs only run after the gate returned)
+      .localCheckpoint(eager = false)
     def verified(sh: DataFrame): DataFrame = {
       // collapseDups = false: sh is either the whole corpus that the
       // gate below already judged (None branch) or the collapsed

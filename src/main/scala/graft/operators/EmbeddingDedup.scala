@@ -61,7 +61,10 @@ object EmbeddingDedup {
     // — same reason Dedup's kernels checkpoint their fingerprint scans
     val signs = vectors.select(col(idCol).as("id"), col(vecCol).as("vec"),
         VectorFns.normSqScaled(col(vecCol)).as("_n"), bucket.as("bucket"))
-      .localCheckpoint()
+      // LAZY (r15): the threshold-gate aggregate below is the first
+      // consumer and synchronous — it materializes the blocks itself;
+      // the self-join sides only execute after it returned
+      .localCheckpoint(eager = false)
     // threshold gate (Dedup.dupCollapseThreshold): below maxBucket/2
     // duplicate extras the member-level bucketing cannot overflow a
     // half-empty sign bucket, both plans equal the unguarded oracle,
