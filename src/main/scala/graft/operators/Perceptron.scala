@@ -139,18 +139,28 @@ object Perceptron {
     // (b is unique per doc).
     val fa = fm.groupBy(col("doc_id"), col("y"))
       .agg(array_sort(collect_list(struct(col("b"), col("x")))).as("fx"))
+      // field extraction over the array<struct> is GetArrayStructFields
+      // (codegen) — the transform(...) lambda form evaluated
+      // interpreted for the same result (r15, §4-analog)
       .select(col("y"),
-        transform(col("fx"), s => s.getField("b")).as("bs"),
-        transform(col("fx"), s => s.getField("x")).as("xs"))
+        col("fx").getField("b").as("bs"),
+        col("fx").getField("x").as("xs"))
       .localCheckpoint()
     val w = Array.fill(nBuckets + 1)(0L)
+    import org.apache.spark.sql.graftbridge.ColumnBridge
     for (_ <- 1 to iters) {
       val wlit = array(w.toSeq.map(lit): _*)
+      // margin Σ w[b]·x as a codegen gather-dot kernel (r15): the
+      // aggregate(zip_with(...)) HOF composition evaluated INTERPRETED
+      // once per doc per iteration on this (the 100-TB) path; the
+      // kernel is the same long multiply-add in the same order —
+      // 0-based w[b] ≡ the old 1-based element_at(wlit, b+1)
       val upd = fa
-        .withColumn("m", aggregate(
-          zip_with(col("bs"), col("xs"),
-            (b, x) => element_at(wlit, (b + lit(1L)).cast(IntegerType)) * x),
-          lit(0L), (acc, v) => acc + v))
+        .withColumn("m", ColumnBridge.column(
+          graft.functions.GatherDotLongExpr(
+            ColumnBridge.eagerExpression(wlit),
+            ColumnBridge.expression(col("bs")),
+            ColumnBridge.expression(col("xs")))))
         .filter(col("y") * col("m") <= 0)
         .select(col("y"), explode(arrays_zip(col("bs"), col("xs"))).as("p"))
         .groupBy(col("p.bs").as("b"))
