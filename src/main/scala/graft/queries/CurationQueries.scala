@@ -1088,12 +1088,16 @@ object CurationQueries {
             TextFns.shingles(col("text"), 5).as("g5"))
         // ONE explode over the tagged concat of both gram arrays — a
         // union of two explodes would scan (and shingle) the corpus
-        // twice
-        val grams = d.select(col("doc_id"), explode(concat(
-            transform(col("g2"), g => struct(lit(2).as("n"), g.as("g"))),
-            transform(col("g5"), g => struct(lit(5).as("n"), g.as("g")))))
-            .as("x"))
-          .select(col("doc_id"), col("x.n").as("n"), col("x.g").as("g"))
+        // twice. The tag derives from the POSITION (r15, §4-analog):
+        // posexplode + a position/size comparison is whole-stage
+        // codegen, where the previous per-gram struct-building
+        // `transform` lambdas evaluated interpreted; concat preserves
+        // order, so pos < |g2| ⇔ the gram came from g2.
+        val grams = d.select(col("doc_id"), size(col("g2")).as("_n2"),
+            posexplode(concat(col("g2"), col("g5"))).as(Seq("_p", "g")))
+          .select(col("doc_id"),
+            when(col("_p") < col("_n2"), lit(2)).otherwise(lit(5)).as("n"),
+            col("g"))
         val a = grams.groupBy(col("doc_id"), col("n"), col("g"))
           .agg(count(lit(1)).cast(LongType).as("c"))
           .groupBy(col("doc_id"))
